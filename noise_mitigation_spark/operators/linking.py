@@ -1,0 +1,126 @@
+"""Entity linking & canonicalization (north-rule stage 5).
+
+1. Blocking: normalized surface form of every alias (lowercase,
+   separator-fold — textproc.normalize_surface; mid normalization
+   ``m.xxx``↔``/m/xxx`` per readData.py:60-62) is the blocking key.
+   Within a block we do NOT generate the quadratic pair set: each
+   entity gets one edge to the block's minimum entity (star edges) —
+   same connected components, |edges| = |alias rows|.
+2. Connected components: iterative DataFrame label propagation
+   (min-label over neighbors; edges traversed both directions).
+   Converges in O(diameter) rounds; alias-block graphs are shallow
+   (diameter ≤ 2·#aliases-per-entity). Each round is one shuffle on
+   ``node``; ``localCheckpoint`` cuts lineage so the plan does not grow
+   unboundedly (same reason the reference versions its checkpoints,
+   blocks_fuel_classes.py:477-559).
+3. Canonical map: (entity_id, canonical_id = component min).
+
+At 10^12-file scale the same loop runs unchanged — label propagation
+over star edges is the standard large-star/small-star simplification
+when blocks, not arbitrary graphs, supply the edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def alias_blocks(aliases: DataFrame) -> DataFrame:
+    """aliases(entity_id, name, freq) → (entity_id, block) distinct."""
+    return (
+        aliases.select(
+            "entity_id", F.lower(F.regexp_replace("name", r"[_\-\s]+", " ")).alias("block")
+        )
+        .withColumn("block", F.trim("block"))
+        .distinct()
+    )
+
+
+def star_edges(blocks: DataFrame) -> DataFrame:
+    """(entity_id, block) → edges (src, dst) to the block minimum."""
+    mins = blocks.groupBy("block").agg(F.min("entity_id").alias("dst"))
+    return (
+        blocks.join(mins, "block")
+        .filter(F.col("entity_id") != F.col("dst"))
+        .select(F.col("entity_id").alias("src"), "dst")
+        .distinct()
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """nodes(node) + edges(src, dst) → (node, component=min node id).
+
+    Min-label propagation; each iteration: label(node) = min(label,
+    min neighbor label) over the symmetric edge set.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(sym.src.alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("neigh_min", "component")
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(aliases: DataFrame, max_iter: int = 10) -> DataFrame:
+    """aliases → (entity_id, canonical_id)."""
+    blocks = alias_blocks(aliases)
+    edges = star_edges(blocks)
+    nodes = blocks.select(F.col("entity_id").alias("node")).distinct()
+    comp = connected_components(nodes, edges, max_iter)
+    return comp.select(
+        F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
+    )
+
+
+def canonicalize_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Remap triple endpoints to canonical ids and dedupe.
+
+    canon is ~|entities| rows → broadcast both joins.
+    """
+    s = canon.select(
+        F.col("entity_id").alias("subj"), F.col("canonical_id").alias("subj_c")
+    )
+    o = canon.select(
+        F.col("entity_id").alias("obj"), F.col("canonical_id").alias("obj_c")
+    )
+    return (
+        triples.join(F.broadcast(s), "subj", "left")
+        .join(F.broadcast(o), "obj", "left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+            "conf",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.max("conf").alias("conf"))
+    )

@@ -1,0 +1,112 @@
+"""Mention detection + pair generation over the documents table.
+
+One ``mapInPandas`` pass over ``documents(repo, path, commit, lang,
+content)`` emits BOTH mention rows (entity typing input) and pair rows
+(relation extraction input) under a combined schema with a ``kind``
+discriminator — the 100 TB corpus is scanned once, then split by a
+cheap filter that Catalyst pushes into the exchange.
+
+Scale notes:
+- the parse UDF is a pure function of one row → no shuffle; input
+  partitioning (parquet splits) is preserved.
+- filter ``content LIKE '%/m/%'`` is applied BEFORE the UDF so the
+  scan prunes mention-free files without paying Python transfer
+  (Catalyst cannot push predicates through an opaque UDF — SURVEY.md
+  §4).
+- column pruning: only (repo, path, commit, content) reach Python.
+
+Reference semantics: parse_line_* (src/typing/myclasses.py:93-117),
+window featurize (src/typing/model.py:81-136,
+src/typing/make_fuel_dataset.py:102-145), pair 3-way split
+(src/relation_extraction/readData.py:65-95,226-245).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textproc import parse_batch
+
+PARSED_SCHEMA = (
+    "kind string, repo string, path string, commit string, sent_id int,"
+    " position int, entity_id string, surface string, notable_type string,"
+    " mention_word_ids array<int>, ctx_ids array<int>,"
+    " subj string, obj string,"
+    " left_ids array<int>, middle_ids array<int>, right_ids array<int>,"
+    " caps_left array<int>, caps_middle array<int>, caps_right array<int>"
+)
+
+_MENTION_COLS = [
+    "repo", "path", "commit", "sent_id", "position", "entity_id",
+    "surface", "notable_type", "mention_word_ids", "ctx_ids",
+]  # fmt: skip
+_PAIR_COLS = [
+    "repo", "path", "commit", "sent_id", "subj", "obj",
+    "left_ids", "middle_ids", "right_ids",
+    "caps_left", "caps_middle", "caps_right",
+]  # fmt: skip
+
+
+def parse_documents(documents: DataFrame, vocab_b) -> DataFrame:
+    """documents → combined (mentions ∪ pairs) DataFrame; vocab_b is a
+    ``sc.broadcast`` of the token→embedding-id dict (J1/J2 broadcast
+    dictionary per north rule)."""
+
+    int_cols = {"sent_id", "position"}
+    str_cols = {"entity_id", "surface", "notable_type", "subj", "obj"}
+    array_cols = {
+        "mention_word_ids", "ctx_ids", "left_ids", "middle_ids", "right_ids",
+        "caps_left", "caps_middle", "caps_right",
+    }  # fmt: skip
+    all_cols = (
+        ["kind", "repo", "path", "commit", "sent_id", "position"]
+        + ["entity_id", "surface", "notable_type", "mention_word_ids", "ctx_ids"]
+        + ["subj", "obj", "left_ids", "middle_ids", "right_ids"]
+        + ["caps_left", "caps_middle", "caps_right"]
+    )
+
+    def _align(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Union the two row kinds under one Arrow-safe schema: absent
+        int cols → -1, strings → None, arrays → None (never NaN)."""
+        for c in all_cols:
+            if c not in pdf.columns:
+                if c in int_cols:
+                    pdf[c] = -1
+                else:
+                    pdf[c] = None
+            elif c in array_cols or c in str_cols:
+                pdf[c] = [
+                    x if isinstance(x, (list, tuple)) or isinstance(x, str) else None
+                    for x in pdf[c]
+                ]
+        for c in int_cols:
+            pdf[c] = pdf[c].fillna(-1).astype("int64")
+        return pdf[all_cols]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = vocab_b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mentions, pairs = parse_batch(pdf, vocab, {})
+            mentions.insert(0, "kind", "mention")
+            pairs.insert(0, "kind", "pair")
+            out = pd.concat([mentions, pairs], ignore_index=True)
+            yield _align(out)
+
+    pruned = documents.select("repo", "path", "commit", "content").filter(
+        F.col("content").contains("/m/")
+    )
+    return pruned.mapInPandas(_parse, schema=PARSED_SCHEMA)
+
+
+def mentions_view(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("kind") == "mention").select(*_MENTION_COLS)
+
+
+def pairs_view(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("kind") == "pair").select(*_PAIR_COLS)

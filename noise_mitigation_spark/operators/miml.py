@@ -1,0 +1,140 @@
+"""MIML bag aggregation — the noise-mitigation operators (A3/A4/A5).
+
+Bags = all scored mentions of one entity. Three aggregators matching
+the reference (src/typing/train2level.py:434-556):
+
+- MIML-MAX  (:434-451): per (entity, type) max of instance probs →
+  pure built-in agg: ``posexplode + groupBy().max()`` — Catalyst gives
+  map-side partial aggregation, so the shuffle carries at most
+  |entities|×102 partial rows per task regardless of bag size. No skew
+  problem by construction.
+- MIML-AVG  (:540-556 'mean2'): same shape with ``avg``.
+- MIML-ATT  (:480-505): per type t, α=softmax over the bag of bilinear
+  logits, s_t = Σ α_i·rep_i, score_t = σ(s_t·M_t). Needs the whole
+  bag → grouped-map pandas UDF. Head entities own ~5% of mentions
+  (skew the reference never handles, train2level.py:851) → **salted
+  two-phase aggregation**: softmax is reformulated associatively as
+  streaming log-sum-exp accumulators
+      partial_s = (m_s = max logit, n_s = Σ e^{L−m_s},
+                   v_s = Σ e^{L−m_s}·rep)
+  per (entity, salt) group, then an exact merge
+      m = max m_s;  n = Σ n_s·e^{m_s−m};  v = Σ v_s·e^{m_s−m};
+      s_t = v_t / n_t
+  per entity. The merge is algebraically identical to the single-pass
+  softmax (float64 accumulators), so salting changes the plan, not the
+  answer. Salt count bounds the largest single pandas group at
+  |bag|/n_salt.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import N_TYPES
+from ..functions import scorer
+
+N_SALT_DEFAULT = 8
+
+
+def miml_max_avg(scored: DataFrame) -> DataFrame:
+    """(entity_id, type_id, max_score, avg_score, n_mentions) via
+    built-in exploded aggregation — fully codegen'd, two-phase
+    (partial + final) hash aggregate."""
+    exploded = scored.select(
+        "entity_id", F.posexplode("probs").alias("type_id", "p")
+    )
+    return exploded.groupBy("entity_id", "type_id").agg(
+        F.max("p").alias("max_score"),
+        F.avg("p").alias("avg_score"),
+        F.count("p").alias("n_mentions"),
+    )
+
+
+_PARTIAL_SCHEMA = (
+    "entity_id string, salt int, cnt long,"
+    " m array<double>, n array<double>, v array<double>"
+)
+_ATT_SCHEMA = "entity_id string, n_mentions long, score_att array<double>"
+
+
+def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
+    L = np.stack(pdf["att_logits"].to_numpy()).astype(np.float64)  # [k, T]
+    R = np.stack(pdf["rep"].to_numpy()).astype(np.float64)  # [k, D]
+    m = L.max(axis=0)  # [T]
+    e = np.exp(L - m)  # [k, T]
+    n = e.sum(axis=0)  # [T]
+    v = e.T @ R  # [T, D]
+    return pd.DataFrame(
+        {
+            "entity_id": [pdf["entity_id"].iloc[0]],
+            "salt": [int(pdf["salt"].iloc[0])],
+            "cnt": [len(pdf)],
+            "m": [m],
+            "n": [n],
+            "v": [v.ravel()],
+        }
+    )
+
+
+def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("salt")  # deterministic merge order
+    ms = np.stack(pdf["m"].to_numpy())  # [s, T]
+    ns = np.stack(pdf["n"].to_numpy())  # [s, T]
+    vs = np.stack(pdf["v"].to_numpy())  # [s, T*D]
+    m = ms.max(axis=0)  # [T]
+    scale = np.exp(ms - m)  # [s, T]
+    n = (ns * scale).sum(axis=0)  # [T]
+    T = m.shape[0]
+    D = vs.shape[1] // T
+    v = (vs.reshape(len(pdf), T, D) * scale[:, :, None]).sum(axis=0)  # [T, D]
+    S = v / n[:, None]
+    score = scorer.attention_bag_scores(S)
+    return pd.DataFrame(
+        {
+            "entity_id": [pdf["entity_id"].iloc[0]],
+            "n_mentions": [int(pdf["cnt"].sum())],
+            "score_att": [score],
+        }
+    )
+
+
+def miml_attention(scored: DataFrame, n_salt: int = N_SALT_DEFAULT) -> DataFrame:
+    """Salted two-phase attention aggregation → per-entity
+    (n_mentions, score_att[102]).
+
+    Salt is a deterministic hash of the mention's provenance (NOT
+    rand()) so re-runs and resume produce identical partials.
+    """
+    salted = scored.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("repo", "path", "commit", "sent_id", "position"),
+            F.lit(n_salt),
+        ).cast("int"),
+    )
+    partials = (
+        salted.select("entity_id", "salt", "rep", "att_logits")
+        .groupBy("entity_id", "salt")
+        .applyInPandas(_partial, schema=_PARTIAL_SCHEMA)
+    )
+    return partials.groupBy("entity_id").applyInPandas(_combine, schema=_ATT_SCHEMA)
+
+
+def type_assertions(
+    ent_att: DataFrame, theta: float = 0.5, score_col: str = "score_att"
+) -> DataFrame:
+    """Threshold → (entity_id, type_id, score) assertion rows (F10).
+
+    Per-type thresholds: pass a 102-long theta array via a broadcast
+    join instead of the scalar (find_best_theta semantics,
+    train2level.py:116-133) — see plans/thresholds.py.
+    """
+    return (
+        ent_att.select(
+            "entity_id", F.posexplode(score_col).alias("type_id", "score")
+        )
+        .filter(F.col("score") >= theta)
+    )

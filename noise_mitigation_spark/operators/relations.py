@@ -1,0 +1,104 @@
+"""Relation extraction: pair scoring + at-least-one bag reduce → triples.
+
+Stages (reference src/relation_extraction/ + src/joint/):
+1. attach entity-type vectors to each pair instance — the ET→RE
+   pipeline edge (J4). The reference aligns rows POSITIONALLY between
+   an .npy matrix and a text file (readData.py:116-121); here it is an
+   equi-join on entity id. The entity-scores table is ~|entities| rows
+   (≪ pairs at corpus scale) → broadcast-joined when it fits, AQE
+   decides otherwise.
+2. contextwise CNN scorer over (left, middle, right) id arrays —
+   vectorized pandas UDF (train_relation_extraction.py:168-235).
+3. bag reduce per (subj, obj): columnwise max over instances per class
+   = at-least-one semantics (layers.py:301-330 / paper Eq. 12), then
+   argmax over non-NA classes (blocks_fuel_classes.py:371-391). This
+   is pure built-in aggregation: posexplode + groupBy().max() +
+   max_by — two-phase hash agg, skew-safe (map-side combine shrinks
+   every bag to ≤11 partial rows per task).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import N_TYPES, RELATION_NAMES
+from ..functions import scorer
+
+SCORED_PAIR_SCHEMA = (
+    "repo string, path string, commit string, sent_id int,"
+    " subj string, obj string, probs array<float>"
+)
+
+
+def attach_type_vectors(pairs: DataFrame, ent_att: DataFrame) -> DataFrame:
+    """Left-join subj/obj attention score vectors; missing → zeros."""
+    zeros = F.array_repeat(F.lit(0.0), N_TYPES)
+    subj_vec = ent_att.select(
+        F.col("entity_id").alias("subj"), F.col("score_att").alias("subj_types")
+    )
+    obj_vec = ent_att.select(
+        F.col("entity_id").alias("obj"), F.col("score_att").alias("obj_types")
+    )
+    return (
+        pairs.join(F.broadcast(subj_vec), "subj", "left")
+        .join(F.broadcast(obj_vec), "obj", "left")
+        .withColumn("subj_types", F.coalesce("subj_types", zeros))
+        .withColumn("obj_types", F.coalesce("obj_types", zeros))
+    )
+
+
+def score_pairs(pairs_with_types: DataFrame, emb_b) -> DataFrame:
+    """Contextwise CNN → per-instance class probs [11]. Narrow op."""
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emb = emb_b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            L = np.stack(pdf["left_ids"].to_numpy())
+            M = np.stack(pdf["middle_ids"].to_numpy())
+            R = np.stack(pdf["right_ids"].to_numpy())
+            e1 = np.stack(pdf["subj_types"].to_numpy()).astype(np.float32)
+            e2 = np.stack(pdf["obj_types"].to_numpy()).astype(np.float32)
+            probs = scorer.relation_probs(L, M, R, e1, e2, emb)
+            out = pdf[["repo", "path", "commit", "sent_id", "subj", "obj"]].copy()
+            out["probs"] = list(probs)
+            yield out
+
+    cols = [
+        "repo", "path", "commit", "sent_id", "subj", "obj",
+        "left_ids", "middle_ids", "right_ids", "subj_types", "obj_types",
+    ]  # fmt: skip
+    return pairs_with_types.select(*cols).mapInPandas(
+        _score, schema=SCORED_PAIR_SCHEMA
+    )
+
+
+def bag_triples(scored_pairs: DataFrame, theta: float = 0.095) -> DataFrame:
+    """(subj, pred, obj, conf): per-bag per-class at-least-one max,
+    best non-NA class, threshold. Entirely built-in aggregation."""
+    rel_names = F.array(*[F.lit(r) for r in RELATION_NAMES])
+    exploded = scored_pairs.select(
+        "subj", "obj", F.posexplode("probs").alias("cls", "p")
+    ).filter(F.col("cls") >= 1)  # drop NA class before the shuffle
+    per_class = exploded.groupBy("subj", "obj", "cls").agg(
+        F.max(F.col("p").cast("double")).alias("pmax")
+    )
+    best = per_class.groupBy("subj", "obj").agg(
+        F.max_by("cls", "pmax").alias("best_cls"),
+        F.max("pmax").alias("conf"),
+    )
+    return (
+        best.filter(F.col("conf") >= theta)
+        .select(
+            "subj",
+            F.element_at(rel_names, F.col("best_cls")).alias("pred"),
+            "obj",
+            "conf",
+        )
+    )

@@ -1,0 +1,54 @@
+"""Frozen-scorer application — the vectorized Arrow pandas-UDF stage.
+
+``score_mentions`` runs the typing CNN (functions/scorer.py) over
+Arrow batches inside ``mapInPandas``: per batch one embedding gather +
+three conv matmuls for the whole batch — no per-row Python (north-rule
+mandate). Batch grain is controlled by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py), which
+mirrors the reference's 1k-100k eval batches
+(src/typing/train2level.py:176-181).
+
+The embedding matrix rides a ``sc.broadcast`` (reference keeps it as a
+process-global Theano shared var, train2level.py:332-334) — one copy
+per executor, not per task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import scorer
+
+SCORED_SCHEMA = (
+    "repo string, path string, commit string, sent_id int, position int,"
+    " entity_id string,"
+    " rep array<float>, probs array<float>, att_logits array<float>"
+)
+
+
+def score_mentions(mentions: DataFrame, emb_b) -> DataFrame:
+    """mentions (with ctx_ids) → + per-mention rep / type probs /
+    attention logits. Narrow transformation: no shuffle."""
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emb = emb_b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ctx = np.stack(pdf["ctx_ids"].to_numpy())
+            rep = scorer.typing_rep(ctx, emb)
+            probs = scorer.typing_scores(rep)
+            att = scorer.attention_logits(rep)
+            out = pdf[
+                ["repo", "path", "commit", "sent_id", "position", "entity_id"]
+            ].copy()
+            out["rep"] = list(rep)
+            out["probs"] = list(probs)
+            out["att_logits"] = list(att)
+            yield out
+
+    return mentions.mapInPandas(_score, schema=SCORED_SCHEMA)

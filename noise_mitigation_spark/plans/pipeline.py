@@ -1,0 +1,120 @@
+"""End-to-end KG-construction plan (SURVEY.md §3 re-realized).
+
+    documents ──parse──▶ mentions ──score──▶ scored mentions
+        │                                        │ groupBy(entity)+salt
+        └──────▶ pairs                           ▼
+                   │  ⋈ entity type vectors   MIML (max/avg/att)
+                   ▼                             │ threshold
+            scored pairs                         ▼
+                   │ groupBy(subj,obj)     entity_types
+                   ▼
+            (subj,pred,obj) ──canonicalize──▶ triples table
+
+One corpus scan feeds both branches (mentions.parse_documents emits a
+combined frame); the parsed frame is materialized once (lineage
+checkpoint) and both branches read the columnar copy with column
+pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..corpus import Corpus
+from ..operators import linking, mentions, miml, relations, scoring
+from . import lineage
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    pairs: DataFrame
+    ent_max_avg: DataFrame
+    ent_att: DataFrame
+    assertions: DataFrame
+    triples: DataFrame
+    canon: DataFrame
+    triples_canon: DataFrame
+
+
+def run(
+    spark: SparkSession,
+    documents: DataFrame,
+    aliases: DataFrame,
+    vocab: dict,
+    emb,
+    out_dir: str | None = None,
+    type_theta: float = 0.5,
+    rel_theta: float = 0.095,
+    n_salt: int = miml.N_SALT_DEFAULT,
+) -> PipelineResult:
+    """Run the full pipeline. If out_dir is given, every stage is
+    materialized with a lineage manifest and re-runs resume."""
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(vocab)
+    emb_b = sc.broadcast(emb)
+
+    parsed = mentions.parse_documents(documents, vocab_b)
+    if out_dir:
+        fp = lineage.fingerprint_documents(documents)
+        parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp)
+    ment = mentions.mentions_view(parsed)
+    prs = mentions.pairs_view(parsed)
+
+    scored = scoring.score_mentions(ment, emb_b)
+    if out_dir:
+        scored = lineage.materialize(spark, scored, out_dir, "scored", fp)
+
+    ent_max_avg = miml.miml_max_avg(scored)
+    ent_att = miml.miml_attention(scored, n_salt=n_salt)
+    if out_dir:
+        ent_att = lineage.materialize(spark, ent_att, out_dir, "ent_att", fp)
+    assertions = miml.type_assertions(ent_att, theta=type_theta)
+
+    with_types = relations.attach_type_vectors(prs, ent_att)
+    scored_pairs = relations.score_pairs(with_types, emb_b)
+    triples = relations.bag_triples(scored_pairs, theta=rel_theta)
+    if out_dir:
+        triples = lineage.materialize(spark, triples, out_dir, "triples", fp)
+
+    canon = linking.canonical_map(aliases)
+    triples_canon = linking.canonicalize_triples(triples, canon)
+    if out_dir:
+        triples_canon = lineage.materialize(
+            spark, triples_canon, out_dir, "triples_canon", fp
+        )
+
+    return PipelineResult(
+        mentions=ment,
+        pairs=prs,
+        ent_max_avg=ent_max_avg,
+        ent_att=ent_att,
+        assertions=assertions,
+        triples=triples,
+        canon=canon,
+        triples_canon=triples_canon,
+    )
+
+
+def load_corpus_tables(spark: SparkSession, corpus_dir: str):
+    """Read a write_parquet() corpus directory back as Spark DataFrames
+    plus the broadcastable vocab/embedding structures."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    aliases = spark.read.parquet(f"{corpus_dir}/aliases.parquet")
+    emb_pdf = spark.read.parquet(f"{corpus_dir}/embeddings.parquet").toPandas()
+    emb_pdf = emb_pdf.sort_values("idx")
+    vocab = dict(zip(emb_pdf["token"], emb_pdf["idx"]))
+    emb = np.stack(emb_pdf["vector"].to_numpy()).astype(np.float32)
+    return docs, aliases, vocab, emb
+
+
+def run_from_corpus(
+    spark: SparkSession, corpus: Corpus, out_dir: str | None = None, **kw
+) -> PipelineResult:
+    docs = spark.createDataFrame(corpus.documents)
+    aliases = spark.createDataFrame(corpus.aliases)
+    return run(spark, docs, aliases, corpus.vocab, corpus.emb, out_dir, **kw)

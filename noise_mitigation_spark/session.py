@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[N]`` but every config choice is made
+for the 1000-executor / 100 TB target: AQE on (runtime coalesce +
+skew-join split), Arrow enabled for the pandas-UDF scorer path,
+shuffle partitions sized to cores locally (→ set to ~2-3× total cores
+on a real cluster), UTC timezone pinned so results compare bit-for-bit
+against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: the scorer does numpy matmuls per batch; ~10k rows
+# amortizes Python/Arrow overhead without blowing executor memory
+# (mirrors the reference's 1000-100000 train/eval batch grain,
+# configs/typing/config.cnn.yaml:21-25).
+ARROW_BATCH_ROWS = 10_000
+
+
+def get_spark(
+    app_name: str = "noise_mitigation_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores=None → ``local[*]``. On a real cluster this function is a
+    no-op passthrough: spark-submit supplies master/executors and the
+    same configs via --conf.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        ncores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        ncores = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(ncores, 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(ncores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

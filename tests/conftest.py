@@ -1,0 +1,27 @@
+"""Shared fixtures: one SparkSession + one deterministic corpus per
+pytest session (seed 42, FIXTURES.md)."""
+
+from __future__ import annotations
+
+import pytest
+
+from noise_mitigation_spark import corpus as corpus_mod
+from noise_mitigation_spark import oracle_ref
+from noise_mitigation_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("nm-tests", cores=4, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return corpus_mod.generate(n_docs=200, n_entities=120, seed=42)
+
+
+@pytest.fixture(scope="session")
+def oracle(corpus):
+    return oracle_ref.run_pipeline(corpus)

@@ -1,0 +1,112 @@
+"""Golden end-to-end test: Spark pipeline ≡ numpy oracle.
+
+The north-rule gate: emitted (subj, pred, obj) triples and (entity,
+type) assertions match the reference semantics at P/R ≥ 0.95 (they
+match exactly here because both paths share the frozen kernels — any
+mismatch means the DISTRIBUTED plan broke: bag assembly, salting,
+joins, or threshold logic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from noise_mitigation_spark.plans import pipeline
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    return pipeline.run_from_corpus(spark, corpus)
+
+
+def _pr(emitted: set, gold: set) -> tuple[float, float]:
+    if not emitted or not gold:
+        return (0.0, 0.0)
+    tp = len(emitted & gold)
+    return tp / len(emitted), tp / len(gold)
+
+
+def test_mention_counts(result, oracle):
+    assert result.mentions.count() == len(oracle["mentions"])
+    assert result.pairs.count() == len(oracle["pairs"])
+
+
+def test_entity_scores_att_match(result, oracle):
+    got = result.ent_att.toPandas().set_index("entity_id").sort_index()
+    want = oracle["ent_scores"].set_index("entity_id").sort_index()
+    assert list(got.index) == list(want.index)
+    assert (got["n_mentions"].to_numpy() == want["n_mentions"].to_numpy()).all()
+    g = np.stack(got["score_att"].to_numpy())
+    w = np.stack(want["score_att"].to_numpy())
+    np.testing.assert_allclose(g, w, atol=1e-9)
+
+
+def test_miml_max_avg_match(result, oracle):
+    got = result.ent_max_avg.toPandas()
+    want = oracle["ent_scores"]
+    gmax = (
+        got.pivot(index="entity_id", columns="type_id", values="max_score")
+        .sort_index()
+        .to_numpy()
+    )
+    wmax = np.stack(want.sort_values("entity_id")["score_max"].to_numpy())
+    np.testing.assert_allclose(gmax, wmax, atol=1e-7)
+    gavg = (
+        got.pivot(index="entity_id", columns="type_id", values="avg_score")
+        .sort_index()
+        .to_numpy()
+    )
+    wavg = np.stack(want.sort_values("entity_id")["score_avg"].to_numpy())
+    np.testing.assert_allclose(gavg, wavg, atol=1e-7)
+
+
+def test_type_assertions_pr(result, oracle):
+    got = {
+        (r["entity_id"], r["type_id"])
+        for r in result.assertions.collect()
+    }
+    want = set(
+        zip(oracle["assertions"]["entity_id"], oracle["assertions"]["type_id"])
+    )
+    p, r = _pr(got, want)
+    assert p >= 0.99 and r >= 0.99, (p, r, len(got), len(want))
+
+
+def test_triples_pr(result, oracle):
+    got = {(r["subj"], r["pred"], r["obj"]) for r in result.triples.collect()}
+    want = set(
+        zip(oracle["triples"]["subj"], oracle["triples"]["pred"], oracle["triples"]["obj"])
+    )
+    p, r = _pr(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(got), len(want))
+    assert len(want) > 50  # fixture is non-degenerate
+
+
+def test_canonical_triples_pr(result, oracle):
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in result.triples_canon.collect()
+    }
+    o = oracle["triples_canon"]
+    want = set(zip(o["subj"], o["pred"], o["obj"]))
+    p, r = _pr(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(got), len(want))
+
+
+def test_canonical_map_matches_unionfind(spark, corpus, oracle):
+    from noise_mitigation_spark.operators import linking
+
+    aliases = spark.createDataFrame(corpus.aliases)
+    got = linking.canonical_map(aliases).toPandas().sort_values("entity_id")
+    want = oracle["canon"].sort_values("entity_id")
+    assert list(got["entity_id"]) == list(want["entity_id"])
+    assert list(got["canonical_id"]) == list(want["canonical_id"])
+
+
+def test_sha256_invariant(spark, corpus):
+    """input_hint: per-row content sha256 equality through the engine."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(corpus.documents)
+    bad = docs.filter(F.sha2("content", 256) != F.col("sha256")).count()
+    assert bad == 0
