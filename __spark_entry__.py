@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: MIML-ATT noise-mitigation aggregation
+                 (softmax-weighted bag scoring) over sf0.001 events.
+queries()      — SURVEY.md §2 operator inventory over the driver's
+                 tables (noise_mitigation_spark/queries.py).
+oracle_sql()   — matching DuckDB oracles, aligned aliases, floats
+                 rounded on both sides.
+
+The KG-construction pipeline itself (mention parse → frozen scorer →
+salted MIML-ATT → triples → canonicalization) is exercised by the
+pytest golden suite against a numpy oracle (tests/test_pipeline_golden
+.py) — its operators are not SQL-expressible (pandas-UDF scorer).
 """
 
 from __future__ import annotations
@@ -13,26 +19,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from noise_mitigation_spark import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q.q_miml_att(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_q.ORACLES)

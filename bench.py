@@ -1,0 +1,175 @@
+"""Bench harness — one JSON line to stdout.
+
+Measures:
+1. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+   on local[$SPARK_GRAFT_CPUS];
+2. the KG-construction pipeline end-to-end (incl. canonicalization)
+   on a deterministic synthetic corpus — files/sec;
+3. scaling efficiency of the scan stages (parse → score → MIML-ATT →
+   assertions → pair scoring → triples; the per-file work that scales
+   with corpus size) between two parallelism levels, N and 4N
+   threads, with IDENTICAL partitioning (16) — the sandbox stand-in
+   for N vs 4N executors (BASELINE.md target ≥ 0.8). Sizes via
+   NM_SCALE_DOCS (default 50k). Alias canonicalization is excluded
+   from the scaling workload because its input (the alias table) does
+   not grow with file count.
+
+Note: this VM exposes 32 hyperthreads but sustains ~16 cores of
+arithmetic (measured: 32 spinning procs run 2× slower than 8), so N=2
+vs 4N=8 is the honest pair here; a real cluster would use executor
+counts instead.
+
+Usage: python bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+NM_BENCH_DOCS, NM_SCALE_DOCS, NM_BENCH_SKIP_SCALING)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+
+from noise_mitigation_spark import corpus as corpus_mod
+from noise_mitigation_spark import queries as Q
+from noise_mitigation_spark.operators import mentions, miml, relations, scoring
+from noise_mitigation_spark.plans import pipeline
+from noise_mitigation_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("NM_BENCH_DOCS", "20000"))
+SCALE_DOCS = int(os.environ.get("NM_SCALE_DOCS", "50000"))
+SCALE_SMALL, SCALE_BIG = 2, 8  # N and 4N threads
+
+HEADLINE = [
+    "miml_max", "miml_att", "map_metric", "pr_curve", "tpch_q1",
+    "dim_broadcast_join", "pair_generation", "minhash_signatures",
+    "simhash", "cosine_topk", "sessionize", "cube_rollup",
+]  # fmt: skip
+
+
+def _corpus_dir(n_docs: int) -> str:
+    d = f"/tmp/nm_bench_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(d, "documents.parquet")):
+        c = corpus_mod.generate(n_docs=n_docs, n_entities=max(240, n_docs // 25))
+        corpus_mod.write_parquet(c, d)
+    return d
+
+
+def _broadcasts(spark, corpus_dir: str):
+    emb_pdf = pd.read_parquet(f"{corpus_dir}/embeddings.parquet").sort_values("idx")
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(dict(zip(emb_pdf["token"], emb_pdf["idx"])))
+    emb_b = sc.broadcast(np.stack(emb_pdf["vector"].to_numpy()).astype(np.float32))
+    return vocab_b, emb_b
+
+
+def scan_workload(spark, docs, vocab_b, emb_b) -> tuple[int, int]:
+    """The per-file stages only (scales with corpus size)."""
+    parsed = mentions.parse_documents(docs, vocab_b).cache()
+    parsed.count()
+    scored = scoring.score_mentions(mentions.mentions_view(parsed), emb_b).cache()
+    ent_att = miml.miml_attention(scored).cache()
+    n_assert = miml.type_assertions(ent_att).count()
+    scored_pairs = relations.score_pairs(
+        relations.attach_type_vectors(mentions.pairs_view(parsed), ent_att), emb_b
+    )
+    n_triples = relations.bag_triples(scored_pairs).count()
+    spark.catalog.clearCache()
+    return n_assert, n_triples
+
+
+def run_full_pipeline(spark, corpus_dir: str) -> tuple[float, int, int]:
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    aliases = spark.read.parquet(f"{corpus_dir}/aliases.parquet")
+    emb_pdf = pd.read_parquet(f"{corpus_dir}/embeddings.parquet").sort_values("idx")
+    vocab = dict(zip(emb_pdf["token"], emb_pdf["idx"]))
+    emb = np.stack(emb_pdf["vector"].to_numpy()).astype(np.float32)
+    n_docs = docs.count()
+    t0 = time.time()
+    res = pipeline.run(spark, docs, aliases, vocab, emb, out_dir=None)
+    n_triples = res.triples_canon.count()
+    res.assertions.count()
+    return time.time() - t0, n_docs, n_triples
+
+
+def measure_scaling(corpus_dir: str, n_docs: int) -> dict:
+    out = {}
+    for cores in (SCALE_SMALL, SCALE_BIG):
+        spark = get_spark(
+            f"nm-scale-{cores}", cores=cores, shuffle_partitions=16
+        )
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").repartition(16)
+        docs.count()
+        vocab_b, emb_b = _broadcasts(spark, corpus_dir)
+        # warm python workers + codegen on a slice, outside the timer
+        scan_workload(spark, docs.limit(500), vocab_b, emb_b)
+        t0 = time.time()
+        scan_workload(spark, docs, vocab_b, emb_b)
+        wall = time.time() - t0
+        out[cores] = wall
+        spark.stop()
+    thr_small = n_docs / out[SCALE_SMALL]
+    thr_big = n_docs / out[SCALE_BIG]
+    ratio = SCALE_BIG / SCALE_SMALL
+    return {
+        "workload": "scan_stages",
+        "n_docs": n_docs,
+        "cores_small": SCALE_SMALL,
+        "cores_big": SCALE_BIG,
+        "wall_small_sec": round(out[SCALE_SMALL], 2),
+        "wall_big_sec": round(out[SCALE_BIG], 2),
+        "files_per_sec_small": round(thr_small, 1),
+        "files_per_sec_big": round(thr_big, 1),
+        "efficiency": round((thr_big / thr_small) / ratio, 3),
+    }
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    bench_dir = _corpus_dir(N_DOCS)
+
+    spark = get_spark("nm-bench", cores=CPUS, shuffle_partitions=CPUS)
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        Q.QUERIES[name](spark, SF_DIR).count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    kg_wall, n_docs, n_triples = run_full_pipeline(spark, bench_dir)
+    qtimes["kg_pipeline"] = round(kg_wall, 3)
+    spark.stop()
+
+    scaling = {}
+    if not os.environ.get("NM_BENCH_SKIP_SCALING"):
+        scale_dir = _corpus_dir(SCALE_DOCS)
+        scaling = measure_scaling(scale_dir, SCALE_DOCS)
+
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "kg": {
+                    "n_docs": n_docs,
+                    "n_triples": n_triples,
+                    "files_per_sec": round(n_docs / kg_wall, 1),
+                },
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

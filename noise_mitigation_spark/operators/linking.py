@@ -49,17 +49,44 @@ def star_edges(blocks: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 10
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """nodes(node) + edges(src, dst) → (node, component=min node id).
 
-    Min-label propagation; each iteration: label(node) = min(label,
-    min neighbor label) over the symmetric edge set.
+    Min-label propagation + pointer doubling; each iteration:
+    label(node) = min(label, min neighbor label), then
+    label := label's label.
+
+    Partition count adapts to graph size (~1M edges per partition,
+    capped at cluster parallelism): an alias graph is usually orders
+    of magnitude smaller than the corpus, and running its ~log(d)
+    tiny iterations at full shuffle width just pays scheduler/task
+    overhead per round.
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)  # edge derivation runs once, not per round
     )
-    labels = nodes.select("node", F.col("node").alias("component"))
+    n_edges = sym.count()
+    sc = nodes.sparkSession.sparkContext
+    parts = int(max(2, min(sc.defaultParallelism, n_edges // 1_000_000 + 2)))
+    sym = sym.repartition(parts, "dst").localCheckpoint(eager=True)
+    labels = (
+        nodes.select("node", F.col("node").alias("component"))
+        .repartition(parts, "node")
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(lab: DataFrame) -> int:
+        # min-label propagation is monotone non-increasing, so the label
+        # multiset changes iff any label changed → one cheap agg per
+        # round instead of a self-join diff
+        return lab.agg(
+            F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sig = _sig(labels)
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.dst == labels.node)
@@ -67,32 +94,40 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("neigh_min"))
         )
+        stepped = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least("component", F.coalesce("neigh_min", "component")).alias(
+                "component"
+            ),
+        )
+        # pointer doubling: component := component's component. Squares
+        # the propagation distance per round → O(log diameter) rounds
+        # even on chain-shaped alias graphs (shared aliases daisy-chain
+        # entities), where plain min-propagation needs O(diameter).
+        ptr = stepped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neigh, "node", "left")
+            stepped.join(ptr, stepped.component == ptr.p_node, "left")
             .select(
                 "node",
                 F.least(
-                    "component", F.coalesce("neigh_min", "component")
+                    "component", F.coalesce("p_comp", "component")
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        sig = _sig(new_labels)
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels
 
 
-def canonical_map(aliases: DataFrame, max_iter: int = 10) -> DataFrame:
+def canonical_map(aliases: DataFrame, max_iter: int = 50) -> DataFrame:
     """aliases → (entity_id, canonical_id)."""
-    blocks = alias_blocks(aliases)
+    blocks = alias_blocks(aliases).localCheckpoint(eager=True)
     edges = star_edges(blocks)
     nodes = blocks.select(F.col("entity_id").alias("node")).distinct()
     comp = connected_components(nodes, edges, max_iter)

@@ -56,21 +56,38 @@ def run(
     vocab_b = sc.broadcast(vocab)
     emb_b = sc.broadcast(emb)
 
+    # A small corpus parquet arrives as 1-4 splits; the pandas-UDF parse
+    # would then run nearly serial. Fan out to cluster parallelism
+    # (round-robin — parse is embarrassingly parallel). At 100 TB the
+    # source has ≫ cores splits already and this is a no-op.
+    par = sc.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par)
+
     parsed = mentions.parse_documents(documents, vocab_b)
     if out_dir:
         fp = lineage.fingerprint_documents(documents)
         parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp)
+    else:
+        # both branches (typing + relations) read this; without a
+        # lineage materialization, cache it so the pandas-UDF parse
+        # runs once, not once per downstream action
+        parsed = parsed.cache()
     ment = mentions.mentions_view(parsed)
     prs = mentions.pairs_view(parsed)
 
     scored = scoring.score_mentions(ment, emb_b)
     if out_dir:
         scored = lineage.materialize(spark, scored, out_dir, "scored", fp)
+    else:
+        scored = scored.cache()
 
     ent_max_avg = miml.miml_max_avg(scored)
     ent_att = miml.miml_attention(scored, n_salt=n_salt)
     if out_dir:
         ent_att = lineage.materialize(spark, ent_att, out_dir, "ent_att", fp)
+    else:
+        ent_att = ent_att.cache()
     assertions = miml.type_assertions(ent_att, theta=type_theta)
 
     with_types = relations.attach_type_vectors(prs, ent_att)

@@ -1,0 +1,873 @@
+"""Named queries for the driver correctness gate (__spark_entry__).
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL
+oracle that DuckDB executes on the same parquet tables. Names map to
+SURVEY.md §2 operator rows (cited per query). Conventions that make
+the driver's order-insensitive value-hash comparison robust:
+
+- every float aggregate is ``round(x, 4)`` on BOTH sides (float64
+  reduction order differs between engines; 1e-10 relative error would
+  otherwise flip the hash);
+- every ranking has a total deterministic ORDER BY (value ties broken
+  by ids);
+- aggregate/computed columns share the same lowercase alias on both
+  sides.
+
+All Spark implementations are pure built-in DataFrame ops (JVM-side,
+whole-stage codegen) — zero Python UDFs in this module; the operators
+that genuinely need numpy (frozen scorer, MIML-ATT) live in
+operators/ and are exercised by the pytest golden suite instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# MIML bag aggregation family (A3/A4/A5) — bags = events per (user, type)
+# --------------------------------------------------------------------------
+
+
+def q_miml_max(spark, sf_dir):
+    """A3 MIML-MAX (train2level.py:434-451): per-bag max instance score."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.max("value"), 4).alias("max_score"),
+            F.count("*").alias("n_instances"),
+        )
+    )
+
+
+SQL_MIML_MAX = """
+SELECT user_id, event_type,
+       round(max(value), 4) AS max_score,
+       count(*) AS n_instances
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_miml_avg(spark, sf_dir):
+    """A4 MIML-AVG mean2 (train2level.py:540-556)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_score"))
+    )
+
+
+SQL_MIML_AVG = """
+SELECT user_id, event_type, round(avg(value), 4) AS avg_score
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_miml_att(spark, sf_dir):
+    """A5 MIML-ATT softmax-weighted bag score (train2level.py:480-505)
+    expressed relationally: w_i = exp(v_i - max_bag v) (normalized),
+    att = Σ w_i·v_i / Σ w_i. Two-phase shuffle agg, skew-safe."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type")
+    return (
+        e.withColumn("mx", F.max("value").over(w))
+        .withColumn("ew", F.exp(F.col("value") - F.col("mx")))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("ew") * F.col("value")) / F.sum("ew"), 4
+            ).alias("att_score")
+        )
+    )
+
+
+SQL_MIML_ATT = """
+WITH t AS (
+  SELECT user_id, event_type, value,
+         exp(value - max(value) OVER (PARTITION BY user_id, event_type)) AS ew
+  FROM events
+)
+SELECT user_id, event_type,
+       round(sum(ew * value) / sum(ew), 4) AS att_score
+FROM t GROUP BY user_id, event_type
+"""
+
+
+def q_bag_sizes(spark, sf_dir):
+    """A1/S12 bag assembly sizes (make_fuel_dataset.py:273-327)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("bag_size"))
+    )
+
+
+SQL_BAG_SIZES = "SELECT user_id, count(*) AS bag_size FROM events GROUP BY user_id"
+
+
+def q_top3_avg(spark, sf_dir):
+    """A8 top-perc average (big2small_avgs, myutils.py:1027-1038):
+    mean of a bag's top-3 scores."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("top3_avg"))
+    )
+
+
+SQL_TOP3_AVG = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id, round(avg(value), 4) AS top3_avg
+FROM r WHERE rn <= 3 GROUP BY user_id
+"""
+
+
+def q_freq_buckets(spark, sf_dir):
+    """A12 frequency bucketing (divideEtestByFreq, myutils.py:503-518)."""
+    counts = (
+        _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    bucket = (
+        F.when(F.col("n") <= 1, "f1")
+        .when(F.col("n") <= 2, "f2")
+        .when(F.col("n") <= 5, "f5")
+        .when(F.col("n") <= 100, "f100")
+        .otherwise("fmore")
+    )
+    return (
+        counts.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+
+
+SQL_FREQ_BUCKETS = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CASE WHEN n <= 1 THEN 'f1' WHEN n <= 2 THEN 'f2'
+            WHEN n <= 5 THEN 'f5' WHEN n <= 100 THEN 'f100'
+            ELSE 'fmore' END AS bucket,
+       count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+FROM c GROUP BY 1
+"""
+
+
+def q_p_at_1(spark, sf_dir):
+    """A14 P@1 top-scored label per bag (get_scores_multi,
+    train2level.py:866-909) with total tiebreak order."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_type"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+
+
+SQL_P_AT_1 = """
+SELECT user_id, event_type AS top_type
+FROM (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, event_type ASC, event_id ASC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_map_metric(spark, sf_dir):
+    """A15 MAP (calc_MAP, matrix2measures_ents.py:118-156): rank each
+    user's events by value desc; AP over hits of event_type='error';
+    mean AP over users that have a hit."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "rel", (F.col("event_type") == "error").cast("int")
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ap = (
+        ranked.withColumn(
+            "prec", F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("rn"))
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.sum("prec") / F.sum("rel")).alias("ap"),
+            F.sum("rel").alias("n_rel"),
+        )
+        .filter(F.col("n_rel") > 0)
+    )
+    return ap.agg(F.round(F.avg("ap"), 4).alias("map_score"))
+
+
+SQL_MAP_METRIC = """
+WITH ranked AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM events
+), ap AS (
+  SELECT user_id,
+         sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rn END) / sum(rel) AS ap,
+         sum(rel) AS n_rel
+  FROM ranked GROUP BY user_id HAVING sum(rel) > 0
+)
+SELECT round(avg(ap), 4) AS map_score FROM ap
+"""
+
+
+def q_pr_curve(spark, sf_dir):
+    """A16 PR curve (GetPRcurve, blocks_fuel_classes.py:404-475):
+    global confidence ranking, running precision/recall of
+    event_type='error'; sampled every 500 ranks."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "rel", (F.col("event_type") == "error").cast("int")
+    )
+    w = W.orderBy(F.desc("value"), F.asc("event_id"))
+    total_rel = e.agg(F.sum("rel")).collect()[0][0]
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        ranked.filter(F.col("rn") % 500 == 0)
+        .select(
+            "rn",
+            F.round(F.col("cum_rel") / F.col("rn"), 4).alias("precision"),
+            F.round(F.col("cum_rel") / F.lit(total_rel), 4).alias("recall"),
+        )
+    )
+
+
+SQL_PR_CURVE = """
+WITH ranked AS (
+  SELECT row_number() OVER (ORDER BY value DESC, event_id ASC) AS rn,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (ORDER BY value DESC, event_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM events
+)
+SELECT rn, round(cum_rel * 1.0 / rn, 4) AS precision,
+       round(cum_rel * 1.0 /
+             (SELECT sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+              FROM events), 4) AS recall
+FROM ranked WHERE rn % 500 = 0
+"""
+
+
+def q_threshold_assertions(spark, sf_dir):
+    """F10 per-label threshold → assertions (computeFscore,
+    myutils.py:601-621): theta_type fit from data (avg + offset),
+    broadcast-joined back; emit bags whose max clears it."""
+    e = _t(spark, sf_dir, "events")
+    theta = e.groupBy("event_type").agg(
+        (F.avg("value") + 20.0).alias("theta")
+    )
+    bag = e.groupBy("user_id", "event_type").agg(F.max("value").alias("score"))
+    return (
+        bag.join(F.broadcast(theta), "event_type")
+        .filter(F.col("score") >= F.col("theta"))
+        .select("user_id", "event_type", F.round("score", 4).alias("score"))
+    )
+
+
+SQL_THRESHOLD_ASSERTIONS = """
+WITH theta AS (
+  SELECT event_type, avg(value) + 20.0 AS theta FROM events GROUP BY event_type
+), bag AS (
+  SELECT user_id, event_type, max(value) AS score
+  FROM events GROUP BY user_id, event_type
+)
+SELECT b.user_id, b.event_type, round(b.score, 4) AS score
+FROM bag b JOIN theta t ON b.event_type = t.event_type
+WHERE b.score >= t.theta
+"""
+
+
+def q_typefreq_baseline(spark, sf_dir):
+    """A10 type-frequency baseline (fillEnt2scoresBaseline,
+    myutils.py:710-723)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_entities"))
+    )
+
+
+SQL_TYPEFREQ_BASELINE = """
+SELECT event_type, count(DISTINCT user_id) AS n_entities
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocab / set ops / joins (A11, U1-U4, J7, J8)
+# --------------------------------------------------------------------------
+
+
+def q_vocab(spark, sf_dir):
+    """A11 vocab building with min-freq cutoff (build_ngram_vocab,
+    myutils.py:846-872)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 50)
+    )
+
+
+SQL_VOCAB = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token HAVING count(*) >= 50
+"""
+
+
+def q_known_unknown(spark, sf_dir):
+    """U4/J7 known/unknown partition by membership (divide_unknown,
+    matrix2measures_ents.py:191-202) as semi/anti join."""
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    signup = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    known = users.join(signup, "user_id", "left_semi").withColumn(
+        "kind", F.lit("known")
+    )
+    unknown = users.join(signup, "user_id", "left_anti").withColumn(
+        "kind", F.lit("unknown")
+    )
+    return known.unionByName(unknown)
+
+
+SQL_KNOWN_UNKNOWN = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+     s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+SELECT user_id, 'known' AS kind FROM u
+WHERE user_id IN (SELECT user_id FROM s)
+UNION ALL
+SELECT user_id, 'unknown' AS kind FROM u
+WHERE user_id NOT IN (SELECT user_id FROM s)
+"""
+
+
+def q_union_splits(spark, sf_dir):
+    """U1 split union with recorded split column
+    (make_fuel_dataset.py:339)."""
+    e = _t(spark, sf_dir, "events")
+    low = e.filter(F.col("value") < 50).select(
+        "event_id", F.lit("low").alias("split")
+    )
+    high = e.filter(F.col("value") >= 150).select(
+        "event_id", F.lit("high").alias("split")
+    )
+    return low.unionByName(high)
+
+
+SQL_UNION_SPLITS = """
+SELECT event_id, 'low' AS split FROM events WHERE value < 50
+UNION ALL
+SELECT event_id, 'high' AS split FROM events WHERE value >= 150
+"""
+
+
+def q_pair_generation(spark, sf_dir):
+    """J8 same-block entity pair generation (self-join, mentions ⋈
+    mentions on doc; myutils.py:1126-1130): customers co-located in a
+    nation, c1 < c2."""
+    c1 = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c2 = c1.select(
+        F.col("c_custkey").alias("c2_custkey"),
+        F.col("c_nationkey").alias("c2_nationkey"),
+    )
+    return (
+        c1.join(c2, c1.c_nationkey == c2.c2_nationkey)
+        .filter(F.col("c_custkey") < F.col("c2_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_PAIR_GENERATION = """
+SELECT c1.c_nationkey AS nationkey, count(*) AS n_pairs
+FROM customer c1 JOIN customer c2
+  ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+GROUP BY c1.c_nationkey
+"""
+
+
+def q_dim_broadcast_join(spark, sf_dir):
+    """J1/J2 broadcast dimension join (StaticLookupTable analog):
+    lineitem ⋈ broadcast(part) revenue per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_DIM_BROADCAST_JOIN = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / windows / grouping sets (O1-O2, A12, A16 analogs)
+# --------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf_dir):
+    """O2 precision@k top-N cut (precisionAt, myutils.py:788-802):
+    top-3 parts per brand by retail price."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rnk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rnk
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+      FROM part)
+WHERE rnk <= 3
+"""
+
+
+def q_running_sum(spark, sf_dir):
+    """O1/A16 running accumulation window (suppliers < 50 to bound
+    output)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_quantity").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_qty"),
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING), 2) AS running_qty
+FROM lineitem WHERE l_suppkey < 50
+"""
+
+
+def q_cube_rollup(spark, sf_dir):
+    """A12 grouping-sets reporting (print_freq_details analog):
+    CUBE over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_CUBE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Relational agg baseline (TPC-H Q1 shape) — the engine's general
+    groupBy/agg path."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization (streaming-analog stateful op): 30-min gap rule
+    via lag + cumulative session counter."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn(
+        "gap",
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts").over(w)),
+    ).withColumn(
+        "new_sess",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / fingerprint / text / similarity
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy): keep min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+_MINHASH_PARAMS = [
+    (1, 2971215073, 433494437),
+    (2, 2654435761, 870530170),
+    (3, 1779033703, 102334155),
+    (4, 3144134277, 701408733),
+    (5, 1013904223, 299792458),
+    (6, 2246822519, 514229443),
+    (7, 3266489917, 161803398),
+    (8, 374761393, 271828182),
+]
+_MH_PRIME = 2147483647
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures for near-dup detection, fully relational:
+    token ids via dense vocab (row_number over sorted distinct
+    tokens), k permutations h_k(t) = (a_k·tid + b_k) mod p, signature
+    = per-doc min. No UDF; the LSH band join consumes this table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .withColumn("tid", F.row_number().over(W.orderBy("token")))
+    )
+    params = spark.createDataFrame(_MINHASH_PARAMS, "k int, a long, b long")
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(params))
+        .withColumn(
+            "h", (F.col("a") * F.col("tid") + F.col("b")) % F.lit(_MH_PRIME)
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM toks)
+), params(k, a, b) AS (VALUES
+  {", ".join(f"({k}, {a}, {b})" for k, a, b in _MINHASH_PARAMS)}
+)
+SELECT t.doc_id, p.k,
+       min((p.a * v.tid + p.b) % {_MH_PRIME}) AS minhash
+FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN params p
+GROUP BY t.doc_id, p.k
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprint, fully relational: 32-bit sign
+    hash over token-id mix; near-dups differ in few bits."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .withColumn("tid", F.row_number().over(W.orderBy("token")))
+    )
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    mixed = toks.join(vocab, "token").withColumn(
+        "h", (F.col("tid") * F.lit(2654435761)) % F.lit(4294967296)
+    )
+    signed = (
+        mixed.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "sgn",
+            F.when(
+                (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2)
+                == 1,
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("sgn").alias("s"))
+    )
+    return (
+        signed.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(
+                0
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM toks)
+), mixed AS (
+  SELECT t.doc_id, (v.tid * 2654435761) % 4294967296 AS h
+  FROM toks t JOIN vocab v ON t.token = v.token
+), signed AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN CAST(floor(h / power(2.0, b.bit)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM mixed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2.0, bit) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM signed GROUP BY doc_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Text quality scoring: token count, mean token length, stopword
+    ratio, uppercase-initial ratio — the doc-quality features of a
+    training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    stop = F.col("token").isin("the", "a", "of", "and", "in", "to")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("token")), 4).alias("avg_token_len"),
+        F.round(F.avg(stop.cast("int")), 4).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(length(token)), 4) AS avg_token_len,
+       round(avg(CASE WHEN token IN ('the','a','of','and','in','to')
+                      THEN 1 ELSE 0 END), 4) AS stopword_ratio
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY doc_id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over the embeddings
+    table: queries = vec_id < 10, top-5 neighbors each. Dot product
+    via higher-order functions (JVM-side, no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+     scored AS (
+  SELECT qid, cid,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos
+  FROM q CROSS JOIN c WHERE qid <> cid
+), ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, cid, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "miml_max": q_miml_max,
+    "miml_avg": q_miml_avg,
+    "miml_att": q_miml_att,
+    "bag_sizes": q_bag_sizes,
+    "top3_avg": q_top3_avg,
+    "freq_buckets": q_freq_buckets,
+    "p_at_1": q_p_at_1,
+    "map_metric": q_map_metric,
+    "pr_curve": q_pr_curve,
+    "threshold_assertions": q_threshold_assertions,
+    "typefreq_baseline": q_typefreq_baseline,
+    "vocab": q_vocab,
+    "known_unknown": q_known_unknown,
+    "union_splits": q_union_splits,
+    "pair_generation": q_pair_generation,
+    "dim_broadcast_join": q_dim_broadcast_join,
+    "topk_per_group": q_topk_per_group,
+    "running_sum": q_running_sum,
+    "cube_rollup": q_cube_rollup,
+    "tpch_q1": q_tpch_q1,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "cosine_topk": q_cosine_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "miml_max": SQL_MIML_MAX,
+    "miml_avg": SQL_MIML_AVG,
+    "miml_att": SQL_MIML_ATT,
+    "bag_sizes": SQL_BAG_SIZES,
+    "top3_avg": SQL_TOP3_AVG,
+    "freq_buckets": SQL_FREQ_BUCKETS,
+    "p_at_1": SQL_P_AT_1,
+    "map_metric": SQL_MAP_METRIC,
+    "pr_curve": SQL_PR_CURVE,
+    "threshold_assertions": SQL_THRESHOLD_ASSERTIONS,
+    "typefreq_baseline": SQL_TYPEFREQ_BASELINE,
+    "vocab": SQL_VOCAB,
+    "known_unknown": SQL_KNOWN_UNKNOWN,
+    "union_splits": SQL_UNION_SPLITS,
+    "pair_generation": SQL_PAIR_GENERATION,
+    "dim_broadcast_join": SQL_DIM_BROADCAST_JOIN,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "running_sum": SQL_RUNNING_SUM,
+    "cube_rollup": SQL_CUBE_ROLLUP,
+    "tpch_q1": SQL_TPCH_Q1,
+    "sessionize": SQL_SESSIONIZE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "simhash": SQL_SIMHASH,
+    "text_quality": SQL_TEXT_QUALITY,
+    "cosine_topk": SQL_COSINE_TOPK,
+}

@@ -1,0 +1,57 @@
+"""Connected-components / canonicalization unit tests, including the
+chain-shaped graphs where plain min-propagation is slow."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark import oracle_ref
+from noise_mitigation_spark.operators import linking
+
+
+def test_chain_graph_converges(spark):
+    """100-node chain: needs pointer doubling, diameter ≫ max_iter."""
+    n = 100
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [(f"n{i:03d}",) for i in range(n)], "node string"
+    )
+    comp = linking.connected_components(nodes, edges, max_iter=12)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert set(got.values()) == {"n000"}
+
+
+def test_two_components(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([(x,) for x in "abcdef"], "node string")
+    comp = {r["node"]: r["component"] for r in
+            linking.connected_components(nodes, edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+
+
+def test_canonical_map_large_corpus_matches_unionfind(spark):
+    """Denser alias graph (shared aliases daisy-chain entities) than
+    the session corpus — the case that exposed slow convergence."""
+    from noise_mitigation_spark import corpus as corpus_mod
+
+    c = corpus_mod.generate(n_docs=10, n_entities=400, seed=7)
+    aliases_df = spark.createDataFrame(c.aliases)
+    got = (
+        linking.canonical_map(aliases_df, max_iter=12)
+        .toPandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_ref.canonicalize(c.aliases)
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

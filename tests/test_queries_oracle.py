@@ -1,0 +1,63 @@
+"""Mirror of the driver's queries()/oracle_sql() DuckDB comparison:
+row count + schema + order-insensitive value equality at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from noise_mitigation_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]  # fmt: skip
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(6)
+        elif pd.api.types.is_integer_dtype(df[c]) or df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c], downcast=None)
+            except (ValueError, TypeError):
+                pass
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(Q.QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    got = _canon(Q.QUERIES[name](spark, SF_DIR).toPandas())
+    want = _canon(duck.execute(Q.ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        got.columns, want.columns,
+    )
+    assert len(got) == len(want), (name, len(got), len(want))
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(
+            w.dtype, np.floating
+        ):
+            np.testing.assert_allclose(
+                g.astype(float), w.astype(float), atol=1e-4, err_msg=f"{name}.{c}"
+            )
+        else:
+            assert (g == w).all(), f"{name}.{c}"
+    assert len(got) > 0, f"{name} returned no rows"
