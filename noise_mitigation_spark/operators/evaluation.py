@@ -1,0 +1,236 @@
+"""Evaluation suite as Spark jobs (SURVEY.md §7 stage 7; A13-A17, F11).
+
+All metrics are pure relational plans — joins + window functions +
+two-phase aggregation — mirroring the reference's eval scripts:
+
+- micro / macro / strict P-R-F1    (computeFscore myutils.py:601-621;
+  calcPRF :746-757; calcPrintMeasures matrix2measures_ents.py:11-80)
+- P@1                              (get_scores_multi train2level.py:866-909)
+- MAP over types                   (calc_AP/calc_MAP
+  matrix2measures_ents.py:118-156)
+- PR curve over ranked triples     (GetPRcurve blocks_fuel_classes.py:404-475)
+- per-type threshold fit on dev    (find_best_theta train2level.py:116-133,
+  fillthresholmatrix matrix2measures_ents.py:94-116)
+- frequency-bucket report          (divideEtestByFreq myutils.py:503-518)
+
+Inputs are the pipeline's tables: ``assertions(entity_id, type_id,
+score)``, ``scores(entity_id, type_id, score)`` (exploded dense),
+``gold(entity_id, type_id)``, ``triples(subj, pred, obj, conf)``,
+``gold_triples(subj, pred, obj)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def micro_macro_strict_f1(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """One-row report: micro/macro/strict over (entity_id, type_id)
+    assertion sets."""
+    p = pred.select("entity_id", "type_id").distinct().withColumn("in_p", F.lit(1))
+    g = gold.select("entity_id", "type_id").distinct().withColumn("in_g", F.lit(1))
+    j = p.join(g, ["entity_id", "type_id"], "full").select(
+        "entity_id",
+        F.coalesce("in_p", F.lit(0)).alias("in_p"),
+        F.coalesce("in_g", F.lit(0)).alias("in_g"),
+    )
+    per_ent = j.groupBy("entity_id").agg(
+        F.sum(F.col("in_p") * F.col("in_g")).alias("tp"),
+        F.sum(F.col("in_p") * (1 - F.col("in_g"))).alias("fp"),
+        F.sum((1 - F.col("in_p")) * F.col("in_g")).alias("fn"),
+    )
+    ent_metrics = per_ent.select(
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias("ep"),
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias("er"),
+        ((F.col("fp") == 0) & (F.col("fn") == 0)).cast("int").alias("exact"),
+    ).withColumn(
+        "ef1",
+        F.when(
+            F.col("ep") + F.col("er") > 0,
+            2 * F.col("ep") * F.col("er") / (F.col("ep") + F.col("er")),
+        ).otherwise(0.0),
+    )
+    return ent_metrics.agg(
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.round(F.avg("ef1"), 6).alias("macro_f1"),
+        F.round(F.avg("exact"), 6).alias("strict_acc"),
+    ).select(
+        # greatest(·, 1): ANSI mode makes 0/0 an error, and an empty
+        # prediction (or gold) set must read as 0.0, not crash
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias(
+            "micro_p"
+        ),
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias(
+            "micro_r"
+        ),
+        (
+            2 * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
+        ).alias("micro_f1"),
+        "macro_f1",
+        "strict_acc",
+    )
+
+
+def p_at_1(scores: DataFrame, gold: DataFrame) -> DataFrame:
+    """Fraction of entities whose top-scored type is in the gold set."""
+    w = W.partitionBy("entity_id").orderBy(F.desc("score"), F.asc("type_id"))
+    top = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "type_id")
+    )
+    hit = top.join(
+        gold.select("entity_id", "type_id").distinct().withColumn("h", F.lit(1)),
+        ["entity_id", "type_id"],
+        "left",
+    )
+    return hit.agg(
+        F.round(F.avg(F.coalesce("h", F.lit(0))), 6).alias("p_at_1"),
+        F.count("*").alias("n_entities"),
+    )
+
+
+def mean_ap(scores: DataFrame, gold: DataFrame) -> DataFrame:
+    """MAP over types: per type, rank entities by score desc, average
+    precision of gold hits; mean over types with ≥1 gold entity."""
+    g = gold.select("entity_id", "type_id").distinct().withColumn("rel", F.lit(1))
+    j = scores.join(g, ["entity_id", "type_id"], "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0))
+    )
+    w = W.partitionBy("type_id").orderBy(F.desc("score"), F.asc("entity_id"))
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ap = (
+        ranked.withColumn(
+            "prec", F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("rn"))
+        )
+        .groupBy("type_id")
+        .agg((F.sum("prec") / F.sum("rel")).alias("ap"), F.sum("rel").alias("n_rel"))
+        .filter(F.col("n_rel") > 0)
+    )
+    return ap.agg(
+        F.round(F.avg("ap"), 6).alias("map_score"), F.count("*").alias("n_types")
+    )
+
+
+def triple_pr_curve(
+    triples: DataFrame, gold_triples: DataFrame, every: int = 1
+) -> DataFrame:
+    """Global confidence ranking of emitted triples; running P/R vs the
+    gold triple set."""
+    g = gold_triples.select("subj", "pred", "obj").distinct().withColumn(
+        "rel", F.lit(1)
+    )
+    n_gold = g.count()
+    j = triples.join(g, ["subj", "pred", "obj"], "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0))
+    )
+    w = W.orderBy(F.desc("conf"), F.asc("subj"), F.asc("pred"), F.asc("obj"))
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return ranked.filter(F.col("rn") % every == 0).select(
+        "rn",
+        F.round(F.col("cum_rel") / F.col("rn"), 6).alias("precision"),
+        F.round(F.col("cum_rel") / F.lit(max(n_gold, 1)), 6).alias("recall"),
+    )
+
+
+def fit_thresholds(
+    dev_scores: DataFrame, dev_gold: DataFrame, grid_step: float = 0.05
+) -> DataFrame:
+    """Per-type threshold maximizing dev F1 over a grid — fully
+    relational sweep (crossJoin with the grid, one grouped agg).
+
+    Returns (type_id, theta). Ties broken toward the lower theta
+    (higher recall), matching a stable argmax.
+    """
+    spark = dev_scores.sparkSession
+    grid = spark.createDataFrame(
+        [(round(i * grid_step, 2),) for i in range(1, int(1 / grid_step))],
+        "theta double",
+    )
+    g = dev_gold.select("entity_id", "type_id").distinct().withColumn(
+        "rel", F.lit(1)
+    )
+    j = dev_scores.join(g, ["entity_id", "type_id"], "full").select(
+        "type_id",
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    sweep = j.crossJoin(F.broadcast(grid)).withColumn(
+        "p", (F.col("score") >= F.col("theta")).cast("int")
+    )
+    stats = sweep.groupBy("type_id", "theta").agg(
+        F.sum(F.col("p") * F.col("rel")).alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("rel"))).alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("rel")).alias("fn"),
+    )
+    f1 = stats.withColumn(
+        "f1",
+        2 * F.col("tp")
+        / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
+    )
+    w = W.partitionBy("type_id").orderBy(F.desc("f1"), F.asc("theta"))
+    return (
+        f1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("type_id", "theta", F.round("f1", 6).alias("dev_f1"))
+    )
+
+
+def misclassification_rate(scores: DataFrame, gold: DataFrame, theta: float = 0.5) -> DataFrame:
+    """A17 multi-label misclassification rate
+    (MultiMisclassificationRate, model.py:67-79): mean over all
+    (entity, type) cells of [ (score ≥ θ) ≠ gold ]."""
+    g = gold.select("entity_id", "type_id").distinct().withColumn("y", F.lit(1))
+    j = scores.join(g, ["entity_id", "type_id"], "left").select(
+        ((F.col("score") >= theta).cast("int") != F.coalesce("y", F.lit(0)))
+        .cast("int")
+        .alias("wrong")
+    )
+    return j.agg(F.round(F.avg("wrong"), 6).alias("misclassification_rate"))
+
+
+def freq_bucket_report(
+    pred: DataFrame, gold: DataFrame, mention_counts: DataFrame
+) -> DataFrame:
+    """Micro-F1 per entity-frequency bucket (≤1, ≤2, ≤5, ≤100, >100) —
+    the reference's head/tail analysis."""
+    bucket = (
+        F.when(F.col("n_mentions") <= 1, "f1")
+        .when(F.col("n_mentions") <= 2, "f2")
+        .when(F.col("n_mentions") <= 5, "f5")
+        .when(F.col("n_mentions") <= 100, "f100")
+        .otherwise("fmore")
+    )
+    b = mention_counts.select("entity_id", bucket.alias("bucket"))
+    p = pred.select("entity_id", "type_id").distinct().withColumn("in_p", F.lit(1))
+    g = gold.select("entity_id", "type_id").distinct().withColumn("in_g", F.lit(1))
+    j = (
+        p.join(g, ["entity_id", "type_id"], "full")
+        .select(
+            "entity_id",
+            F.coalesce("in_p", F.lit(0)).alias("in_p"),
+            F.coalesce("in_g", F.lit(0)).alias("in_g"),
+        )
+        .join(b, "entity_id", "left")
+        .withColumn("bucket", F.coalesce("bucket", F.lit("f0")))
+    )
+    return j.groupBy("bucket").agg(
+        F.round(
+            2 * F.sum(F.col("in_p") * F.col("in_g"))
+            / F.greatest(F.sum("in_p") + F.sum("in_g"), F.lit(1)),
+            6,
+        ).alias("micro_f1"),
+        F.countDistinct("entity_id").alias("n_entities"),
+    )

@@ -123,18 +123,85 @@ def miml_attention(scored: DataFrame, n_salt: int = N_SALT_DEFAULT) -> DataFrame
     return partials.groupBy("entity_id").applyInPandas(_combine, schema=_ATT_SCHEMA)
 
 
+def miml_mean1(scored: DataFrame, emb_dim_check: bool = False) -> DataFrame:
+    """A4 'mean1' variant (train2level.py:507-537): average the context
+    REPRESENTATIONS per entity, then apply the classification head to
+    the mean rep. The mean is associative → built-in two-phase agg
+    (posexplode + partial sums), skew-safe without salting; only the
+    final tiny head application is a pandas stage (one row per
+    entity)."""
+    import pandas as pd
+
+    from ..functions import scorer as _scorer
+
+    exploded = scored.select(
+        "entity_id", F.posexplode("rep").alias("dim", "v")
+    )
+    means = exploded.groupBy("entity_id", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    arr = means.groupBy("entity_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("mean_rep")
+    )
+
+    def _head(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = np.stack(pdf["mean_rep"].to_numpy()).astype(np.float32)
+            out = pdf[["entity_id"]].copy()
+            out["score_mean1"] = list(_scorer.typing_scores(R).astype(np.float64))
+            yield out
+
+    return arr.mapInPandas(
+        _head, schema="entity_id string, score_mean1 array<double>"
+    )
+
+
+def cap_bags(scored: DataFrame, cap: int = 300) -> DataFrame:
+    """O4 per-bag cap (write_extended_mentions,
+    contexts2ordered.py:28-40): keep at most ``cap`` mentions per
+    entity, selected by a deterministic provenance-hash order (the
+    distributed stand-in for the reference's seeded shuffle)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("entity_id").orderBy(
+        F.xxhash64("repo", "path", "commit", "sent_id", "position")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def type_assertions(
     ent_att: DataFrame, theta: float = 0.5, score_col: str = "score_att"
 ) -> DataFrame:
-    """Threshold → (entity_id, type_id, score) assertion rows (F10).
-
-    Per-type thresholds: pass a 102-long theta array via a broadcast
-    join instead of the scalar (find_best_theta semantics,
-    train2level.py:116-133) — see plans/thresholds.py.
-    """
+    """Threshold → (entity_id, type_id, score) assertion rows (F10)
+    with a global scalar theta."""
     return (
         ent_att.select(
             "entity_id", F.posexplode(score_col).alias("type_id", "score")
         )
         .filter(F.col("score") >= theta)
     )
+
+
+def type_assertions_with_thetas(
+    ent_scores: DataFrame, thetas: DataFrame, score_col: str = "score_att"
+) -> DataFrame:
+    """F10/F11: per-type thresholds (a (type_id, theta) table, e.g.
+    from evaluation.fit_thresholds) broadcast-joined against the
+    exploded scores — the reference's fillthresholmatrix semantics."""
+    exploded = ent_scores.select(
+        "entity_id", F.posexplode(score_col).alias("type_id", "score")
+    )
+    return exploded.join(F.broadcast(thetas.select("type_id", "theta")), "type_id").filter(
+        F.col("score") >= F.col("theta")
+    ).select("entity_id", "type_id", "score")

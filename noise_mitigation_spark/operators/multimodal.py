@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The decode kernels here are
+DETERMINISTIC FAKES (this container ships no image/audio codecs): they
+derive features from the raw bytes with fixed arithmetic, so the
+Spark-side plumbing — schema, batching, partitioning, UDF signatures —
+is fully real and testable, and swapping in PIL/librosa later changes
+one function body, not the plan.
+
+A real decoder drops in via ``set_decoder``; the default fake is
+clearly marked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary,"
+    " meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_DIM = 16
+_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, digest string,"
+    f" features array<float>"
+)
+_FRAME_SCHEMA = "media_id long, frame_idx int, frame_digest string"
+
+
+def _fake_decode_features(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder (no codec libs in this container):
+    byte-histogram moments folded to FEATURE_DIM floats. Replace via
+    set_decoder() when a real codec is available."""
+    if len(payload) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
+    return (hist / hist.sum()).astype(np.float32)
+
+
+_DECODER = _fake_decode_features
+
+
+def set_decoder(fn) -> None:
+    """Swap the decode kernel (e.g. a real PIL/ffmpeg-backed one)."""
+    global _DECODER
+    _DECODER = fn
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """binary payloads → fixed-dim feature vectors + integrity digest.
+
+    Narrow Arrow-batched stage; payload bytes never leave the executor
+    (only FEATURE_DIM floats + a digest are emitted — at 100 TB the
+    output is ~1000× smaller than the input, so this stage goes first).
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats, digests, sizes = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                feats.append(_DECODER(b))
+                digests.append(hashlib.sha256(b).hexdigest())
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "digest": digests,
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _extract, schema=_FEATURE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video-style frame sampling: the payload is treated as n_frames
+    equal chunks (per metadata); every_n-th chunk is emitted with its
+    digest. Real decoders replace the chunking with actual frames —
+    the fan-out shape (1 row → n_frames/every_n rows) is the part that
+    matters for the plan."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload, nf in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                nf = int(nf) if nf and nf > 0 else 1
+                step = max(1, len(b) // nf)
+                for i in range(0, nf, every_n):
+                    chunk = b[i * step : (i + 1) * step]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame_digest": hashlib.sha256(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_digest"])
+
+    return media.select(
+        "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    ).mapInPandas(_sample, schema=_FRAME_SCHEMA)

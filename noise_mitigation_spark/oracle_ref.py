@@ -66,6 +66,9 @@ def miml_aggregate(scored: pd.DataFrame) -> pd.DataFrame:
         denom = e.sum(axis=0)  # [T]
         S = (e.T @ R) / denom[:, None]  # [T, D]
         at = scorer.attention_bag_scores(S)
+        mean1 = scorer.typing_scores(
+            R.mean(axis=0, keepdims=True).astype(np.float32)
+        )[0].astype(np.float64)
         rows.append(
             {
                 "entity_id": eid,
@@ -73,6 +76,7 @@ def miml_aggregate(scored: pd.DataFrame) -> pd.DataFrame:
                 "score_max": mx,
                 "score_avg": av,
                 "score_att": at,
+                "score_mean1": mean1,
             }
         )
     return pd.DataFrame(rows)

@@ -810,6 +810,290 @@ SELECT qid, cid, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def q_percentile_agg(spark, sf_dir):
+    """A7 per-bag percentile aggregation (big2small getpercentile,
+    myutils.py:1007-1038): median event value per user."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.percentile("value", 0.5), 4).alias("median_value"))
+    )
+
+
+SQL_PERCENTILE_AGG = """
+SELECT user_id, round(quantile_cont(value, 0.5), 4) AS median_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """S15-style semi-structured scan: JSON props column → typed field
+    → relational agg."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return (
+        e.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH banding: 8 minhashes → 2 bands of 4; docs sharing a
+    band key become near-dup candidate pairs. The band key is an
+    order-independent polynomial combine so both engines agree without
+    an ordered string-agg. Downstream of q_minhash_signatures."""
+    sig = q_minhash_signatures(spark, sf_dir).withColumn(
+        "band", F.floor((F.col("k") - 1) / 4).cast("int")
+    )
+    keyed = sig.withColumn(
+        "term",
+        F.col("minhash")
+        * F.pow(F.lit(31.0), ((F.col("k") - 1) % 4).cast("double")).cast("long"),
+    ).groupBy("doc_id", "band").agg(F.sum("term").alias("band_key"))
+    a = keyed.select(
+        F.col("doc_id").alias("d1"), "band", "band_key"
+    )
+    b = keyed.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+SQL_LSH_CANDIDATE_PAIRS = f"""
+WITH sig AS ({SQL_MINHASH_SIGNATURES}),
+keyed AS (
+  SELECT doc_id, CAST(floor((k - 1) / 4) AS INTEGER) AS band,
+         sum(minhash * CAST(power(31.0, (k - 1) % 4) AS BIGINT)) AS band_key
+  FROM sig GROUP BY doc_id, 2
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup scoring (bigram shingles) over the
+    first 60 docs: |A∩B| / |A∪B| for every pair sharing ≥1 shingle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, pos, token FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 60
+  ) WHERE token <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, token || ' ' ||
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM toks
+  QUALIFY lead(token) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+"""
+
+
+def q_langid(spark, sf_dir):
+    """Heuristic language ID: per-lang token log-frequency profile
+    (fit on the data), score each doc under every profile, argmax →
+    accuracy per actual lang. (Synthetic text is lang-independent, so
+    the interesting part is the plan: profile build + score join +
+    per-doc argmax.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    profile = toks.groupBy(F.col("lang").alias("plang"), "token").agg(
+        F.count("*").alias("cnt")
+    )
+    scored = (
+        toks.join(profile, "token")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum(F.log(F.lit(1.0) + F.col("cnt"))).alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("pred_lang"))
+    )
+    return best.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang") == F.col("pred_lang")).cast("int")).alias("n_correct"),
+    )
+
+
+SQL_LANGID = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+profile AS (
+  SELECT lang AS plang, token, count(*) AS cnt
+  FROM toks2 GROUP BY 1, 2
+), scored AS (
+  SELECT t.doc_id, t.lang, p.plang, sum(ln(1.0 + p.cnt)) AS score
+  FROM toks2 t JOIN profile p ON t.token = p.token
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT doc_id, lang, plang AS pred_lang
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, plang ASC) AS rn FROM scored)
+  WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM best GROUP BY lang
+"""
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_stats(spark, sf_dir):
+    """BPE-ish regex token counting per doc: words / numbers / symbols
+    (the token-budget estimator of a training-data pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, '"
+                + _BPE_PATTERN.replace("\\", "\\\\")
+                + "', 0)"
+            )
+        ).alias("n_bpe_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).alias("n_words"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_STATS = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """S14 resume-skip semantics (anti-join on a done-manifest):
+    orders with no lineitems yet — the 'not yet processed' set."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return o.join(li, "o_orderkey", "left_anti")
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+def q_neg_sample_complement(spark, sf_dir):
+    """U3 negative-label complement (getRandomY, myutils.py:328-332):
+    per user, the event types they never produced with value ≥ 150."""
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    seen = (
+        e.filter(F.col("value") >= 150)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return (
+        users.crossJoin(types)
+        .join(seen, ["user_id", "event_type"], "left_anti")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_missing"),
+            F.sort_array(F.collect_set("event_type")).alias("missing_types"),
+        )
+        .select("user_id", "n_missing", F.concat_ws(",", "missing_types").alias("missing_types"))
+    )
+
+
+SQL_NEG_SAMPLE_COMPLEMENT = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+     t AS (SELECT DISTINCT event_type FROM events),
+     seen AS (SELECT DISTINCT user_id, event_type FROM events
+              WHERE value >= 150),
+     missing AS (
+  SELECT u.user_id, t.event_type FROM u CROSS JOIN t
+  WHERE NOT EXISTS (SELECT 1 FROM seen s
+                    WHERE s.user_id = u.user_id
+                      AND s.event_type = t.event_type)
+)
+SELECT user_id, count(*) AS n_missing,
+       string_agg(event_type, ',' ORDER BY event_type) AS missing_types
+FROM missing GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -841,6 +1125,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "cosine_topk": q_cosine_topk,
+    "percentile_agg": q_percentile_agg,
+    "json_props": q_json_props,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "langid": q_langid,
+    "token_stats": q_token_stats,
+    "anti_join": q_anti_join,
+    "neg_sample_complement": q_neg_sample_complement,
 }
 
 ORACLES: dict[str, str] = {
@@ -870,4 +1162,12 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
     "cosine_topk": SQL_COSINE_TOPK,
+    "percentile_agg": SQL_PERCENTILE_AGG,
+    "json_props": SQL_JSON_PROPS,
+    "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "langid": SQL_LANGID,
+    "token_stats": SQL_TOKEN_STATS,
+    "anti_join": SQL_ANTI_JOIN,
+    "neg_sample_complement": SQL_NEG_SAMPLE_COMPLEMENT,
 }

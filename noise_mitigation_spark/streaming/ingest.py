@@ -1,0 +1,104 @@
+"""Structured Streaming ingestion path.
+
+The reference is batch-only (Fuel iterators, SURVEY.md §2.9), but a
+KG-construction service consumes document streams: this module runs
+the SAME parse/featurize operators over ``readStream`` — the batch
+DataFrame plan is reused verbatim inside ``foreachBatch`` or directly
+as a streaming transformation (mapInPandas is streaming-compatible).
+
+Provided operators:
+- ``stream_documents``: file-source stream over a documents directory
+  (parquet), schema-pinned (streaming sources must not infer).
+- ``streaming_mention_counts``: watermarked sliding-window mention-rate
+  per language — the monitoring aggregate for an ingest service.
+- ``streaming_event_sessions``: session_window aggregation over the
+  events table (gap-based sessionization, the streaming twin of
+  queries.q_sessionize).
+
+Tests drive these with the memory sink + processAllAvailable() so a
+finite parquet directory behaves like a drained stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def streaming_mention_counts(docs: DataFrame, ingest_ts_col: str = "ingest_ts") -> DataFrame:
+    """Mention-bearing docs per (lang, 1-min window); docs carry no
+    event time, so an ingest timestamp is stamped at source — in a
+    real deployment this is the Kafka timestamp."""
+    stamped = docs.withColumn(ingest_ts_col, F.current_timestamp())
+    return (
+        stamped.filter(F.col("content").contains("/m/"))
+        .withWatermark(ingest_ts_col, "2 minutes")
+        .groupBy(F.window(ingest_ts_col, "1 minute"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+
+
+def streaming_event_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization with session_window — streaming twin of
+    the batch lag/cumsum plan in queries.q_sessionize."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str):
+    """Drain a finite file-backed stream into an in-memory table."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,136 @@
+"""Evaluation-operator tests against hand-computed / pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from noise_mitigation_spark.operators import evaluation as E
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # entity e1: pred {0,1}, gold {1,2} → tp=1 fp=1 fn=1
+    # entity e2: pred {3},  gold {3}    → exact
+    # entity e3: pred {},   gold {5}    → fn=1 (only in gold)
+    pred = spark.createDataFrame(
+        [("e1", 0), ("e1", 1), ("e2", 3)], "entity_id string, type_id int"
+    )
+    gold = spark.createDataFrame(
+        [("e1", 1), ("e1", 2), ("e2", 3), ("e3", 5)],
+        "entity_id string, type_id int",
+    )
+    return pred, gold
+
+
+def test_micro_macro_strict(spark, toy):
+    pred, gold = toy
+    row = E.micro_macro_strict_f1(pred, gold).collect()[0]
+    # micro: tp=2 fp=1 fn=2 → p=2/3 r=2/4 f1=4/7
+    assert abs(row["micro_p"] - 2 / 3) < 1e-9
+    assert abs(row["micro_r"] - 0.5) < 1e-9
+    assert abs(row["micro_f1"] - 4 / 7) < 1e-9
+    # macro: e1 f1=0.5, e2 f1=1, e3 f1=0 → 0.5
+    assert abs(row["macro_f1"] - 0.5) < 1e-6
+    # strict: only e2 exact of 3 entities
+    assert abs(row["strict_acc"] - 1 / 3) < 1e-6
+
+
+def test_empty_predictions_do_not_crash(spark, toy):
+    """ANSI mode: empty pred set must give 0.0 metrics, not
+    DIVIDE_BY_ZERO (regression from verify probe)."""
+    _, gold = toy
+    empty = spark.createDataFrame([], "entity_id string, type_id int")
+    row = E.micro_macro_strict_f1(empty, gold).collect()[0]
+    assert row["micro_p"] == 0.0 and row["micro_f1"] == 0.0
+
+
+def test_p_at_1(spark):
+    scores = spark.createDataFrame(
+        [("e1", 0, 0.9), ("e1", 1, 0.8), ("e2", 2, 0.3), ("e2", 3, 0.7)],
+        "entity_id string, type_id int, score double",
+    )
+    gold = spark.createDataFrame(
+        [("e1", 0), ("e2", 2)], "entity_id string, type_id int"
+    )
+    row = E.p_at_1(scores, gold).collect()[0]
+    assert row["n_entities"] == 2
+    assert abs(row["p_at_1"] - 0.5) < 1e-9  # e1 hit, e2 top=3 miss
+
+
+def test_mean_ap_matches_numpy(spark, corpus, oracle):
+    """MAP over the real pipeline scores vs a numpy computation."""
+    es = oracle["ent_scores"]
+    rows = []
+    for eid, sc in zip(es["entity_id"], es["score_att"]):
+        for t, s in enumerate(sc):
+            rows.append((eid, t, float(s)))
+    scores_pdf = pd.DataFrame(rows, columns=["entity_id", "type_id", "score"])
+    gold_rows = []
+    for eid, types in zip(corpus.entities["entity_id"], corpus.entities["types"]):
+        for t in types:
+            gold_rows.append((eid, int(t.split("-")[-1])))
+    gold_pdf = pd.DataFrame(gold_rows, columns=["entity_id", "type_id"])
+
+    got = E.mean_ap(
+        spark.createDataFrame(scores_pdf), spark.createDataFrame(gold_pdf)
+    ).collect()[0]
+
+    # numpy oracle
+    gset = set(map(tuple, gold_pdf.itertuples(index=False)))
+    aps = []
+    for t in range(102):
+        sub = scores_pdf[scores_pdf.type_id == t].sort_values(
+            ["score", "entity_id"], ascending=[False, True]
+        )
+        rel = np.array([(e, t) in gset for e in sub.entity_id])
+        if rel.sum() == 0:
+            continue
+        cum = np.cumsum(rel)
+        prec = cum / np.arange(1, len(rel) + 1)
+        aps.append(prec[rel].mean())
+    assert got["n_types"] == len(aps)
+    assert abs(got["map_score"] - float(np.mean(aps))) < 1e-4
+
+
+def test_fit_thresholds_improves_f1(spark):
+    scores = spark.createDataFrame(
+        [("e%d" % i, 0, i / 10.0) for i in range(1, 10)],
+        "entity_id string, type_id int, score double",
+    )
+    gold = spark.createDataFrame(
+        [("e%d" % i, 0) for i in range(6, 10)], "entity_id string, type_id int"
+    )
+    row = E.fit_thresholds(scores, gold).collect()[0]
+    # perfect separation at theta in (0.5, 0.6] → grid picks 0.55
+    assert row["dev_f1"] == 1.0
+    assert 0.5 < row["theta"] <= 0.6
+
+
+def test_triple_pr_curve(spark):
+    triples = spark.createDataFrame(
+        [("a", "r", "b", 0.9), ("c", "r", "d", 0.8), ("e", "r", "f", 0.7)],
+        "subj string, pred string, obj string, conf double",
+    )
+    gold = spark.createDataFrame(
+        [("a", "r", "b"), ("e", "r", "f"), ("x", "r", "y")],
+        "subj string, pred string, obj string",
+    )
+    rows = {r["rn"]: r for r in E.triple_pr_curve(triples, gold).collect()}
+    assert abs(rows[1]["precision"] - 1.0) < 1e-9
+    assert abs(rows[2]["precision"] - 0.5) < 1e-9
+    assert abs(rows[3]["precision"] - 2 / 3) < 1e-6
+    assert abs(rows[3]["recall"] - 2 / 3) < 1e-6
+
+
+def test_freq_bucket_report(spark, toy):
+    pred, gold = toy
+    counts = spark.createDataFrame(
+        [("e1", 1), ("e2", 4), ("e3", 200)], "entity_id string, n_mentions int"
+    )
+    rows = {r["bucket"]: r for r in
+            E.freq_bucket_report(pred, gold, counts).collect()}
+    assert abs(rows["f1"]["micro_f1"] - 0.5) < 1e-6  # e1: 2tp/(2+2)... 2*1/(2+2)
+    assert rows["f5"]["micro_f1"] == 1.0
+    assert rows["fmore"]["micro_f1"] == 0.0

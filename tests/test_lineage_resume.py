@@ -1,0 +1,62 @@
+"""Lineage manifest + resume semantics (north rule: restart mid-run
+skips completed partitions; S14 checkpoint/resume mapping)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.plans import lineage, pipeline
+
+
+def test_materialize_writes_manifest_and_resumes(spark, corpus, tmp_path):
+    docs = spark.createDataFrame(corpus.documents)
+    fp = lineage.fingerprint_documents(docs)
+    out = str(tmp_path / "stages")
+
+    df = docs.select("repo", "path", "sha256")
+    first = lineage.materialize(spark, df, out, "probe", fp)
+    assert first.count() == len(corpus.documents)
+
+    man_path = os.path.join(out, "probe", "_manifest.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == len(corpus.documents)
+    assert manifest["input_fingerprint"] == fp
+    assert len(manifest["partitions"]) >= 1
+    assert all("content_hash" in p for p in manifest["partitions"])
+    mtime = os.path.getmtime(man_path)
+
+    # resume: same fingerprint → reads back, no rewrite
+    again = lineage.materialize(spark, df.limit(0), out, "probe", fp)
+    assert again.count() == len(corpus.documents)  # old data, not limit(0)
+    assert os.path.getmtime(man_path) == mtime
+
+    # changed input fingerprint → recompute
+    redone = lineage.materialize(spark, df.limit(3), out, "probe", fp + "x")
+    assert redone.count() == 3
+    assert os.path.getmtime(man_path) > mtime
+
+
+def test_pipeline_resume_reuses_stages(spark, corpus, tmp_path):
+    out = str(tmp_path / "pipe")
+    r1 = pipeline.run_from_corpus(spark, corpus, out_dir=out)
+    t1 = {(r["subj"], r["pred"], r["obj"]) for r in r1.triples_canon.collect()}
+    stamps = {
+        s: os.path.getmtime(os.path.join(out, s, "_manifest.json"))
+        for s in ("parsed", "scored", "ent_att", "triples", "triples_canon")
+    }
+    r2 = pipeline.run_from_corpus(spark, corpus, out_dir=out)
+    t2 = {(r["subj"], r["pred"], r["obj"]) for r in r2.triples_canon.collect()}
+    assert t1 == t2
+    for s, m in stamps.items():
+        assert os.path.getmtime(os.path.join(out, s, "_manifest.json")) == m, s
+
+
+def test_partition_metrics_row_conservation(spark, corpus):
+    docs = spark.createDataFrame(corpus.documents).repartition(5)
+    parts = lineage.partition_metrics(docs)
+    assert sum(p["rows"] for p in parts) == len(corpus.documents)

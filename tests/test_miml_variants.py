@@ -1,0 +1,93 @@
+"""MIML variant operators: mean1, per-bag cap, per-type thresholds,
+misclassification — golden-checked against the numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.operators import evaluation as E
+from noise_mitigation_spark.operators import mentions, miml, scoring
+
+
+@pytest.fixture(scope="module")
+def scored(spark, corpus):
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(corpus.vocab)
+    emb_b = sc.broadcast(corpus.emb)
+    docs = spark.createDataFrame(corpus.documents)
+    parsed = mentions.parse_documents(docs, vocab_b).cache()
+    return scoring.score_mentions(mentions.mentions_view(parsed), emb_b).cache()
+
+
+def test_miml_mean1_matches_oracle(spark, scored, oracle):
+    got = miml.miml_mean1(scored).toPandas().set_index("entity_id").sort_index()
+    want = oracle["ent_scores"].set_index("entity_id").sort_index()
+    g = np.stack(got["score_mean1"].to_numpy())
+    w = np.stack(want["score_mean1"].to_numpy())
+    np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_cap_bags(spark, scored):
+    capped = miml.cap_bags(scored, cap=3)
+    sizes = capped.groupBy("entity_id").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 3
+    # deterministic: same selection under different partitioning
+    a = {tuple(r) for r in
+         miml.cap_bags(scored.repartition(3), cap=3)
+         .select("entity_id", "repo", "path", "sent_id", "position").collect()}
+    b = {tuple(r) for r in
+         miml.cap_bags(scored.repartition(11), cap=3)
+         .select("entity_id", "repo", "path", "sent_id", "position").collect()}
+    assert a == b
+
+
+def test_per_type_thresholds_roundtrip(spark, corpus, oracle):
+    """fit_thresholds on the pipeline's own scores, then assert with
+    the theta table — coverage of F10+F11 composed."""
+    es = oracle["ent_scores"]
+    rows = [
+        (eid, t, float(s))
+        for eid, sc in zip(es["entity_id"], es["score_att"])
+        for t, s in enumerate(sc)
+    ]
+    scores = spark.createDataFrame(rows, "entity_id string, type_id int, score double")
+    gold = spark.createDataFrame(
+        [
+            (eid, int(t.split("-")[-1]))
+            for eid, types in zip(corpus.entities["entity_id"], corpus.entities["types"])
+            for t in types
+        ],
+        "entity_id string, type_id int",
+    )
+    thetas = E.fit_thresholds(scores, gold)
+    assert thetas.count() > 0
+    ent_scores = spark.createDataFrame(
+        [(e, list(map(float, s))) for e, s in zip(es["entity_id"], es["score_att"])],
+        "entity_id string, score_att array<double>",
+    )
+    asserted = miml.type_assertions_with_thetas(ent_scores, thetas)
+    # every asserted score clears its own type's theta
+    chk = asserted.join(thetas, "type_id").filter(
+        F.col("score") < F.col("theta")
+    )
+    assert chk.count() == 0
+    # thresholded F1 should beat the fixed-0.5 baseline on dev data
+    f_fit = E.micro_macro_strict_f1(asserted, gold).collect()[0]["micro_f1"]
+    base = miml.type_assertions(ent_scores, theta=0.5)
+    f_base = E.micro_macro_strict_f1(base, gold).collect()[0]["micro_f1"]
+    assert f_fit >= f_base
+
+
+def test_misclassification_rate(spark):
+    scores = spark.createDataFrame(
+        [("e1", 0, 0.9), ("e1", 1, 0.1), ("e2", 0, 0.6), ("e2", 1, 0.7)],
+        "entity_id string, type_id int, score double",
+    )
+    gold = spark.createDataFrame(
+        [("e1", 0), ("e2", 1)], "entity_id string, type_id int"
+    )
+    # wrong cells: e2-0 (pred 1, gold 0) → 1 of 4
+    row = E.misclassification_rate(scores, gold).collect()[0]
+    assert abs(row["misclassification_rate"] - 0.25) < 1e-9

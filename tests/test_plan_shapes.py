@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must actually appear in the plan (SURVEY.md §4), not just be intended.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark import queries as Q
+from noise_mitigation_spark.operators import mentions, relations
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_suppkey") < 50)
+        .select("l_suppkey", "l_quantity")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters" in plan and "l_suppkey" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan reads only the 2 needed columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_suppkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(Q.q_dim_broadcast_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_miml_max_has_partial_aggregation(spark):
+    """Two-phase hash agg (map-side combine) — the skew-safety of the
+    built-in MIML path."""
+    plan = _plan(Q.q_miml_max(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_parse_filter_precedes_python_udf(spark, corpus, tmp_path):
+    """Cheap mention filter must run BEFORE the opaque pandas UDF
+    (Catalyst cannot push predicates through mapInPandas). Uses a
+    parquet source (the production shape) — on local data the filter
+    constant-folds away entirely."""
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(corpus.documents).write.parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    vocab_b = spark.sparkContext.broadcast(corpus.vocab)
+    parsed = mentions.parse_documents(docs, vocab_b)
+    plan = _plan(parsed)
+    udf_pos = plan.find("MapInPandas")
+    filter_pos = plan.find("Contains")
+    assert udf_pos != -1 and filter_pos != -1, plan[:800]
+    # physical plans print top-down: the UDF appears above its filter child
+    assert udf_pos < filter_pos
+    # and only the needed columns reach Python
+    scan = plan[plan.find("FileScan") :][:400]
+    assert "content" in scan and "lang" not in scan
+
+
+def test_type_vector_join_is_broadcast(spark, corpus):
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "repo": ["r"], "path": ["p"], "commit": ["c"], "sent_id": [0],
+                "subj": ["/m/000001"], "obj": ["/m/000002"],
+                "left_ids": [[1] * 12], "middle_ids": [[1] * 12],
+                "right_ids": [[1] * 12],
+                "caps_left": [[0] * 12], "caps_middle": [[0] * 12],
+                "caps_right": [[0] * 12],
+            }
+        )
+    )
+    ent_att = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": ["/m/000001"], "n_mentions": [1],
+             "score_att": [[0.5] * 102]}
+        )
+    )
+    plan = _plan(relations.attach_type_vectors(pairs, ent_att))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_udf_in_query_suite(spark):
+    """queries.py promises zero Python UDFs — verify on the plans."""
+    for name in ("miml_att", "minhash_signatures", "simhash", "cosine_topk",
+                 "pr_curve", "sessionize"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "PythonUDF" not in plan and "MapInPandas" not in plan, name

@@ -1,0 +1,93 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.operators import multimodal
+from noise_mitigation_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_docs")
+    spark.createDataFrame(corpus.documents).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(str(d / "docs"))
+    return str(d / "docs")
+
+
+def test_streaming_mention_counts(spark, corpus, docs_dir):
+    stream = ingest.stream_documents(spark, docs_dir)
+    assert stream.isStreaming
+    agg = ingest.streaming_mention_counts(stream)
+    ingest.run_to_memory(agg, "mcounts")
+    out = spark.sql("SELECT lang, sum(n_docs) AS n FROM mcounts GROUP BY lang")
+    got = {r["lang"]: r["n"] for r in out.collect()}
+    want = (
+        corpus.documents[corpus.documents.content.str.contains("/m/")]
+        .groupby("lang")
+        .size()
+        .to_dict()
+    )
+    assert got == want
+
+
+def test_streaming_event_sessions(spark, tmp_path):
+    # file stream source needs a directory → restage the events table
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events")
+    src.repartition(4).write.mode("overwrite").parquet(events_dir)
+    stream = ingest.stream_events(spark, events_dir)
+    sess = ingest.streaming_event_sessions(stream)
+    ingest.run_to_memory(sess, "sessions")
+    batch_total = src.count()
+    streamed_total = spark.sql(
+        "SELECT sum(n_events) AS n FROM sessions"
+    ).collect()[0]["n"]
+    assert streamed_total == batch_total
+
+
+@pytest.fixture(scope="module")
+def media(spark, corpus):
+    rows = []
+    for i, content in enumerate(corpus.documents["content"].head(40)):
+        payload = content.encode()
+        rows.append(
+            (
+                i,
+                ["image", "audio", "video"][i % 3],
+                bytearray(payload),
+                (64, 48, 16000, 8),
+            )
+        )
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_determinism(spark, media, corpus):
+    out = multimodal.extract_features(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    for i, content in enumerate(corpus.documents["content"].head(40)):
+        b = content.encode()
+        assert rows[i]["digest"] == hashlib.sha256(b).hexdigest()
+        assert rows[i]["n_bytes"] == len(b)
+        assert len(rows[i]["features"]) == multimodal.FEATURE_DIM
+        assert abs(sum(rows[i]["features"]) - 1.0) < 1e-4
+    # determinism under re-execution + different partitioning
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media.repartition(7)).collect()
+    }
+    for i in rows:
+        assert again[i] == rows[i]["features"]
+
+
+def test_sample_frames_fanout(spark, media):
+    frames = multimodal.sample_frames(media, every_n=4)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 2 for r in per)  # 8 frames / every 4 → 2
+    assert frames.count() == 80
