@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for the KG-construction pipeline.
+
+    spark-submit --py-files nm_spark.zip jobs/run_pipeline.py \
+        --documents /data/corpus/documents.parquet \
+        --aliases   /data/corpus/aliases.parquet \
+        --embeddings /data/corpus/embeddings.parquet \
+        --out       /data/kg_out
+
+On a cluster, master/executors come from spark-submit; locally the
+session factory fills in local[*]. Every stage writes a lineage
+manifest under --out, so re-submitting after a failure resumes
+(plans/lineage.py). Exit code 0 only after the triples_canon stage
+manifest is written.
+
+See scripts/submit.sh for the packaging (zip of the package dir →
+--py-files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="KG-construction pipeline")
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--aliases", required=True)
+    ap.add_argument("--embeddings", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--graph-root", default=None,
+                    help="publish nodes/entity_types/edges here (write-audit-publish)")
+    ap.add_argument("--type-theta", type=float, default=0.5)
+    ap.add_argument("--rel-theta", type=float, default=0.095)
+    ap.add_argument("--n-salt", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import pandas as pd
+
+    # session: on a real cluster spark-submit provides master/conf and
+    # getOrCreate() picks them up; standalone runs get the tuned local one
+    from noise_mitigation_spark.plans import pipeline
+    from noise_mitigation_spark.session import get_spark
+
+    spark = get_spark("nm-kg-pipeline")
+
+    docs = spark.read.parquet(args.documents)
+    aliases = spark.read.parquet(args.aliases)
+    emb_pdf = pd.read_parquet(args.embeddings).sort_values("idx")
+    vocab = dict(zip(emb_pdf["token"], emb_pdf["idx"]))
+    emb = np.stack(emb_pdf["vector"].to_numpy()).astype(np.float32)
+
+    res = pipeline.run(
+        spark,
+        docs,
+        aliases,
+        vocab,
+        emb,
+        out_dir=args.out,
+        type_theta=args.type_theta,
+        rel_theta=args.rel_theta,
+        n_salt=args.n_salt,
+        graph_root=args.graph_root,
+    )
+    summary = {
+        "triples": res.triples_canon.count(),
+        "assertions": res.assertions.count(),
+        "entities_scored": res.ent_att.count(),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -170,6 +170,23 @@ def relation_part_rep(ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
     return pooled.reshape(B, RE_KMAX * RE_K).astype(np.float32)
 
 
+def apply_type_mode(types: np.ndarray, mode: str) -> np.ndarray:
+    """Type-feature integration variants (reference pipeline modes,
+    src/joint/train.py:700-824):
+      weighted — raw probability vectors (WEIGHTED)
+      binary   — thresholded 0/1 indicators (BINARY)
+      none     — zero vectors (type-agnostic contextwise CNN baseline)
+    """
+    t = types.astype(np.float32)
+    if mode == "weighted":
+        return t
+    if mode == "binary":
+        return (t >= 0.5).astype(np.float32)
+    if mode == "none":
+        return np.zeros_like(t)
+    raise ValueError(f"unknown type_mode {mode!r}")
+
+
 def relation_probs(
     left: np.ndarray,
     middle: np.ndarray,
@@ -177,6 +194,7 @@ def relation_probs(
     ent1_types: np.ndarray,
     ent2_types: np.ndarray,
     emb: np.ndarray,
+    type_mode: str = "weighted",
 ) -> np.ndarray:
     """Three id matrices [B, L] + type vectors [B, 102] → probs [B, 11]."""
     w = relation_weights(emb.shape[1])
@@ -185,8 +203,8 @@ def relation_probs(
             relation_part_rep(left, emb),
             relation_part_rep(middle, emb),
             relation_part_rep(right, emb),
-            ent1_types.astype(np.float32),
-            ent2_types.astype(np.float32),
+            apply_type_mode(ent1_types, type_mode),
+            apply_type_mode(ent2_types, type_mode),
         ],
         axis=1,
     )

@@ -52,8 +52,14 @@ def attach_type_vectors(pairs: DataFrame, ent_att: DataFrame) -> DataFrame:
     )
 
 
-def score_pairs(pairs_with_types: DataFrame, emb_b) -> DataFrame:
-    """Contextwise CNN → per-instance class probs [11]. Narrow op."""
+def score_pairs(
+    pairs_with_types: DataFrame, emb_b, type_mode: str = "weighted"
+) -> DataFrame:
+    """Contextwise CNN → per-instance class probs [11]. Narrow op.
+
+    type_mode selects the ET→RE integration variant (WEIGHTED /
+    BINARY / type-agnostic; src/joint/train.py:700-824) — same plan,
+    different frozen feature transform."""
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         emb = emb_b.value
@@ -65,7 +71,7 @@ def score_pairs(pairs_with_types: DataFrame, emb_b) -> DataFrame:
             R = np.stack(pdf["right_ids"].to_numpy())
             e1 = np.stack(pdf["subj_types"].to_numpy()).astype(np.float32)
             e2 = np.stack(pdf["obj_types"].to_numpy()).astype(np.float32)
-            probs = scorer.relation_probs(L, M, R, e1, e2, emb)
+            probs = scorer.relation_probs(L, M, R, e1, e2, emb, type_mode)
             out = pdf[["repo", "path", "commit", "sent_id", "subj", "obj"]].copy()
             out["probs"] = list(probs)
             yield out

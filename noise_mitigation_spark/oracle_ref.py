@@ -100,6 +100,7 @@ def relation_triples(
     ent_scores: pd.DataFrame,
     emb: np.ndarray,
     theta: float = REL_THETA,
+    type_mode: str = "weighted",
 ) -> pd.DataFrame:
     """Score pair instances, reduce bags per (subj, obj) with columnwise
     at-least-one max, emit (subj, pred, obj, conf)."""
@@ -115,7 +116,7 @@ def relation_triples(
     Rt = np.stack(pairs["right_ids"].to_numpy())
     e1 = np.stack([type_vec.get(s, zeros) for s in pairs["subj"]])
     e2 = np.stack([type_vec.get(o, zeros) for o in pairs["obj"]])
-    probs = scorer.relation_probs(L, M, Rt, e1, e2, emb)  # [n, 11]
+    probs = scorer.relation_probs(L, M, Rt, e1, e2, emb, type_mode)  # [n, 11]
     df = pairs[["subj", "obj"]].copy()
     df["probs"] = list(probs.astype(np.float64))
     rows = []

@@ -49,9 +49,13 @@ def run(
     type_theta: float = 0.5,
     rel_theta: float = 0.095,
     n_salt: int = miml.N_SALT_DEFAULT,
+    graph_root: str | None = None,
 ) -> PipelineResult:
     """Run the full pipeline. If out_dir is given, every stage is
-    materialized with a lineage manifest and re-runs resume."""
+    materialized with a lineage manifest and re-runs resume. If
+    graph_root is given, the final KG tables (nodes / entity_types /
+    edges) are published there via write-audit-publish
+    (sources/catalog.py)."""
     sc = spark.sparkContext
     vocab_b = sc.broadcast(vocab)
     emb_b = sc.broadcast(emb)
@@ -102,6 +106,11 @@ def run(
         triples_canon = lineage.materialize(
             spark, triples_canon, out_dir, "triples_canon", fp
         )
+
+    if graph_root:
+        from ..sources import catalog
+
+        catalog.materialize_graph(canon, assertions, triples_canon, graph_root)
 
     return PipelineResult(
         mentions=ment,

@@ -1094,6 +1094,108 @@ FROM missing GROUP BY user_id
 """
 
 
+def _ann_planes(n: int = 6, dim: int = 64):
+    """Deterministic ±1 random hyperplanes for sign-LSH bucketing."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(1234))
+    return rng.choice([-1.0, 1.0], size=(n, dim)).tolist()
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors — the SCALE path for
+    similarity search (vs q_cosine_topk's brute force): 6 sign
+    hyperplanes → 64 buckets; each query (vec_id < 10) is compared
+    only against its own bucket; top-3 by cosine. At 10^9 vectors the
+    candidate set per query is |N|/64 instead of |N| and the bucket
+    join replaces the crossJoin."""
+    planes = _ann_planes()
+    e = _t(spark, sf_dir, "embeddings")
+
+    def dot_with(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with("embedding", arr, lambda a, b: a * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = sum(
+        [
+            (dot_with(p) > 0).cast("long") * F.lit(2**i)
+            for i, p in enumerate(planes)
+        ],
+        F.lit(0).cast("long"),
+    )
+    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
+def _sql_ann_lsh() -> str:
+    planes = _ann_planes()
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(i, p) AS (VALUES
+  {plane_rows}
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.embedding
+), q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM bucketed
+         WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT qid, cid,
+         list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+           (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+            sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cos
+  FROM q JOIN c USING (bucket) WHERE qid <> cid
+)
+SELECT qid, cid, round(cos, 4) AS cos, rnk
+FROM (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1133,6 +1235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "anti_join": q_anti_join,
     "neg_sample_complement": q_neg_sample_complement,
+    "ann_lsh": q_ann_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -1170,4 +1273,5 @@ ORACLES: dict[str, str] = {
     "token_stats": SQL_TOKEN_STATS,
     "anti_join": SQL_ANTI_JOIN,
     "neg_sample_complement": SQL_NEG_SAMPLE_COMPLEMENT,
+    "ann_lsh": SQL_ANN_LSH,
 }

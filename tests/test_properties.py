@@ -1,0 +1,132 @@
+"""Property-style invariants (SURVEY.md §5): kernel properties via
+hypothesis, plan-level invariance via permuted inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from noise_mitigation_spark.corpus import PAD_ID, RE_CONTEXTSIZE
+from noise_mitigation_spark.functions import scorer
+from noise_mitigation_spark.functions.textproc import CTX_LEN, _pad_part, _window
+
+
+@given(
+    n=st.integers(1, 60),
+    pos_frac=st.floats(0, 1),
+    own=st.integers(2, 5000),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_window_properties(n, pos_frac, own, data):
+    ids = np.array(
+        data.draw(st.lists(st.integers(0, 5000), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    pos = min(n - 1, int(pos_frac * n))
+    w = _window(ids, pos, own)
+    assert len(w) == CTX_LEN
+    assert w[CTX_LEN // 2] == own  # target slot = own mid id
+    # every non-pad cell matches the source sentence at its offset
+    for k, v in enumerate(w):
+        src = pos - CTX_LEN // 2 + k
+        if k == CTX_LEN // 2:
+            continue
+        if 0 <= src < n:
+            assert v == ids[src]
+        else:
+            assert v == PAD_ID
+
+
+@given(n=st.integers(0, 50), side=st.sampled_from(["left", "middle", "right"]))
+@settings(max_examples=150, deadline=None)
+def test_pad_part_properties(n, side):
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    out = _pad_part(ids, side)
+    assert len(out) == RE_CONTEXTSIZE
+    body = [v for v in out if v != PAD_ID]
+    if n <= RE_CONTEXTSIZE:
+        assert body == list(ids)  # order preserved, nothing lost
+        if side == "left":
+            assert out[RE_CONTEXTSIZE - len(body) :] == body  # left-padded
+        else:
+            assert out[: len(body)] == body  # right-padded
+    else:
+        assert len(body) == RE_CONTEXTSIZE
+        if side == "left":
+            assert body == list(ids[-RE_CONTEXTSIZE:])  # popLeft
+        elif side == "right":
+            assert body == list(ids[:RE_CONTEXTSIZE])  # popRight
+        else:  # popMiddle: prefix + suffix survive
+            half = RE_CONTEXTSIZE // 2
+            assert body == list(ids[:half]) + list(
+                ids[-(RE_CONTEXTSIZE - half) :]
+            )
+
+
+@given(k=st.integers(1, 40), seed=st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_miml_kernel_invariants(k, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    P = rng.random((k, 102))
+    L = rng.standard_normal((k, 102))
+    # MAX dominates every instance
+    assert (P.max(axis=0) >= P).all()
+    # attention weights sum to 1 per type
+    m = L.max(axis=0, keepdims=True)
+    e = np.exp(L - m)
+    alpha = e / e.sum(axis=0, keepdims=True)
+    np.testing.assert_allclose(alpha.sum(axis=0), 1.0, atol=1e-9)
+
+
+@given(k=st.integers(2, 30), n_salt=st.integers(1, 5), seed=st.integers(0, 9999))
+@settings(max_examples=60, deadline=None)
+def test_salted_attention_merge_is_exact(k, n_salt, seed):
+    """The two-phase log-sum-exp merge (operators/miml.py) equals the
+    single-pass softmax for ANY salt assignment — the algebraic core
+    of the skew handling."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    L = rng.standard_normal((k, 102)) * 3
+    R = rng.standard_normal((k, scorer.REP_DIM))
+    salts = rng.integers(0, n_salt, size=k)
+
+    # single pass
+    m = L.max(axis=0)
+    e = np.exp(L - m)
+    S_ref = (e.T @ R) / e.sum(axis=0)[:, None]
+
+    # salted partials + merge (mirrors miml._partial/_combine)
+    parts = []
+    for s in range(n_salt):
+        idx = np.nonzero(salts == s)[0]
+        if len(idx) == 0:
+            continue
+        Ls, Rs = L[idx], R[idx]
+        ms = Ls.max(axis=0)
+        es = np.exp(Ls - ms)
+        parts.append((ms, es.sum(axis=0), es.T @ Rs))
+    mg = np.max([p[0] for p in parts], axis=0)
+    n = sum(p[1] * np.exp(p[0] - mg) for p in parts)
+    v = sum(p[2] * np.exp(p[0] - mg)[:, None] for p in parts)
+    S_merged = v / n[:, None]
+    np.testing.assert_allclose(S_merged, S_ref, atol=1e-10)
+
+
+def test_triples_invariant_under_input_permutation(spark, corpus, oracle):
+    """Plan-level: shuffling the documents table (row order AND
+    partitioning) must not change the emitted triple set."""
+    from noise_mitigation_spark.plans import pipeline
+
+    docs_pdf = corpus.documents.sample(frac=1.0, random_state=99).reset_index(
+        drop=True
+    )
+    docs = spark.createDataFrame(docs_pdf).repartition(13)
+    aliases = spark.createDataFrame(corpus.aliases)
+    res = pipeline.run(spark, docs, aliases, corpus.vocab, corpus.emb)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
+    want = set(
+        zip(oracle["triples"]["subj"], oracle["triples"]["pred"], oracle["triples"]["obj"])
+    )
+    assert got == want

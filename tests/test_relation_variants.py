@@ -1,0 +1,57 @@
+"""Type-aware RE integration variants (WEIGHTED / BINARY / none;
+src/joint/train.py:700-824) — each mode golden-matched to the oracle
+and shown to actually change the output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark import oracle_ref
+from noise_mitigation_spark.operators import mentions, miml, relations, scoring
+
+
+@pytest.fixture(scope="module")
+def stage(spark, corpus):
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(corpus.vocab)
+    emb_b = sc.broadcast(corpus.emb)
+    docs = spark.createDataFrame(corpus.documents)
+    parsed = mentions.parse_documents(docs, vocab_b).cache()
+    scored = scoring.score_mentions(mentions.mentions_view(parsed), emb_b).cache()
+    ent_att = miml.miml_attention(scored).cache()
+    prs = mentions.pairs_view(parsed)
+    with_types = relations.attach_type_vectors(prs, ent_att).cache()
+    return with_types, emb_b
+
+
+@pytest.mark.parametrize("mode", ["weighted", "binary", "none"])
+def test_mode_matches_oracle(spark, corpus, oracle, stage, mode):
+    with_types, emb_b = stage
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in relations.bag_triples(
+            relations.score_pairs(with_types, emb_b, type_mode=mode)
+        ).collect()
+    }
+    want_df = oracle_ref.relation_triples(
+        oracle["pairs"], oracle["ent_scores"], corpus.emb, type_mode=mode
+    )
+    want = set(zip(want_df["subj"], want_df["pred"], want_df["obj"]))
+    assert got == want, (mode, len(got), len(want))
+    assert len(want) > 20
+
+
+def test_modes_differ(spark, corpus, oracle):
+    t = {
+        m: set(
+            zip(*[
+                oracle_ref.relation_triples(
+                    oracle["pairs"], oracle["ent_scores"], corpus.emb, type_mode=m
+                )[c]
+                for c in ("subj", "pred", "obj")
+            ])
+        )
+        for m in ("weighted", "binary", "none")
+    }
+    assert t["weighted"] != t["binary"] or t["weighted"] != t["none"]
