@@ -96,7 +96,9 @@ def run_full_pipeline(spark, corpus_dir: str) -> tuple[float, int, int]:
     res = pipeline.run(spark, docs, aliases, vocab, emb, out_dir=None)
     n_triples = res.triples_canon.count()
     res.assertions.count()
-    return time.time() - t0, n_docs, n_triples
+    wall = time.time() - t0
+    spark.catalog.clearCache()
+    return wall, n_docs, n_triples
 
 
 def measure_scaling(corpus_dir: str, n_docs: int) -> dict:
@@ -142,6 +144,9 @@ def main() -> None:
         Q.QUERIES[name](spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
 
+    # warm python workers + codegen on a tiny corpus, then measure
+    warm_dir = _corpus_dir(500)
+    run_full_pipeline(spark, warm_dir)
     kg_wall, n_docs, n_triples = run_full_pipeline(spark, bench_dir)
     qtimes["kg_pipeline"] = round(kg_wall, 3)
     spark.stop()

@@ -1196,6 +1196,42 @@ WHERE rnk <= 3
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """Composed near-dup detector (the full dedup recipe): MinHash-LSH
+    candidate generation → n-gram Jaccard verification ≥ τ →
+    (keep, drop) decision by min doc_id. Candidates bound the
+    verification cost: Jaccard runs only on pairs sharing an LSH band,
+    never on the quadratic pair space. τ=0.05 tuned to the synthetic
+    corpus's similarity spectrum (random docs sit ~0.03)."""
+    cands = q_lsh_candidate_pairs(spark, sf_dir).filter(
+        (F.col("d1") < 60) & (F.col("d2") < 60)
+    )
+    jac = q_ngram_jaccard(spark, sf_dir)  # doc_id < 60 universe
+    return (
+        jac.join(cands, ["d1", "d2"])
+        .filter(F.col("jaccard") >= 0.05)
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            F.least("d1", "d2").alias("keep_id"),
+            F.greatest("d1", "d2").alias("drop_id"),
+        )
+    )
+
+
+SQL_NEAR_DUP_PAIRS = f"""
+WITH cands AS ({SQL_LSH_CANDIDATE_PAIRS}),
+jac AS ({SQL_NGRAM_JACCARD})
+SELECT j.d1, j.d2, j.jaccard,
+       least(j.d1, j.d2) AS keep_id, greatest(j.d1, j.d2) AS drop_id
+FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+WHERE j.jaccard >= 0.05 AND j.d1 < 60 AND j.d2 < 60
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1236,6 +1272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "neg_sample_complement": q_neg_sample_complement,
     "ann_lsh": q_ann_lsh,
+    "near_dup_pairs": q_near_dup_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1274,4 +1311,5 @@ ORACLES: dict[str, str] = {
     "anti_join": SQL_ANTI_JOIN,
     "neg_sample_complement": SQL_NEG_SAMPLE_COMPLEMENT,
     "ann_lsh": SQL_ANN_LSH,
+    "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
 }

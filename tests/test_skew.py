@@ -1,0 +1,90 @@
+"""Head-entity skew stress: one entity owning a huge bag must neither
+break nor change the salted MIML-ATT aggregation (north rule:
+salt-split handling of head-entity skew)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from noise_mitigation_spark.functions import scorer
+from noise_mitigation_spark.operators import miml
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """20k-mention head entity + 50 normal entities (20 mentions each):
+    the head bag is 95% of all rows."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = []
+    for eid, n in [("/m/head", 20_000)] + [
+        (f"/m/e{i:03d}", 20) for i in range(50)
+    ]:
+        rep = rng.standard_normal((n, scorer.REP_DIM)).astype(np.float32)
+        logit = rng.standard_normal((n, 102)).astype(np.float32) * 2
+        for k in range(n):
+            rows.append(
+                {
+                    "repo": "r",
+                    "path": f"p{k % 97}",
+                    "commit": "c",
+                    "sent_id": k,
+                    "position": k % 13,
+                    "entity_id": eid,
+                    "rep": rep[k],
+                    "probs": np.zeros(102, dtype=np.float32),
+                    "att_logits": logit[k],
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    return pdf, spark.createDataFrame(pdf)
+
+
+def _numpy_att(pdf: pd.DataFrame) -> dict:
+    out = {}
+    for eid, g in pdf.groupby("entity_id"):
+        L = np.stack(g["att_logits"].to_numpy()).astype(np.float64)
+        R = np.stack(g["rep"].to_numpy()).astype(np.float64)
+        m = L.max(axis=0)
+        e = np.exp(L - m)
+        S = (e.T @ R) / e.sum(axis=0)[:, None]
+        out[eid] = scorer.attention_bag_scores(S)
+    return out
+
+
+@pytest.mark.parametrize("n_salt", [1, 8, 64])
+def test_salted_attention_on_head_entity(spark, skewed, n_salt):
+    pdf, df = skewed
+    want = _numpy_att(pdf)
+    got = {
+        r["entity_id"]: np.array(r["score_att"])
+        for r in miml.miml_attention(df, n_salt=n_salt).collect()
+    }
+    assert set(got) == set(want)
+    for eid in want:
+        np.testing.assert_allclose(got[eid], want[eid], atol=1e-9, err_msg=eid)
+
+
+def test_salt_bounds_partial_group_size(spark, skewed):
+    """With n_salt=64 the largest single pandas group is ~20k/64 — the
+    salting actually splits the head bag (not just in principle)."""
+    from pyspark.sql import functions as F
+
+    _, df = skewed
+    salted = df.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("repo", "path", "commit", "sent_id", "position"),
+            F.lit(64),
+        ).cast("int"),
+    )
+    sizes = (
+        salted.filter(F.col("entity_id") == "/m/head")
+        .groupBy("salt")
+        .count()
+        .agg(F.max("count"), F.countDistinct("salt"))
+        .collect()[0]
+    )
+    assert sizes[1] == 64  # head bag spread across all salt buckets
+    assert sizes[0] < 20_000 * 0.05  # largest partial ≪ full bag
