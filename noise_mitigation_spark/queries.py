@@ -62,12 +62,21 @@ def q_miml_avg(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_score"))
+        .agg(
+            # explicit floor(x*1e4+0.5)/1e4 instead of round(): the raw
+            # avgs are bit-identical across engines but Spark rounds on
+            # the shortest decimal repr while DuckDB rounds in float —
+            # identical float arithmetic sidesteps the mode mismatch
+            (
+                F.floor(F.avg("value") * 10000.0 + 0.5) / 10000.0
+            ).alias("avg_score")
+        )
     )
 
 
 SQL_MIML_AVG = """
-SELECT user_id, event_type, round(avg(value), 4) AS avg_score
+SELECT user_id, event_type,
+       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_score
 FROM events GROUP BY user_id, event_type
 """
 
