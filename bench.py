@@ -112,10 +112,14 @@ def measure_scaling(corpus_dir: str, n_docs: int) -> dict:
         vocab_b, emb_b = _broadcasts(spark, corpus_dir)
         # warm python workers + codegen on a slice, outside the timer
         scan_workload(spark, docs.limit(500), vocab_b, emb_b)
-        t0 = time.time()
-        scan_workload(spark, docs, vocab_b, emb_b)
-        wall = time.time() - t0
-        out[cores] = wall
+        walls = []
+        for _ in range(2):  # best-of-2: this VM shows sporadic ~60s stalls
+            spark._jvm.System.gc()
+            time.sleep(2)
+            t0 = time.time()
+            scan_workload(spark, docs, vocab_b, emb_b)
+            walls.append(time.time() - t0)
+        out[cores] = min(walls)
         spark.stop()
     thr_small = n_docs / out[SCALE_SMALL]
     thr_big = n_docs / out[SCALE_BIG]
