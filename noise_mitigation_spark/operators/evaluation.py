@@ -126,7 +126,11 @@ def triple_pr_curve(
     triples: DataFrame, gold_triples: DataFrame, every: int = 1
 ) -> DataFrame:
     """Global confidence ranking of emitted triples; running P/R vs the
-    gold triple set."""
+    gold triple set (GetPRcurve, blocks_fuel_classes.py:404-475). The
+    global rank is a two-pass range-partitioned prefix sum — scale-safe
+    (no single-task window over the triple set)."""
+    from .ranking import global_rank_prefix
+
     g = gold_triples.select("subj", "pred", "obj").distinct().withColumn(
         "rel", F.lit(1)
     )
@@ -134,9 +138,12 @@ def triple_pr_curve(
     j = triples.join(g, ["subj", "pred", "obj"], "left").withColumn(
         "rel", F.coalesce("rel", F.lit(0))
     )
-    w = W.orderBy(F.desc("conf"), F.asc("subj"), F.asc("pred"), F.asc("obj"))
-    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
-        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ranked = global_rank_prefix(
+        j,
+        [F.desc("conf"), F.asc("subj"), F.asc("pred"), F.asc("obj")],
+        "rel",
+        rank_name="rn",
+        cum_name="cum_rel",
     )
     return ranked.filter(F.col("rn") % every == 0).select(
         "rn",

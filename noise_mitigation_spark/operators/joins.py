@@ -1,0 +1,53 @@
+"""Size-aware join hints.
+
+``F.broadcast`` is a HARD hint — Spark will build the broadcast side
+no matter how big it is, and at 10^8+ entities a forced broadcast of
+the entity-score table OOMs every executor. ``maybe_broadcast`` hints
+only when the optimizer's own size estimate fits under the session's
+autoBroadcastJoinThreshold; otherwise it returns the frame unhinted
+and lets AQE pick the join strategy from RUNTIME sizes (AQE converts
+sort-merge → broadcast when the built side turns out small, and splits
+skewed partitions when it doesn't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def parse_bytes(s: str) -> int:
+    """'10485760' / '64m' / '1g' → bytes; '-1' → -1 (disabled)."""
+    s = str(s).strip().lower()
+    if s.endswith("b") and s[:-1] and s[:-2:-1].isdigit():
+        s = s[:-1]
+    if s and s[-1] in _UNITS:
+        return int(float(s[:-1]) * _UNITS[s[-1]])
+    return int(s)
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's logical-plan size estimate (file sizes for scans,
+    propagated through the plan). No job is run."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(stats.sizeInBytes().toString())
+
+
+def maybe_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Broadcast-hint df only if its estimated size fits the session's
+    autoBroadcastJoinThreshold (or an explicit byte threshold)."""
+    if threshold is None:
+        conf = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        threshold = parse_bytes(conf)
+    if threshold < 0:
+        return df
+    try:
+        if estimated_size_bytes(df) <= threshold:
+            return F.broadcast(df)
+    except Exception:
+        pass  # unknown stats → let AQE decide at runtime
+    return df

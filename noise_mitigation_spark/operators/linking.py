@@ -139,8 +139,13 @@ def canonical_map(aliases: DataFrame, max_iter: int = 50) -> DataFrame:
 def canonicalize_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
     """Remap triple endpoints to canonical ids and dedupe.
 
-    canon is ~|entities| rows → broadcast both joins.
+    canon is ~|entities| rows — broadcast only when the size estimate
+    fits the session threshold (joins.maybe_broadcast); at 10^8+
+    entities the map no longer fits an executor and the join must
+    shuffle (AQE picks the runtime strategy).
     """
+    from .joins import maybe_broadcast
+
     s = canon.select(
         F.col("entity_id").alias("subj"), F.col("canonical_id").alias("subj_c")
     )
@@ -148,8 +153,8 @@ def canonicalize_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
         F.col("entity_id").alias("obj"), F.col("canonical_id").alias("obj_c")
     )
     return (
-        triples.join(F.broadcast(s), "subj", "left")
-        .join(F.broadcast(o), "obj", "left")
+        triples.join(maybe_broadcast(s), "subj", "left")
+        .join(maybe_broadcast(o), "obj", "left")
         .select(
             F.coalesce("subj_c", "subj").alias("subj"),
             "pred",

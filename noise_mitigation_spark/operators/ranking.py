@@ -1,0 +1,70 @@
+"""Scale-safe global ranking / prefix sums (O1, A16 substrate).
+
+The reference ranks its whole prediction set in one array
+(GetPRcurve, blocks_fuel_classes.py:404-475). The naive Spark
+translation — ``row_number().over(Window.orderBy(...))`` with no
+partition key — funnels every row through ONE task, which is the
+round-1 scale-killer for pr_curve at corpus scale.
+
+``global_rank_prefix`` realizes the same total order as a two-pass
+range-partitioned prefix sum, entirely JVM-side:
+
+1. ``repartitionByRange`` on the sort keys → partitions hold ordered,
+   disjoint key ranges (partition 0 = first ranks). Sampling picks the
+   boundaries; correctness never depends on where they land because
+   the sort keys are a total order (callers must include a tiebreak).
+2. Per-partition local rank + local running aggregate via a window
+   PARTITIONED by ``spark_partition_id()`` — parallel, no global sort.
+3. Per-partition totals (one row per partition) → cumulative offsets
+   over that tiny table → broadcast back; global value = local +
+   offset of all earlier partitions.
+
+Cost: two shuffles of the data (range + pid hash) + one P-row window,
+versus one single-task global sort. At 10^10 rows the former is a
+plan; the latter is an outage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def global_rank_prefix(
+    df: DataFrame,
+    order_cols: list[Column],
+    agg_col: str,
+    rank_name: str = "rn",
+    cum_name: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + order_cols (a TOTAL order) + a numeric column → df with
+    ``rank_name`` = global 1-based rank and ``cum_name`` = running sum
+    of ``agg_col`` over that order, with no single-task global sort."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local)).withColumn(
+        "_lcum",
+        F.sum(agg_col).over(w_local.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    totals = ranged.groupBy("_pid").agg(
+        F.count("*").alias("_n"), F.sum(agg_col).alias("_s")
+    )
+    # offsets table has exactly n_parts rows — the only single-partition
+    # window in the plan runs over ≤ a few thousand rows
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offn"),
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_offs"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("_lrn") + F.col("_offn")).cast("long"))
+        .withColumn(cum_name, F.col("_lcum") + F.col("_offs"))
+        .drop("_pid", "_lrn", "_lcum", "_offn", "_offs")
+    )

@@ -36,7 +36,16 @@ SCORED_PAIR_SCHEMA = (
 
 
 def attach_type_vectors(pairs: DataFrame, ent_att: DataFrame) -> DataFrame:
-    """Left-join subj/obj attention score vectors; missing → zeros."""
+    """Left-join subj/obj attention score vectors; missing → zeros.
+
+    The entity-score table is |entities|×102 doubles — small on the
+    test corpus, potentially hundreds of GB at 10^8+ entities, so the
+    broadcast hint is SIZE-CONDITIONAL (joins.maybe_broadcast): under
+    the session threshold it broadcasts, above it the join shuffles
+    and AQE picks the runtime strategy. A hard F.broadcast here was
+    the round-1 OOM-at-scale risk."""
+    from .joins import maybe_broadcast
+
     zeros = F.array_repeat(F.lit(0.0), N_TYPES)
     subj_vec = ent_att.select(
         F.col("entity_id").alias("subj"), F.col("score_att").alias("subj_types")
@@ -45,8 +54,8 @@ def attach_type_vectors(pairs: DataFrame, ent_att: DataFrame) -> DataFrame:
         F.col("entity_id").alias("obj"), F.col("score_att").alias("obj_types")
     )
     return (
-        pairs.join(F.broadcast(subj_vec), "subj", "left")
-        .join(F.broadcast(obj_vec), "obj", "left")
+        pairs.join(maybe_broadcast(subj_vec), "subj", "left")
+        .join(maybe_broadcast(obj_vec), "obj", "left")
         .withColumn("subj_types", F.coalesce("subj_types", zeros))
         .withColumn("obj_types", F.coalesce("obj_types", zeros))
     )
@@ -95,9 +104,18 @@ def bag_triples(scored_pairs: DataFrame, theta: float = 0.095) -> DataFrame:
     per_class = exploded.groupBy("subj", "obj", "cls").agg(
         F.max(F.col("p").cast("double")).alias("pmax")
     )
+    # total tiebreak: max over (pmax, -cls) picks the LOWEST class on
+    # exact pmax ties, matching the numpy oracle's argmax (max_by is
+    # unspecified on ties — ADVICE r1)
     best = per_class.groupBy("subj", "obj").agg(
-        F.max_by("cls", "pmax").alias("best_cls"),
-        F.max("pmax").alias("conf"),
+        F.max(
+            F.struct(F.col("pmax"), (-F.col("cls")).alias("nc"))
+        ).alias("m")
+    ).select(
+        "subj",
+        "obj",
+        (-F.col("m.nc")).alias("best_cls"),
+        F.col("m.pmax").alias("conf"),
     )
     return (
         best.filter(F.col("conf") >= theta)

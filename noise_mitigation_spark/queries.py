@@ -254,14 +254,21 @@ SELECT round(avg(ap), 4) AS map_score FROM ap
 def q_pr_curve(spark, sf_dir):
     """A16 PR curve (GetPRcurve, blocks_fuel_classes.py:404-475):
     global confidence ranking, running precision/recall of
-    event_type='error'; sampled every 500 ranks."""
+    event_type='error'; sampled every 500 ranks. The global rank is a
+    two-pass range-partitioned prefix sum (operators/ranking.py) — no
+    single-task window anywhere in the plan."""
+    from .operators.ranking import global_rank_prefix
+
     e = _t(spark, sf_dir, "events").withColumn(
         "rel", (F.col("event_type") == "error").cast("int")
     )
-    w = W.orderBy(F.desc("value"), F.asc("event_id"))
     total_rel = e.agg(F.sum("rel")).collect()[0][0]
-    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
-        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ranked = global_rank_prefix(
+        e,
+        [F.desc("value"), F.asc("event_id")],
+        "rel",
+        rank_name="rn",
+        cum_name="cum_rel",
     )
     return (
         ranked.filter(F.col("rn") % 500 == 0)
@@ -294,8 +301,11 @@ def q_threshold_assertions(spark, sf_dir):
     myutils.py:601-621): theta_type fit from data (avg + offset),
     broadcast-joined back; emit bags whose max clears it."""
     e = _t(spark, sf_dir, "events")
+    # floor-round theta before the >= comparison: the avg is a float
+    # aggregate and cross-engine ulp differences at the boundary would
+    # otherwise add/drop boundary rows (ADVICE r1)
     theta = e.groupBy("event_type").agg(
-        (F.avg("value") + 20.0).alias("theta")
+        (F.floor((F.avg("value") + 20.0) * 1e6 + 0.5) / 1e6).alias("theta")
     )
     bag = e.groupBy("user_id", "event_type").agg(F.max("value").alias("score"))
     return (
@@ -307,7 +317,8 @@ def q_threshold_assertions(spark, sf_dir):
 
 SQL_THRESHOLD_ASSERTIONS = """
 WITH theta AS (
-  SELECT event_type, avg(value) + 20.0 AS theta FROM events GROUP BY event_type
+  SELECT event_type, floor((avg(value) + 20.0) * 1e6 + 0.5) / 1e6 AS theta
+  FROM events GROUP BY event_type
 ), bag AS (
   SELECT user_id, event_type, max(value) AS score
   FROM events GROUP BY user_id, event_type
@@ -625,10 +636,34 @@ _MINHASH_PARAMS = [
 _MH_PRIME = 2147483647
 
 
+def _tokhash_spark(col: str = "token"):
+    """Stateless token id: first 8 hex chars of md5 mod the Mersenne
+    prime. Replaces the round-1 dense vocab (row_number OVER (ORDER BY
+    token)) whose un-partitioned sort funneled the whole vocabulary
+    through one task — the hash is a narrow per-row expression, so the
+    dedup family needs no global ordering at any scale. Bounded < 2^31
+    so (a·tid + b) stays within long under ANSI mode."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long")
+        % F.lit(_MH_PRIME)
+    )
+
+
+def _tokhash_sql(col: str = "token") -> str:
+    """DuckDB twin of _tokhash_spark (no conv(); fixed 8-position hex
+    polynomial over the md5 prefix — bit-identical across engines)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {_MH_PRIME})"
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures for near-dup detection, fully relational:
-    token ids via dense vocab (row_number over sorted distinct
-    tokens), k permutations h_k(t) = (a_k·tid + b_k) mod p, signature
+    stateless token ids (md5-prefix hash — no vocab table, no global
+    sort), k permutations h_k(t) = (a_k·tid + b_k) mod p, signature
     = per-doc min. No UDF; the LSH band join consumes this table."""
     d = _t(spark, sf_dir, "documents")
     toks = (
@@ -636,14 +671,9 @@ def q_minhash_signatures(spark, sf_dir):
         .filter(F.col("token") != "")
         .distinct()
     )
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .withColumn("tid", F.row_number().over(W.orderBy("token")))
-    )
     params = spark.createDataFrame(_MINHASH_PARAMS, "k int, a long, b long")
     return (
-        toks.join(vocab, "token")
+        toks.withColumn("tid", _tokhash_spark())
         .crossJoin(F.broadcast(params))
         .withColumn(
             "h", (F.col("a") * F.col("tid") + F.col("b")) % F.lit(_MH_PRIME)
@@ -658,36 +688,29 @@ WITH toks AS (
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
   ) WHERE token <> ''
-), vocab AS (
-  SELECT token, row_number() OVER (ORDER BY token) AS tid
-  FROM (SELECT DISTINCT token FROM toks)
 ), params(k, a, b) AS (VALUES
   {", ".join(f"({k}, {a}, {b})" for k, a, b in _MINHASH_PARAMS)}
 )
 SELECT t.doc_id, p.k,
-       min((p.a * v.tid + p.b) % {_MH_PRIME}) AS minhash
-FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN params p
+       min((p.a * {_tokhash_sql("t.token")} + p.b) % {_MH_PRIME}) AS minhash
+FROM toks t CROSS JOIN params p
 GROUP BY t.doc_id, p.k
 """
 
 
 def q_simhash(spark, sf_dir):
     """SimHash document fingerprint, fully relational: 32-bit sign
-    hash over token-id mix; near-dups differ in few bits."""
+    hash over a stateless token-id mix (md5-prefix hash — no vocab
+    table, no global sort); near-dups differ in few bits."""
     d = _t(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
     )
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .withColumn("tid", F.row_number().over(W.orderBy("token")))
-    )
     bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    mixed = toks.join(vocab, "token").withColumn(
-        "h", (F.col("tid") * F.lit(2654435761)) % F.lit(4294967296)
+    mixed = toks.withColumn(
+        "h", (_tokhash_spark() * F.lit(2654435761)) % F.lit(4294967296)
     )
     signed = (
         mixed.crossJoin(F.broadcast(bits))
@@ -714,17 +737,14 @@ def q_simhash(spark, sf_dir):
     )
 
 
-SQL_SIMHASH = """
+SQL_SIMHASH = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
   ) WHERE token <> ''
-), vocab AS (
-  SELECT token, row_number() OVER (ORDER BY token) AS tid
-  FROM (SELECT DISTINCT token FROM toks)
 ), mixed AS (
-  SELECT t.doc_id, (v.tid * 2654435761) % 4294967296 AS h
-  FROM toks t JOIN vocab v ON t.token = v.token
+  SELECT doc_id, ({_tokhash_sql("token")} * 2654435761) % 4294967296 AS h
+  FROM toks
 ), signed AS (
   SELECT doc_id, b.bit,
          sum(CASE WHEN CAST(floor(h / power(2.0, b.bit)) AS BIGINT) % 2 = 1
@@ -892,20 +912,24 @@ FROM keyed a JOIN keyed b
 """
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup scoring (bigram shingles) over the
-    first 60 docs: |A∩B| / |A∪B| for every pair sharing ≥1 shingle."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+def _doc_shingles(spark, sf_dir, max_doc: int = 60):
+    """Distinct bigram shingles per doc (doc_id < max_doc)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token") != "")
     w = W.partitionBy("doc_id").orderBy("pos")
-    sh = (
+    return (
         toks.withColumn("nxt", F.lead("token").over(w))
         .filter(F.col("nxt").isNotNull())
         .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("shingle"))
         .distinct()
     )
+
+
+def _pairwise_jaccard(sh):
+    """shingles(doc_id, shingle) → (d1, d2, jaccard) for every pair
+    sharing ≥1 shingle."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -930,6 +954,12 @@ def q_ngram_jaccard(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup scoring (bigram shingles) over the
+    first 60 docs: |A∩B| / |A∪B| for every pair sharing ≥1 shingle."""
+    return _pairwise_jaccard(_doc_shingles(spark, sf_dir))
 
 
 SQL_NGRAM_JACCARD = """
@@ -976,7 +1006,17 @@ def q_langid(spark, sf_dir):
     scored = (
         toks.join(profile, "token")
         .groupBy("doc_id", "lang", "plang")
-        .agg(F.sum(F.log(F.lit(1.0) + F.col("cnt"))).alias("score"))
+        # floor-rounding BEFORE the argmax window: Spark and DuckDB sum
+        # floats in different orders, and near-tied profile scores would
+        # otherwise flip the plang tiebreak between engines
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.log(F.lit(1.0) + F.col("cnt"))) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("score")
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
     best = (
@@ -999,7 +1039,8 @@ profile AS (
   SELECT lang AS plang, token, count(*) AS cnt
   FROM toks2 GROUP BY 1, 2
 ), scored AS (
-  SELECT t.doc_id, t.lang, p.plang, sum(ln(1.0 + p.cnt)) AS score
+  SELECT t.doc_id, t.lang, p.plang,
+         floor(sum(ln(1.0 + p.cnt)) * 1e6 + 0.5) / 1e6 AS score
   FROM toks2 t JOIN profile p ON t.token = p.token
   GROUP BY 1, 2, 3
 ), best AS (
@@ -1211,23 +1252,53 @@ def q_near_dup_pairs(spark, sf_dir):
     """Composed near-dup detector (the full dedup recipe): MinHash-LSH
     candidate generation → n-gram Jaccard verification ≥ τ →
     (keep, drop) decision by min doc_id. Candidates bound the
-    verification cost: Jaccard runs only on pairs sharing an LSH band,
-    never on the quadratic pair space. τ=0.05 tuned to the synthetic
-    corpus's similarity spectrum (random docs sit ~0.03)."""
+    verification cost FOR REAL: the shingle table is semi-joined down
+    to candidate doc ids, and shingle-sharing pairs are semi-joined to
+    candidate pairs BEFORE the intersection groupBy — Jaccard work is
+    proportional to the LSH candidate set, never the quadratic pair
+    space. τ=0.05 tuned to the synthetic corpus's similarity spectrum
+    (random docs sit ~0.03)."""
     cands = q_lsh_candidate_pairs(spark, sf_dir).filter(
         (F.col("d1") < 60) & (F.col("d2") < 60)
     )
-    jac = q_ngram_jaccard(spark, sf_dir)  # doc_id < 60 universe
-    return (
-        jac.join(cands, ["d1", "d2"])
-        .filter(F.col("jaccard") >= 0.05)
+    sh = _doc_shingles(spark, sf_dir)
+    cand_docs = (
+        cands.select(F.col("d1").alias("doc_id"))
+        .union(cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh_c.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh_c.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .join(cands, ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1",
             "d2",
-            "jaccard",
-            F.least("d1", "d2").alias("keep_id"),
-            F.greatest("d1", "d2").alias("drop_id"),
+            F.round(
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
         )
+    )
+    return jac.filter(F.col("jaccard") >= 0.05).select(
+        "d1",
+        "d2",
+        "jaccard",
+        F.least("d1", "d2").alias("keep_id"),
+        F.greatest("d1", "d2").alias("drop_id"),
     )
 
 

@@ -98,6 +98,71 @@ def test_type_vector_join_is_broadcast(spark, corpus):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_family_has_no_global_sort(spark):
+    """minhash/simhash token ids are stateless hashes — the round-1
+    dense-vocab row_number() OVER (ORDER BY token) global sort must
+    never come back (it funnels the whole vocabulary through 1 task)."""
+    for name in ("minhash_signatures", "simhash"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "Window" not in plan, name
+        # ", true, 0" is the global-sort marker in executedPlan strings
+        assert "], true, 0" not in plan, name
+
+
+def test_pr_curve_is_range_partitioned(spark):
+    """Global rank = two-pass range-partitioned prefix sum: the plan
+    must range-partition the data and contain no global Sort; the only
+    un-partitioned window runs over the P-row offsets table."""
+    plan = _plan(Q.q_pr_curve(spark, SF))
+    assert "rangepartitioning" in plan
+    assert "], true, 0" not in plan
+
+
+def test_near_dup_verify_is_candidate_bounded(spark):
+    """The Jaccard stage's input must be semi-joined down to LSH
+    candidates BEFORE the intersection aggregate."""
+    plan = _plan(Q.q_near_dup_pairs(spark, SF))
+    assert plan.count("LeftSemi") >= 2  # doc-level + pair-level bounds
+
+
+def test_type_vector_join_not_forced_when_large(spark, corpus):
+    """maybe_broadcast must NOT hard-hint when the size estimate
+    exceeds the threshold — a forced broadcast of a 10^8-entity score
+    table is the round-1 OOM risk. With the threshold at 1 byte the
+    static plan falls back to a shuffle join (AQE may still choose
+    broadcast at runtime from actual sizes — that's the point)."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "repo": ["r"], "path": ["p"], "commit": ["c"], "sent_id": [0],
+                "subj": ["/m/000001"], "obj": ["/m/000002"],
+                "left_ids": [[1] * 12], "middle_ids": [[1] * 12],
+                "right_ids": [[1] * 12],
+                "caps_left": [[0] * 12], "caps_middle": [[0] * 12],
+                "caps_right": [[0] * 12],
+            }
+        )
+    )
+    ent_att = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": ["/m/000001"], "n_mentions": [1],
+             "score_att": [[0.5] * 102]}
+        )
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        joined = relations.attach_type_vectors(pairs, ent_att)
+        lp = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in lp.lower()
+        rows = joined.collect()  # and the shuffle path still answers
+        assert len(rows) == 1 and rows[0]["subj_types"][0] == 0.5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_no_python_udf_in_query_suite(spark):
     """queries.py promises zero Python UDFs — verify on the plans."""
     for name in ("miml_att", "minhash_signatures", "simhash", "cosine_topk",
