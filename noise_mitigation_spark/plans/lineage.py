@@ -94,3 +94,14 @@ def fingerprint_documents(documents: DataFrame) -> str:
         F.count("*").alias("n"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
+
+
+def fingerprint_df(df: DataFrame, cols: list[str] | None = None) -> str:
+    """Order-insensitive fingerprint of an arbitrary (dimension) table
+    — xxhash64 per row, decimal(38,0) accumulation (ANSI-safe)."""
+    cols = cols or df.columns
+    row = df.agg(
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"

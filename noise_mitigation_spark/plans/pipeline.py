@@ -49,13 +49,17 @@ def run(
     type_theta: float = 0.5,
     rel_theta: float = 0.095,
     n_salt: int = miml.N_SALT_DEFAULT,
+    type_mode: str = "weighted",
     graph_root: str | None = None,
 ) -> PipelineResult:
     """Run the full pipeline. If out_dir is given, every stage is
-    materialized with a lineage manifest and re-runs resume. If
-    graph_root is given, the final KG tables (nodes / entity_types /
-    edges) are published there via write-audit-publish
-    (sources/catalog.py)."""
+    materialized with a lineage manifest and re-runs resume — each
+    stage's fingerprint folds in EVERY input it depends on (corpus,
+    embeddings/vocab, stage parameters), so re-submitting with e.g. a
+    different --rel-theta recomputes triples instead of silently
+    returning stale ones (ADVICE r1). If graph_root is given, the
+    final KG tables (nodes / entity_types / edges) are published there
+    via write-audit-publish (sources/catalog.py)."""
     sc = spark.sparkContext
     vocab_b = sc.broadcast(vocab)
     emb_b = sc.broadcast(emb)
@@ -63,15 +67,32 @@ def run(
     # A small corpus parquet arrives as 1-4 splits; the pandas-UDF parse
     # would then run nearly serial. Fan out to cluster parallelism
     # (round-robin — parse is embarrassingly parallel). At 100 TB the
-    # source has ≫ cores splits already and this is a no-op.
+    # source has ≫ cores splits already and this is a no-op. Input
+    # width is estimated from the file listing (no df.rdd conversion);
+    # a local in-memory frame (no files) always fans out.
     par = sc.defaultParallelism
-    if documents.rdd.getNumPartitions() < par:
+    n_files = len(documents.inputFiles())
+    if n_files < par:
         documents = documents.repartition(par)
 
     parsed = mentions.parse_documents(documents, vocab_b)
     if out_dir:
-        fp = lineage.fingerprint_documents(documents)
-        parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp)
+        import hashlib
+
+        # stage fingerprints: corpus content ⊕ embeddings/vocab ⊕ the
+        # parameters each stage actually consumes — a changed knob or a
+        # swapped embeddings table invalidates exactly the stages
+        # downstream of it
+        doc_fp = lineage.fingerprint_documents(documents)
+        emb_fp = hashlib.sha256(
+            emb.tobytes()
+            + "\x00".join(f"{t}\t{i}" for t, i in sorted(vocab.items())).encode()
+        ).hexdigest()[:16]
+        fp_parsed = f"{doc_fp}|emb:{emb_fp}"
+        fp_scored = fp_parsed
+        fp_att = f"{fp_scored}|salt:{n_salt}"
+        fp_triples = f"{fp_scored}|relth:{rel_theta}|mode:{type_mode}"
+        parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp_parsed)
     else:
         # both branches (typing + relations) read this; without a
         # lineage materialization, cache it so the pandas-UDF parse
@@ -82,29 +103,34 @@ def run(
 
     scored = scoring.score_mentions(ment, emb_b)
     if out_dir:
-        scored = lineage.materialize(spark, scored, out_dir, "scored", fp)
+        scored = lineage.materialize(spark, scored, out_dir, "scored", fp_scored)
     else:
         scored = scored.cache()
 
     ent_max_avg = miml.miml_max_avg(scored)
     ent_att = miml.miml_attention(scored, n_salt=n_salt)
     if out_dir:
-        ent_att = lineage.materialize(spark, ent_att, out_dir, "ent_att", fp)
+        ent_att = lineage.materialize(spark, ent_att, out_dir, "ent_att", fp_att)
     else:
         ent_att = ent_att.cache()
     assertions = miml.type_assertions(ent_att, theta=type_theta)
 
     with_types = relations.attach_type_vectors(prs, ent_att)
-    scored_pairs = relations.score_pairs(with_types, emb_b)
+    scored_pairs = relations.score_pairs(with_types, emb_b, type_mode=type_mode)
     triples = relations.bag_triples(scored_pairs, theta=rel_theta)
     if out_dir:
-        triples = lineage.materialize(spark, triples, out_dir, "triples", fp)
+        triples = lineage.materialize(spark, triples, out_dir, "triples", fp_triples)
 
     canon = linking.canonical_map(aliases)
     triples_canon = linking.canonicalize_triples(triples, canon)
     if out_dir:
+        alias_fp = lineage.fingerprint_df(aliases, ["entity_id", "name"])
         triples_canon = lineage.materialize(
-            spark, triples_canon, out_dir, "triples_canon", fp
+            spark,
+            triples_canon,
+            out_dir,
+            "triples_canon",
+            f"{fp_triples}|aliases:{alias_fp}",
         )
 
     if graph_root:

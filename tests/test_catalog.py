@@ -57,6 +57,36 @@ def test_audit_blocks_bad_publish(spark, tmp_path):
     assert leftovers == []
 
 
+def test_publish_survives_crash_and_legacy_layout(spark, tmp_path):
+    df1 = spark.createDataFrame(
+        [("a", "r", "x", 0.9)], "subj string, pred string, obj string, conf double"
+    )
+    df2 = spark.createDataFrame(
+        [("a", "r", "x", 0.9), ("b", "r", "y", 0.8)],
+        "subj string, pred string, obj string, conf double",
+    )
+    path = str(tmp_path / "t")
+
+    # legacy layout: a real directory already sits at the table path
+    df1.write.parquet(path)
+    catalog.write_audit_publish(df2, path, expect_min_rows=1)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 2
+
+    # crash simulation: pointer lost, version dir survives → recover
+    os.unlink(path)
+    assert catalog.recover_table(path) is True
+    assert spark.read.parquet(path).count() == 2
+    # idempotent when healthy
+    assert catalog.recover_table(path) is False
+
+    # republish keeps exactly one version dir + the pointer
+    catalog.write_audit_publish(df1, path, expect_min_rows=1)
+    assert spark.read.parquet(path).count() == 1
+    versions = [p for p in os.listdir(str(tmp_path)) if p.startswith("t__v_")]
+    assert len(versions) == 1
+
+
 def test_min_rows_audit(spark, tmp_path):
     empty = spark.createDataFrame([], "subj string, pred string, obj string, conf double")
     with pytest.raises(catalog.AuditError):

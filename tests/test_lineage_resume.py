@@ -56,6 +56,25 @@ def test_pipeline_resume_reuses_stages(spark, corpus, tmp_path):
         assert os.path.getmtime(os.path.join(out, s, "_manifest.json")) == m, s
 
 
+def test_changed_params_invalidate_downstream_stages(spark, corpus, tmp_path):
+    """Re-submitting with a different rel_theta must recompute triples
+    (and downstream) while REUSING parse/score/att — the stage
+    fingerprints fold in exactly the parameters each stage consumes
+    (ADVICE r1: a stale manifest must never answer a new config)."""
+    out = str(tmp_path / "pipe")
+    r1 = pipeline.run_from_corpus(spark, corpus, out_dir=out, rel_theta=0.095)
+    n1 = r1.triples_canon.count()
+    stamp = lambda s: os.path.getmtime(os.path.join(out, s, "_manifest.json"))
+    before = {s: stamp(s) for s in ("parsed", "scored", "ent_att", "triples")}
+
+    r2 = pipeline.run_from_corpus(spark, corpus, out_dir=out, rel_theta=0.5)
+    n2 = r2.triples_canon.count()
+    assert n2 < n1  # a much stricter theta must drop triples
+    for s in ("parsed", "scored", "ent_att"):
+        assert stamp(s) == before[s], f"{s} should have been reused"
+    assert stamp("triples") > before["triples"], "triples must recompute"
+
+
 def test_partition_metrics_row_conservation(spark, corpus):
     docs = spark.createDataFrame(corpus.documents).repartition(5)
     parts = lineage.partition_metrics(docs)
