@@ -88,6 +88,17 @@ def _pad_part(ids: np.ndarray, side: str) -> list[int]:
     return out.tolist()
 
 
+M_COLS = [
+    "repo", "path", "commit", "sent_id", "position", "entity_id",
+    "surface", "notable_type", "mention_word_ids", "ctx_ids",
+]  # fmt: skip
+P_COLS = [
+    "repo", "path", "commit", "sent_id", "subj", "obj",
+    "left_ids", "middle_ids", "right_ids",
+    "caps_left", "caps_middle", "caps_right",
+]  # fmt: skip
+
+
 def parse_batch(
     pdf: pd.DataFrame, vocab: dict, notable_map: dict
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -98,7 +109,163 @@ def parse_batch(
               notable_type, mention_word_ids, ctx_ids
     pairs:    repo, path, commit, sent_id, subj, obj, left_ids,
               middle_ids, right_ids, caps_left, caps_middle, caps_right
-    """
+
+    Vectorized realization (round-2 hot-path rewrite): one sentence
+    explode, one token explode, ONE regex pass over the ~2% of tokens
+    that start with ``/m/``, one dict map for embedding ids, and a
+    fully vectorized window gather — instead of the round-1 per-token
+    Python loop. ``parse_batch_reference`` keeps the straightforward
+    row-loop statement of the same semantics; tests assert frame
+    equality between the two on every corpus (they are the SAME kernel,
+    stated twice)."""
+    if len(pdf) == 0:
+        return (
+            pd.DataFrame(columns=M_COLS),
+            pd.DataFrame(columns=P_COLS),
+        )
+    margin = WINDOW_MARGIN
+
+    # ---- sentence explode (sent_id counts ALL sentences per doc) ----
+    sent_lists = [c.split("\n") for c in pdf["content"]]
+    n_sent = np.fromiter((len(s) for s in sent_lists), np.int64, len(sent_lists))
+    doc_of_sent = np.repeat(np.arange(len(pdf)), n_sent)
+    sent_id_in_doc = np.arange(int(n_sent.sum())) - np.repeat(
+        np.cumsum(n_sent) - n_sent, n_sent
+    )
+    sents = np.empty(int(n_sent.sum()), dtype=object)
+    sents[:] = [s for lst in sent_lists for s in lst]
+    keep = pd.Series(sents).str.contains("/m/", regex=False).to_numpy()
+    sents_k = sents[keep]
+    doc_k = doc_of_sent[keep]
+    sid_k = sent_id_in_doc[keep]
+
+    # ---- token explode over candidate sentences ----
+    tok_lists = [s.split(" ") for s in sents_k]
+    n_tok = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    total_toks = int(n_tok.sum())
+    sent_of_tok = np.repeat(np.arange(len(tok_lists)), n_tok)
+    offs = np.cumsum(n_tok) - n_tok  # flat start offset per sentence
+    pos_of_tok = np.arange(total_toks) - offs[sent_of_tok]
+    tokens = np.empty(total_toks, dtype=object)
+    tokens[:] = [t for lst in tok_lists for t in lst]
+    tok_ser = pd.Series(tokens)
+
+    # ---- one regex pass over /m/-prefixed tokens only ----
+    cand = tok_ser.str.startswith("/m/").to_numpy()
+    ext = tok_ser[cand].str.extract(MENTION_RE)
+    is_m = np.zeros(total_toks, dtype=bool)
+    is_m[np.nonzero(cand)[0]] = ext[0].notna().to_numpy()
+    mid_of = np.empty(total_toks, dtype=object)
+    surf_of = np.empty(total_toks, dtype=object)
+    ntype_of = np.empty(total_toks, dtype=object)
+    mid_of[np.nonzero(cand)[0]] = ext[0].to_numpy()
+    surf_of[np.nonzero(cand)[0]] = ext[1].to_numpy()
+    ntype_of[np.nonzero(cand)[0]] = ext[2].to_numpy()
+
+    # ---- embedding ids: vocab[token], mention positions → vocab[ntype]
+    ids_flat = tok_ser.map(vocab).fillna(UNK_ID).to_numpy(np.int64)
+    nt_ids = (
+        pd.Series(ntype_of[is_m]).map(vocab).fillna(UNK_ID).to_numpy(np.int64)
+    )
+    ids_flat[is_m] = nt_ids
+
+    # ---- caps: uppercase-initial or /m/ markup (readData.py:287-309)
+    first = tok_ser.str[:1]
+    caps_flat = (
+        (first.str.isupper().fillna(False) | pd.Series(cand)).to_numpy()
+    ).astype(np.int64)
+
+    # ---- mention rows ----
+    midx = np.nonzero(is_m)[0]  # flat token order = (doc, sent, pos)
+    m_sent = sent_of_tok[midx]
+    m_pos = pos_of_tok[midx]
+    m_mid = mid_of[midx]
+    m_surf = surf_of[midx]
+    m_ntype = ntype_of[midx]
+    own_ids = pd.Series(m_mid).map(vocab).fillna(UNK_ID).to_numpy(np.int64)
+
+    # vectorized ±margin window gather, PAD outside sentence bounds
+    rel = np.arange(-margin, margin + 1)
+    tok_pos = m_pos[:, None] + rel[None, :]
+    valid = (tok_pos >= 0) & (tok_pos < n_tok[m_sent][:, None])
+    gidx = np.clip(offs[m_sent][:, None] + tok_pos, 0, max(total_toks - 1, 0))
+    Wm = np.where(valid, ids_flat[gidx], PAD_ID)
+    if len(Wm):
+        Wm[:, margin] = own_ids
+
+    # mention surface words: first ≤4 name tokens, PAD-filled
+    surf_split = pd.Series(m_surf).str.split("_")
+    wids = np.full((len(midx), MENTION_MAX_WORDS), PAD_ID, dtype=np.int64)
+    for k in range(MENTION_MAX_WORDS):
+        col = surf_split.str[k]
+        present = col.notna().to_numpy()
+        if present.any():
+            wids[present, k] = (
+                col[present].map(vocab).fillna(UNK_ID).to_numpy(np.int64)
+            )
+
+    mentions = pd.DataFrame(
+        {
+            "repo": pdf["repo"].to_numpy()[doc_k[m_sent]],
+            "path": pdf["path"].to_numpy()[doc_k[m_sent]],
+            "commit": pdf["commit"].to_numpy()[doc_k[m_sent]],
+            "sent_id": sid_k[m_sent].astype(np.int64),
+            "position": m_pos.astype(np.int64),
+            "entity_id": m_mid,
+            "surface": m_surf,
+            "notable_type": m_ntype,
+            "mention_word_ids": [list(map(int, r)) for r in wids],
+            "ctx_ids": [list(map(int, r)) for r in Wm],
+        },
+        columns=M_COLS,
+    )
+
+    # ---- pairs: per sentence with ≥2 mentions (sentence-order subj)
+    p_rows: list[dict] = []
+    counts = np.bincount(m_sent, minlength=len(tok_lists)) if len(midx) else []
+    repo_a, path_a, commit_a = (
+        pdf["repo"].to_numpy(), pdf["path"].to_numpy(), pdf["commit"].to_numpy()
+    )
+    for s in np.nonzero(np.asarray(counts) >= 2)[0]:
+        lo = int(np.searchsorted(m_sent, s, "left"))
+        hi = int(np.searchsorted(m_sent, s, "right"))
+        ids_sent = ids_flat[offs[s] : offs[s] + n_tok[s]]
+        caps_sent = caps_flat[offs[s] : offs[s] + n_tok[s]]
+        d = doc_k[s]
+        for a in range(lo, hi):
+            for b in range(a + 1, hi):
+                pi, pj = int(m_pos[a]), int(m_pos[b])
+                smid, omid = m_mid[a], m_mid[b]
+                if smid == omid:
+                    continue
+                p_rows.append(
+                    {
+                        "repo": repo_a[d],
+                        "path": path_a[d],
+                        "commit": commit_a[d],
+                        "sent_id": int(sid_k[s]),
+                        "subj": smid,
+                        "obj": omid,
+                        "left_ids": _pad_part(ids_sent[: pi + 1], "left"),
+                        "middle_ids": _pad_part(ids_sent[pi : pj + 1], "middle"),
+                        "right_ids": _pad_part(ids_sent[pj:], "right"),
+                        "caps_left": _pad_caps(caps_sent[: pi + 1], "left"),
+                        "caps_middle": _pad_caps(caps_sent[pi : pj + 1], "middle"),
+                        "caps_right": _pad_caps(caps_sent[pj:], "right"),
+                    }
+                )
+    pairs = pd.DataFrame(p_rows, columns=P_COLS)
+    if len(pairs):
+        pairs["sent_id"] = pairs["sent_id"].astype(np.int64)
+    return mentions, pairs
+
+
+def parse_batch_reference(
+    pdf: pd.DataFrame, vocab: dict, notable_map: dict
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Row-loop statement of parse_batch's semantics — TEST-ONLY twin
+    used to pin the vectorized kernel (tests/test_properties.py). Not
+    called by the Spark or oracle paths."""
     m_rows: list[dict] = []
     p_rows: list[dict] = []
     for repo, path, commit, content in zip(

@@ -114,6 +114,33 @@ def test_salted_attention_merge_is_exact(k, n_salt, seed):
     np.testing.assert_allclose(S_merged, S_ref, atol=1e-10)
 
 
+def test_vectorized_parse_equals_reference_rowloop(corpus):
+    """The vectorized parse_batch must emit EXACTLY the row-loop
+    reference's frames (same rows, same order, same dtypes) — the
+    round-2 hot-path rewrite changes the realization, not the kernel."""
+    import pandas as pd
+
+    from noise_mitigation_spark.functions import textproc
+
+    m_new, p_new = textproc.parse_batch(corpus.documents, corpus.vocab, {})
+    m_ref, p_ref = textproc.parse_batch_reference(
+        corpus.documents, corpus.vocab, {}
+    )
+    assert len(m_new) > 0 and len(p_new) > 0
+    pd.testing.assert_frame_equal(m_new, m_ref)
+    pd.testing.assert_frame_equal(p_new, p_ref)
+
+    # degenerate inputs: empty batch and mention-free docs
+    empty = corpus.documents.iloc[0:0]
+    me, pe = textproc.parse_batch(empty, corpus.vocab, {})
+    assert list(me.columns) == textproc.M_COLS and len(me) == 0
+    assert list(pe.columns) == textproc.P_COLS and len(pe) == 0
+    plain = corpus.documents.iloc[0:2].copy()
+    plain["content"] = ["no mentions here\njust text", ""]
+    mp, pp = textproc.parse_batch(plain, corpus.vocab, {})
+    assert len(mp) == 0 and len(pp) == 0
+
+
 def test_triples_invariant_under_input_permutation(spark, corpus, oracle):
     """Plan-level: shuffling the documents table (row order AND
     partitioning) must not change the emitted triple set."""
