@@ -36,7 +36,11 @@ from ..corpus import EMB_DIM, N_RELATIONS, N_TYPES, WINDOW_MARGIN
 CTX_LEN = 2 * WINDOW_MARGIN + 1  # 11
 CNN_WIDTHS = (1, 2, 3)
 CNN_K = 8  # filters per width
-REP_DIM = CNN_K * len(CNN_WIDTHS)  # 24: mention context representation
+CNN_OUT = CNN_K * len(CNN_WIDTHS)  # 24: context-CNN feature block
+# mention representation = context CNN ⊕ mention-word mean embedding
+# (build_feature_vector concatenates one block per feature;
+# src/typing/train2level.py:333-352 with the 'mean' model :294-301)
+REP_DIM = CNN_OUT + EMB_DIM  # 74
 HID = 32
 
 RE_K = 16  # relation conv filters
@@ -86,9 +90,15 @@ def attention_weights():
 
 @lru_cache(maxsize=None)
 def relation_weights(emb_dim: int = EMB_DIM):
+    """Relation conv consumes d+1 channels per token: the embedding
+    plus a capitalization flag stacked as the last feature row
+    (createDataStream_relation_extraction.py:100-115: matrix[nextIndex]
+    = cap[i] after the vectorsize embedding rows)."""
     rng = np.random.Generator(np.random.PCG64(SEED_REL))
     w = {}
-    w["conv"] = _glorot(rng, RE_WIDTH * emb_dim, RE_K, RE_K, RE_WIDTH, emb_dim)
+    w["conv"] = _glorot(
+        rng, RE_WIDTH * (emb_dim + 1), RE_K, RE_K, RE_WIDTH, emb_dim + 1
+    )
     w["bconv"] = np.zeros(RE_K, dtype=np.float32)
     in_dim = 3 * RE_PART_DIM + 2 * N_TYPES  # 3 parts + both entities' type vecs
     w["Wh"] = _glorot(rng, in_dim, RE_HID, in_dim, RE_HID)
@@ -146,8 +156,15 @@ def _conv_relu_maxpool(
     return acc.max(axis=1)
 
 
-def typing_rep(ctx_ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
-    """Context ids [B, CTX_LEN] → mention representation [B, REP_DIM]."""
+def typing_rep(
+    ctx_ids: np.ndarray, word_ids: np.ndarray, emb: np.ndarray
+) -> np.ndarray:
+    """Context ids [B, CTX_LEN] + mention word ids [B, 4] → mention
+    representation [B, REP_DIM] = context-CNN block ⊕ mention-word
+    mean embedding (the 'mean' feature model, train2level.py:294-301:
+    fv = T.mean(embedded_x, axis=1) over the fixed-length padded word
+    slots — PAD embeds to the zero vector, and the divisor is the slot
+    count, exactly as the reference's tensor mean)."""
     w = typing_weights(emb.shape[1])
     parts = [
         _conv_relu_maxpool(
@@ -155,6 +172,7 @@ def typing_rep(ctx_ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
         )
         for width in CNN_WIDTHS
     ]
+    parts.append(emb[word_ids].mean(axis=1))
     return np.concatenate(parts, axis=1).astype(np.float32)
 
 
@@ -189,19 +207,32 @@ def _kmax(x: np.ndarray, k: int) -> np.ndarray:
     return np.take_along_axis(x, part, axis=1)
 
 
-def relation_part_rep(ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
-    """Token ids [B, L] → contextwise part rep [B, RE_PART_DIM].
+def relation_part_rep(
+    ids: np.ndarray, caps: np.ndarray, emb: np.ndarray
+) -> np.ndarray:
+    """Token ids [B, L] + capitalization flags [B, L] → contextwise
+    part rep [B, RE_PART_DIM].
 
     Same precomposed-table realization as the typing conv (the conv is
     linear in the embedding): per-offset [V, K] gathers + shifted adds
-    instead of a [B, n_pos, width·d] window materialization."""
-    w = relation_weights(emb.shape[1])
+    instead of a [B, n_pos, width·d] window materialization. The caps
+    channel is the (d+1)-th feature row of each token column
+    (createDataStream_relation_extraction.py:112-113); its contribution
+    is the rank-1 term caps[b, j+off] · filt[k, off, d], added per
+    offset."""
+    d = emb.shape[1]
+    w = relation_weights(d)
     B, L = ids.shape
     n_pos = L - RE_WIDTH + 1
-    tables = _conv_tables(emb, w["conv"], "rel")
+    emb_filt = np.ascontiguousarray(w["conv"][:, :, :d])  # [K, width, d]
+    cap_filt = w["conv"][:, :, d]  # [K, width]
+    tables = _conv_tables(emb, emb_filt, "rel")
+    capsf = caps.astype(np.float32)
     acc = tables[0][ids[:, 0:n_pos]]  # [B, n_pos, K]
+    acc += capsf[:, 0:n_pos, None] * cap_filt[:, 0][None, None, :]
     for off in range(1, RE_WIDTH):
         acc += tables[off][ids[:, off : off + n_pos]]
+        acc += capsf[:, off : off + n_pos, None] * cap_filt[:, off][None, None, :]
     acc += w["bconv"]
     pooled = _kmax(np.tanh(acc), RE_KMAX)  # [B, kmax, K]
     return pooled.reshape(B, RE_KMAX * RE_K).astype(np.float32)
@@ -228,18 +259,22 @@ def relation_probs(
     left: np.ndarray,
     middle: np.ndarray,
     right: np.ndarray,
+    caps_left: np.ndarray,
+    caps_middle: np.ndarray,
+    caps_right: np.ndarray,
     ent1_types: np.ndarray,
     ent2_types: np.ndarray,
     emb: np.ndarray,
     type_mode: str = "weighted",
 ) -> np.ndarray:
-    """Three id matrices [B, L] + type vectors [B, 102] → probs [B, 11]."""
+    """Three id matrices [B, L] + caps flags [B, L] + type vectors
+    [B, 102] → probs [B, 11]."""
     w = relation_weights(emb.shape[1])
     feats = np.concatenate(
         [
-            relation_part_rep(left, emb),
-            relation_part_rep(middle, emb),
-            relation_part_rep(right, emb),
+            relation_part_rep(left, caps_left, emb),
+            relation_part_rep(middle, caps_middle, emb),
+            relation_part_rep(right, caps_right, emb),
             apply_type_mode(ent1_types, type_mode),
             apply_type_mode(ent2_types, type_mode),
         ],

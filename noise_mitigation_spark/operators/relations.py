@@ -78,16 +78,23 @@ def score_pairs(
             L = np.stack(pdf["left_ids"].to_numpy())
             M = np.stack(pdf["middle_ids"].to_numpy())
             R = np.stack(pdf["right_ids"].to_numpy())
+            cL = np.stack(pdf["caps_left"].to_numpy())
+            cM = np.stack(pdf["caps_middle"].to_numpy())
+            cR = np.stack(pdf["caps_right"].to_numpy())
             e1 = np.stack(pdf["subj_types"].to_numpy()).astype(np.float32)
             e2 = np.stack(pdf["obj_types"].to_numpy()).astype(np.float32)
-            probs = scorer.relation_probs(L, M, R, e1, e2, emb, type_mode)
+            probs = scorer.relation_probs(
+                L, M, R, cL, cM, cR, e1, e2, emb, type_mode
+            )
             out = pdf[["repo", "path", "commit", "sent_id", "subj", "obj"]].copy()
             out["probs"] = list(probs)
             yield out
 
     cols = [
         "repo", "path", "commit", "sent_id", "subj", "obj",
-        "left_ids", "middle_ids", "right_ids", "subj_types", "obj_types",
+        "left_ids", "middle_ids", "right_ids",
+        "caps_left", "caps_middle", "caps_right",
+        "subj_types", "obj_types",
     ]  # fmt: skip
     return pairs_with_types.select(*cols).mapInPandas(
         _score, schema=SCORED_PAIR_SCHEMA

@@ -40,7 +40,8 @@ def score_mentions(mentions: DataFrame, emb_b) -> DataFrame:
             if len(pdf) == 0:
                 continue
             ctx = np.stack(pdf["ctx_ids"].to_numpy())
-            rep = scorer.typing_rep(ctx, emb)
+            wid = np.stack(pdf["mention_word_ids"].to_numpy())
+            rep = scorer.typing_rep(ctx, wid, emb)
             probs = scorer.typing_scores(rep)
             att = scorer.attention_logits(rep)
             out = pdf[

