@@ -34,6 +34,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--type-theta", type=float, default=0.5)
     ap.add_argument("--rel-theta", type=float, default=0.095)
     ap.add_argument("--n-salt", type=int, default=8)
+    ap.add_argument(
+        "--type-mode", default="weighted",
+        choices=["weighted", "binary", "none", "predicted-hidden", "binary-hidden"],
+        help="ET→RE type-integration variant (src/joint/train.py:700-824)",
+    )
+    ap.add_argument(
+        "--encoder", default="cnn", choices=["cnn", "split", "gru"],
+        help="typing context encoder (train2level.py:283-326, model.py:211-218)",
+    )
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -62,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         type_theta=args.type_theta,
         rel_theta=args.rel_theta,
         n_salt=args.n_salt,
+        type_mode=args.type_mode,
+        encoder=args.encoder,
         graph_root=args.graph_root,
     )
     summary = {

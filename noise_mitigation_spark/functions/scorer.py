@@ -48,6 +48,7 @@ RE_KMAX = 3
 RE_WIDTH = 3
 RE_PART_DIM = RE_K * RE_KMAX  # 48 per part
 RE_HID = 64
+TYPE_HID = 50  # hidden type units (rel_hiddenTypeUnits, train.py:339-342)
 
 SEED_TYPING = 23455
 SEED_REL = 987654
@@ -89,18 +90,30 @@ def attention_weights():
 
 
 @lru_cache(maxsize=None)
-def relation_weights(emb_dim: int = EMB_DIM):
+def relation_weights(emb_dim: int = EMB_DIM, hidden_types: bool = False):
     """Relation conv consumes d+1 channels per token: the embedding
     plus a capitalization flag stacked as the last feature row
     (createDataStream_relation_extraction.py:100-115: matrix[nextIndex]
-    = cap[i] after the vectorsize embedding rows)."""
+    = cap[i] after the vectorsize embedding rows).
+
+    hidden_types=True adds the Tanh type-MLP of the *-HIDDEN
+    integration variants (rel_hiddenTypeUnits path, src/joint/
+    train.py:780-786): ent features are mapped 102 → TYPE_HID before
+    the concat, so the hidden head consumes 2·TYPE_HID type dims. The
+    conv draw precedes every other draw, so conv weights (and the
+    precomposed tables) are IDENTICAL across modes."""
     rng = np.random.Generator(np.random.PCG64(SEED_REL))
     w = {}
     w["conv"] = _glorot(
         rng, RE_WIDTH * (emb_dim + 1), RE_K, RE_K, RE_WIDTH, emb_dim + 1
     )
     w["bconv"] = np.zeros(RE_K, dtype=np.float32)
-    in_dim = 3 * RE_PART_DIM + 2 * N_TYPES  # 3 parts + both entities' type vecs
+    type_dim = N_TYPES
+    if hidden_types:
+        w["W_type"] = _glorot(rng, N_TYPES, TYPE_HID, N_TYPES, TYPE_HID)
+        w["b_type"] = np.zeros(TYPE_HID, dtype=np.float32)
+        type_dim = TYPE_HID
+    in_dim = 3 * RE_PART_DIM + 2 * type_dim  # 3 parts + both entities' types
     w["Wh"] = _glorot(rng, in_dim, RE_HID, in_dim, RE_HID)
     w["bh"] = np.zeros(RE_HID, dtype=np.float32)
     w["Wo"] = _glorot(rng, RE_HID, N_RELATIONS + 1, RE_HID, N_RELATIONS + 1)
@@ -189,6 +202,125 @@ def attention_logits(rep: np.ndarray) -> np.ndarray:
     return (rep @ A).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Alternative context encoders (N3/N4) — config-selectable frozen
+# variants of the typing tower. Each is a drop-in for (typing_rep,
+# typing_scores, attention_logits, attention_bag_scores) with its own
+# rep dimensionality and seeded head weights.
+# ---------------------------------------------------------------------------
+
+REC_HID = 32  # rnn_config['hidden'] analog
+SEED_ENC = {"split": 424242, "gru": 515151}
+_HALF = CTX_LEN // 2  # split pivot (split_inp, train2level.py:305-307)
+
+
+@lru_cache(maxsize=None)
+def encoder_weights(name: str, emb_dim: int = EMB_DIM):
+    """Frozen weights for encoder variants:
+
+    'split' — left/right context halves, each through its own
+      multi-width CNN, concatenated (split_inp + per-half build_mymodel,
+      src/typing/train2level.py:304-326,353-360).
+    'gru'   — gated recurrent encoder over the context window; the
+      final-timestep state is the context feature (gru_layer,
+      src/typing/model.py:211-218; create_rec takes fv = h[last],
+      :263-285).
+
+    Both concat the mention-word mean block, mirroring the default
+    tower's feature list."""
+    rng = np.random.Generator(np.random.PCG64(SEED_ENC[name]))
+    w = {}
+    if name == "split":
+        for half in ("l", "r"):
+            for width in CNN_WIDTHS:
+                w[f"conv{half}{width}"] = _glorot(
+                    rng, width * emb_dim, CNN_K, CNN_K, width, emb_dim
+                )
+                w[f"bconv{half}{width}"] = np.zeros(CNN_K, dtype=np.float32)
+        ctx_dim = 2 * CNN_OUT  # 48
+    elif name == "gru":
+        h = REC_HID
+        w["Wi"] = _glorot(rng, emb_dim, h, emb_dim, h)
+        w["bi"] = np.zeros(h, dtype=np.float32)
+        w["Wg"] = _glorot(rng, emb_dim, 2 * h, emb_dim, 2 * h)
+        w["bg"] = np.zeros(2 * h, dtype=np.float32)
+        w["U"] = _glorot(rng, h, h, h, h)
+        w["Uz"] = _glorot(rng, h, h, h, h)
+        w["Ur"] = _glorot(rng, h, h, h, h)
+        ctx_dim = h
+    else:
+        raise ValueError(f"unknown encoder {name!r}")
+    rep_dim = ctx_dim + emb_dim  # + mention-mean block
+    w["rep_dim"] = rep_dim
+    w["Wh"] = _glorot(rng, rep_dim, HID, rep_dim, HID)
+    w["bh"] = np.zeros(HID, dtype=np.float32)
+    w["Wo"] = _glorot(rng, HID, N_TYPES, HID, N_TYPES)
+    w["bo"] = np.zeros(N_TYPES, dtype=np.float32)
+    w["A"] = _glorot(rng, rep_dim, N_TYPES, rep_dim, N_TYPES)
+    w["M"] = _glorot(rng, rep_dim, N_TYPES, rep_dim, N_TYPES)
+    w["c"] = np.zeros(N_TYPES, dtype=np.float32)
+    return w
+
+
+def typing_rep_encoder(
+    name: str, ctx_ids: np.ndarray, word_ids: np.ndarray, emb: np.ndarray
+) -> np.ndarray:
+    """Dispatch: context encoder variant → [B, rep_dim] mention rep."""
+    if name == "cnn":
+        return typing_rep(ctx_ids, word_ids, emb)
+    w = encoder_weights(name, emb.shape[1])
+    if name == "split":
+        left, right = ctx_ids[:, :_HALF], ctx_ids[:, _HALF : 2 * _HALF]
+        parts = [
+            _conv_relu_maxpool(
+                half_ids, emb, w[f"conv{half}{width}"],
+                w[f"bconv{half}{width}"], f"enc_split_{half}{width}",
+            )
+            for half, half_ids in (("l", left), ("r", right))
+            for width in CNN_WIDTHS
+        ]
+    elif name == "gru":
+        X = emb[ctx_ids]  # [B, L, d]
+        inputs = X @ w["Wi"] + w["bi"]  # [B, L, h]
+        gates = X @ w["Wg"] + w["bg"]  # [B, L, 2h]
+        h = REC_HID
+        state = np.zeros((ctx_ids.shape[0], h), dtype=np.float32)
+        for t in range(ctx_ids.shape[1]):
+            z = _sigmoid(gates[:, t, :h] + state @ w["Uz"])
+            r = _sigmoid(gates[:, t, h:] + state @ w["Ur"])
+            cand = np.tanh(inputs[:, t] + (r * state) @ w["U"])
+            state = z * cand + (1.0 - z) * state
+        parts = [state]
+    else:
+        raise ValueError(f"unknown encoder {name!r}")
+    parts.append(emb[word_ids].mean(axis=1))
+    return np.concatenate(parts, axis=1).astype(np.float32)
+
+
+def typing_scores_encoder(name: str, rep: np.ndarray) -> np.ndarray:
+    if name == "cnn":
+        return typing_scores(rep)
+    w = encoder_weights(name)
+    h = np.maximum(rep @ w["Wh"] + w["bh"], 0.0)
+    return _sigmoid(h @ w["Wo"] + w["bo"]).astype(np.float32)
+
+
+def attention_logits_encoder(name: str, rep: np.ndarray) -> np.ndarray:
+    if name == "cnn":
+        return attention_logits(rep)
+    w = encoder_weights(name)
+    return (rep @ w["A"]).astype(np.float32)
+
+
+def attention_bag_scores_encoder(name: str, s: np.ndarray) -> np.ndarray:
+    if name == "cnn":
+        return attention_bag_scores(s)
+    w = encoder_weights(name)
+    return _sigmoid(
+        np.einsum("td,dt->t", s.astype(np.float64), w["M"]) + w["c"]
+    )
+
+
 def attention_bag_scores(s: np.ndarray) -> np.ndarray:
     """Attention-pooled bag reps s [102, REP_DIM] → bag scores [102]."""
     _, M, c = attention_weights()
@@ -238,13 +370,20 @@ def relation_part_rep(
     return pooled.reshape(B, RE_KMAX * RE_K).astype(np.float32)
 
 
-def apply_type_mode(types: np.ndarray, mode: str) -> np.ndarray:
+TYPE_MODES = ("weighted", "binary", "none", "predicted-hidden", "binary-hidden")
+
+
+def apply_type_mode(types: np.ndarray, mode: str, w: dict | None = None) -> np.ndarray:
     """Type-feature integration variants (reference pipeline modes,
     src/joint/train.py:700-824):
-      weighted — raw probability vectors (WEIGHTED)
-      binary   — thresholded 0/1 indicators (BINARY)
-      none     — zero vectors (type-agnostic contextwise CNN baseline)
-    """
+      weighted         — raw probability vectors (WEIGHTED)
+      binary           — thresholded 0/1 indicators (BINARY)
+      none             — zero vectors (type-agnostic CNN baseline)
+      predicted-hidden — prob vector → Tanh type-MLP hidden (50)
+      binary-hidden    — 0/1 vector → Tanh type-MLP hidden (50)
+    The *-hidden modes are the rel_hiddenTypeUnits path
+    (src/joint/train.py:780-786: MLP([Tanh], [102, 50]) applied to the
+    ent1/ent2 features before the concat)."""
     t = types.astype(np.float32)
     if mode == "weighted":
         return t
@@ -252,6 +391,9 @@ def apply_type_mode(types: np.ndarray, mode: str) -> np.ndarray:
         return (t >= 0.5).astype(np.float32)
     if mode == "none":
         return np.zeros_like(t)
+    if mode in ("predicted-hidden", "binary-hidden"):
+        x = t if mode == "predicted-hidden" else (t >= 0.5).astype(np.float32)
+        return np.tanh(x @ w["W_type"] + w["b_type"]).astype(np.float32)
     raise ValueError(f"unknown type_mode {mode!r}")
 
 
@@ -269,14 +411,14 @@ def relation_probs(
 ) -> np.ndarray:
     """Three id matrices [B, L] + caps flags [B, L] + type vectors
     [B, 102] → probs [B, 11]."""
-    w = relation_weights(emb.shape[1])
+    w = relation_weights(emb.shape[1], hidden_types=type_mode.endswith("hidden"))
     feats = np.concatenate(
         [
             relation_part_rep(left, caps_left, emb),
             relation_part_rep(middle, caps_middle, emb),
             relation_part_rep(right, caps_right, emb),
-            apply_type_mode(ent1_types, type_mode),
-            apply_type_mode(ent2_types, type_mode),
+            apply_type_mode(ent1_types, type_mode, w),
+            apply_type_mode(ent2_types, type_mode, w),
         ],
         axis=1,
     )

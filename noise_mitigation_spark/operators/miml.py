@@ -79,7 +79,7 @@ def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
+def _combine(pdf: pd.DataFrame, encoder: str = "cnn") -> pd.DataFrame:
     pdf = pdf.sort_values("salt")  # deterministic merge order
     ms = np.stack(pdf["m"].to_numpy())  # [s, T]
     ns = np.stack(pdf["n"].to_numpy())  # [s, T]
@@ -91,7 +91,7 @@ def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
     D = vs.shape[1] // T
     v = (vs.reshape(len(pdf), T, D) * scale[:, :, None]).sum(axis=0)  # [T, D]
     S = v / n[:, None]
-    score = scorer.attention_bag_scores(S)
+    score = scorer.attention_bag_scores_encoder(encoder, S)
     return pd.DataFrame(
         {
             "entity_id": [pdf["entity_id"].iloc[0]],
@@ -145,7 +145,9 @@ def _iter_exact_groups(batches, key_cols: list[str]):
 _PROVENANCE = ["repo", "path", "commit", "sent_id", "position"]
 
 
-def miml_attention(scored: DataFrame, n_salt: int = N_SALT_DEFAULT) -> DataFrame:
+def miml_attention(
+    scored: DataFrame, n_salt: int = N_SALT_DEFAULT, encoder: str = "cnn"
+) -> DataFrame:
     """Salted two-phase attention aggregation → per-entity
     (n_mentions, score_att[102]).
 
@@ -178,7 +180,7 @@ def miml_attention(scored: DataFrame, n_salt: int = N_SALT_DEFAULT) -> DataFrame
 
     def _combine_map(batches):
         for g in _iter_exact_groups(batches, ["entity_id"]):
-            yield _combine(g)
+            yield _combine(g, encoder)
 
     return (
         partials.repartition("entity_id")

@@ -30,9 +30,15 @@ SCORED_SCHEMA = (
 )
 
 
-def score_mentions(mentions: DataFrame, emb_b) -> DataFrame:
+def score_mentions(
+    mentions: DataFrame, emb_b, encoder: str = "cnn"
+) -> DataFrame:
     """mentions (with ctx_ids) → + per-mention rep / type probs /
-    attention logits. Narrow transformation: no shuffle."""
+    attention logits. Narrow transformation: no shuffle.
+
+    encoder selects the frozen context tower: 'cnn' (default),
+    'split' (N3, split_inp train2level.py:304-326), or 'gru' (N4,
+    model.py:211-218) — same plan, different kernel."""
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         emb = emb_b.value
@@ -41,9 +47,9 @@ def score_mentions(mentions: DataFrame, emb_b) -> DataFrame:
                 continue
             ctx = np.stack(pdf["ctx_ids"].to_numpy())
             wid = np.stack(pdf["mention_word_ids"].to_numpy())
-            rep = scorer.typing_rep(ctx, wid, emb)
-            probs = scorer.typing_scores(rep)
-            att = scorer.attention_logits(rep)
+            rep = scorer.typing_rep_encoder(encoder, ctx, wid, emb)
+            probs = scorer.typing_scores_encoder(encoder, rep)
+            att = scorer.attention_logits_encoder(encoder, rep)
             out = pdf[
                 ["repo", "path", "commit", "sent_id", "position", "entity_id"]
             ].copy()

@@ -38,12 +38,14 @@ def parse_all(corpus: Corpus) -> tuple[pd.DataFrame, pd.DataFrame]:
     return mentions, pairs
 
 
-def score_mentions(mentions: pd.DataFrame, emb: np.ndarray) -> pd.DataFrame:
+def score_mentions(
+    mentions: pd.DataFrame, emb: np.ndarray, encoder: str = "cnn"
+) -> pd.DataFrame:
     ctx = np.stack(mentions["ctx_ids"].to_numpy())
     wid = np.stack(mentions["mention_word_ids"].to_numpy())
-    rep = scorer.typing_rep(ctx, wid, emb)
-    probs = scorer.typing_scores(rep)
-    att = scorer.attention_logits(rep)
+    rep = scorer.typing_rep_encoder(encoder, ctx, wid, emb)
+    probs = scorer.typing_scores_encoder(encoder, rep)
+    att = scorer.attention_logits_encoder(encoder, rep)
     out = mentions[["entity_id"] + MENTION_SORT_KEYS[:-1] + ["position"]].copy()
     out["rep"] = list(rep)
     out["probs"] = list(probs)
@@ -51,7 +53,7 @@ def score_mentions(mentions: pd.DataFrame, emb: np.ndarray) -> pd.DataFrame:
     return out
 
 
-def miml_aggregate(scored: pd.DataFrame) -> pd.DataFrame:
+def miml_aggregate(scored: pd.DataFrame, encoder: str = "cnn") -> pd.DataFrame:
     """Per entity: MAX / AVG / ATT bag scores → one row per entity with
     three [N_TYPES] float64 arrays."""
     rows = []
@@ -66,9 +68,9 @@ def miml_aggregate(scored: pd.DataFrame) -> pd.DataFrame:
         e = np.exp(L - m)  # [n, T]
         denom = e.sum(axis=0)  # [T]
         S = (e.T @ R) / denom[:, None]  # [T, D]
-        at = scorer.attention_bag_scores(S)
-        mean1 = scorer.typing_scores(
-            R.mean(axis=0, keepdims=True).astype(np.float32)
+        at = scorer.attention_bag_scores_encoder(encoder, S)
+        mean1 = scorer.typing_scores_encoder(
+            encoder, R.mean(axis=0, keepdims=True).astype(np.float32)
         )[0].astype(np.float64)
         rows.append(
             {
@@ -174,10 +176,10 @@ def canonicalize(aliases: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def run_pipeline(corpus: Corpus) -> dict:
+def run_pipeline(corpus: Corpus, encoder: str = "cnn") -> dict:
     mentions, pairs = parse_all(corpus)
-    scored = score_mentions(mentions, corpus.emb)
-    ent_scores = miml_aggregate(scored)
+    scored = score_mentions(mentions, corpus.emb, encoder=encoder)
+    ent_scores = miml_aggregate(scored, encoder=encoder)
     assertions = type_assertions(ent_scores)
     triples = relation_triples(pairs, ent_scores, corpus.emb)
     canon = canonicalize(corpus.aliases)

@@ -50,6 +50,7 @@ def run(
     rel_theta: float = 0.095,
     n_salt: int = miml.N_SALT_DEFAULT,
     type_mode: str = "weighted",
+    encoder: str = "cnn",
     graph_root: str | None = None,
 ) -> PipelineResult:
     """Run the full pipeline. If out_dir is given, every stage is
@@ -89,7 +90,7 @@ def run(
             + "\x00".join(f"{t}\t{i}" for t, i in sorted(vocab.items())).encode()
         ).hexdigest()[:16]
         fp_parsed = f"{doc_fp}|emb:{emb_fp}"
-        fp_scored = fp_parsed
+        fp_scored = f"{fp_parsed}|enc:{encoder}"
         fp_att = f"{fp_scored}|salt:{n_salt}"
         fp_triples = f"{fp_scored}|relth:{rel_theta}|mode:{type_mode}"
         parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp_parsed)
@@ -101,14 +102,14 @@ def run(
     ment = mentions.mentions_view(parsed)
     prs = mentions.pairs_view(parsed)
 
-    scored = scoring.score_mentions(ment, emb_b)
+    scored = scoring.score_mentions(ment, emb_b, encoder=encoder)
     if out_dir:
         scored = lineage.materialize(spark, scored, out_dir, "scored", fp_scored)
     else:
         scored = scored.cache()
 
     ent_max_avg = miml.miml_max_avg(scored)
-    ent_att = miml.miml_attention(scored, n_salt=n_salt)
+    ent_att = miml.miml_attention(scored, n_salt=n_salt, encoder=encoder)
     if out_dir:
         ent_att = lineage.materialize(spark, ent_att, out_dir, "ent_att", fp_att)
     else:

@@ -1,0 +1,62 @@
+"""N3/N4 context-encoder variants (split-context, GRU) — each variant
+runs the full Spark typing branch and is golden-matched against the
+numpy oracle running the SAME frozen kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from noise_mitigation_spark import oracle_ref
+from noise_mitigation_spark.operators import mentions, miml, scoring
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, corpus):
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(corpus.vocab)
+    docs = spark.createDataFrame(corpus.documents)
+    return mentions.parse_documents(docs, vocab_b).cache()
+
+
+@pytest.mark.parametrize("encoder", ["split", "gru"])
+def test_encoder_variant_matches_oracle(spark, corpus, parsed, encoder):
+    emb_b = spark.sparkContext.broadcast(corpus.emb)
+    scored = scoring.score_mentions(
+        mentions.mentions_view(parsed), emb_b, encoder=encoder
+    )
+    ent_att = miml.miml_attention(scored, encoder=encoder)
+    got = {
+        (r["entity_id"], t)
+        for r in miml.type_assertions(ent_att, theta=0.5).collect()
+        for t in [r["type_id"]]
+    }
+
+    orc = oracle_ref.run_pipeline(corpus, encoder=encoder)
+    want = set(
+        zip(orc["assertions"]["entity_id"], orc["assertions"]["type_id"])
+    )
+    assert got == want, (encoder, len(got), len(want))
+    assert len(want) > 50
+
+
+def test_encoders_are_distinct(corpus):
+    """The three towers must produce genuinely different reps/scores."""
+    from noise_mitigation_spark.functions import scorer
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    V = corpus.emb.shape[0]
+    ctx = rng.integers(2, V, size=(32, scorer.CTX_LEN))
+    wid = rng.integers(2, V, size=(32, 4))
+    reps = {
+        name: scorer.typing_rep_encoder(name, ctx, wid, corpus.emb)
+        for name in ("cnn", "split", "gru")
+    }
+    assert reps["cnn"].shape[1] != reps["split"].shape[1]
+    scores = {
+        name: scorer.typing_scores_encoder(name, rep)
+        for name, rep in reps.items()
+    }
+    assert not np.allclose(scores["cnn"], scores["split"])
+    assert not np.allclose(scores["cnn"], scores["gru"])
+    assert not np.allclose(scores["split"], scores["gru"])

@@ -25,7 +25,9 @@ def stage(spark, corpus):
     return with_types, emb_b
 
 
-@pytest.mark.parametrize("mode", ["weighted", "binary", "none"])
+@pytest.mark.parametrize(
+    "mode", ["weighted", "binary", "none", "predicted-hidden", "binary-hidden"]
+)
 def test_mode_matches_oracle(spark, corpus, oracle, stage, mode):
     with_types, emb_b = stage
     got = {
@@ -52,6 +54,10 @@ def test_modes_differ(spark, corpus, oracle):
                 for c in ("subj", "pred", "obj")
             ])
         )
-        for m in ("weighted", "binary", "none")
+        for m in ("weighted", "binary", "none", "predicted-hidden", "binary-hidden")
     }
     assert t["weighted"] != t["binary"] or t["weighted"] != t["none"]
+    # the hidden modes are real variants, not aliases of the prob modes
+    assert t["predicted-hidden"] != t["weighted"]
+    assert t["binary-hidden"] != t["binary"]
+    assert t["predicted-hidden"] != t["binary-hidden"]
