@@ -366,6 +366,26 @@ def _pad_caps(caps: np.ndarray, side: str) -> list[int]:
     return out.tolist()
 
 
+SENT_SPLIT_RE = re.compile(r" [?!.]")
+
+
+def split_sentences(text: str) -> list[str]:
+    """F7 punctuation sentence split (getsentences,
+    myutils.py:1114-1117): split on ' ?', ' !', ' .'. The synthetic
+    corpus uses newline-delimited sentences (parse_batch); this is the
+    reference-faithful splitter for free-text sources."""
+    return SENT_SPLIT_RE.split(text)
+
+
+def str_to_bool(s):
+    """F8 config coercion (str_to_bool, myutils.py:21-27)."""
+    if s in ("True", "true"):
+        return True
+    if s in ("False", "false"):
+        return False
+    return s
+
+
 def normalize_mid(mid: str) -> str:
     """Canonical mid form: ``m.xxx`` → ``/m/xxx`` (readData.py:60-62)."""
     return "/m/" + mid[2:] if mid.startswith("m.") else mid

@@ -152,6 +152,74 @@ def triple_pr_curve(
     )
 
 
+def map_per_relation(triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
+    """MAP per relation (eval_rel_map, src/joint/train.py:1376-1393):
+    per predicate column, rank emitted triples by confidence, AP of the
+    gold hits; also emits the per-relation AP vector the reference
+    writes to out_ap_vec_file. Windows are PARTITIONED by predicate —
+    scale-safe."""
+    g = gold_triples.select("subj", "pred", "obj").distinct().withColumn(
+        "rel", F.lit(1)
+    )
+    j = triples.join(g, ["subj", "pred", "obj"], "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0))
+    )
+    w = W.partitionBy("pred").orderBy(
+        F.desc("conf"), F.asc("subj"), F.asc("obj")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        ranked.withColumn(
+            "prec", F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("rn"))
+        )
+        .groupBy("pred")
+        .agg(
+            F.round(F.sum("prec") / F.sum("rel"), 6).alias("ap"),
+            F.sum("rel").alias("n_rel"),
+        )
+        .filter(F.col("n_rel") > 0)
+    )
+
+
+def type_freq_bucket_report(
+    pred: DataFrame, gold: DataFrame, type_freqs: DataFrame,
+    thresholds: tuple = (5, 20, 100),
+) -> DataFrame:
+    """Micro-F1 per TYPE-frequency bucket with the reference's
+    CUMULATIVE bucket semantics (divideTypes, myutils.py:487-500): a
+    type whose frequency clears ``ind`` thresholds contributes to every
+    bucket ind..len(thresholds). type_freqs: (type_id, freq)."""
+    ind = sum(
+        [(F.col("freq") > t).cast("int") for t in thresholds],
+        F.lit(0),
+    )
+    buckets = type_freqs.select(
+        "type_id",
+        F.explode(F.sequence(ind, F.lit(len(thresholds)))).alias("bucket"),
+    )
+    p = pred.select("entity_id", "type_id").distinct().withColumn("in_p", F.lit(1))
+    g = gold.select("entity_id", "type_id").distinct().withColumn("in_g", F.lit(1))
+    j = p.join(g, ["entity_id", "type_id"], "full").select(
+        "type_id",
+        F.coalesce("in_p", F.lit(0)).alias("in_p"),
+        F.coalesce("in_g", F.lit(0)).alias("in_g"),
+    )
+    return (
+        j.join(F.broadcast(buckets), "type_id")
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                2 * F.sum(F.col("in_p") * F.col("in_g"))
+                / F.greatest(F.sum("in_p") + F.sum("in_g"), F.lit(1)),
+                6,
+            ).alias("micro_f1"),
+            F.countDistinct("type_id").alias("n_types"),
+        )
+    )
+
+
 def fit_thresholds(
     dev_scores: DataFrame, dev_gold: DataFrame, grid_step: float = 0.05
 ) -> DataFrame:

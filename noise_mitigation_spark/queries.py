@@ -1312,6 +1312,371 @@ WHERE j.jaccard >= 0.05 AND j.d1 < 60 AND j.d2 < 60
 """
 
 
+def q_top_frac_avg(spark, sf_dir):
+    """A8 top-p-fraction bag average (big2small_avgs,
+    myutils.py:1027-1038): sort the bag, average the top
+    ``top_perc``=0.2 fraction — k = n − int(0.8·n) elements (≥1)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(W.partitionBy("user_id")))
+        .withColumn("k", F.col("n") - F.floor(0.8 * F.col("n")))
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.col("k"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("value"), 4).alias("top_frac_avg"),
+            F.count("*").alias("k_used"),
+        )
+    )
+
+
+SQL_TOP_FRAC_AVG = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, round(avg(value), 4) AS top_frac_avg,
+       count(*) AS k_used
+FROM r WHERE rn <= n - floor(0.8 * n) GROUP BY user_id
+"""
+
+
+def q_char_vocab(spark, sf_dir):
+    """A11 char vocab with min-freq cutoff (build_char_vocab,
+    myutils.py:815-830): every character of the corpus text, kept if
+    freq ≥ 1000 (the reference scales its cutoff with corpus size)."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.col("text"),
+    ).select(F.expr("substr(text, i, 1)").alias("ch"))
+    return (
+        chars.groupBy("ch")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 1000)
+    )
+
+
+SQL_CHAR_VOCAB = """
+SELECT ch, count(*) AS freq
+FROM (SELECT substr(text, unnest(generate_series(1, length(text))), 1) AS ch
+      FROM documents)
+GROUP BY ch HAVING count(*) >= 1000
+"""
+
+
+def q_ngram_vocab(spark, sf_dir):
+    """A11/F9 char-ngram vocab (build_ngram_vocab, myutils.py:846-872):
+    boundary-tagged char trigrams of each distinct token, min-freq 50.
+    Boundary markers are single chars '^'/'$' (the reference uses
+    <S>/</S> ids in its char-id space — same semantics, one symbol)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .withColumn("s", F.concat(F.lit("^"), F.col("token"), F.lit("$")))
+    )
+    tris = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"), "s"
+    ).select(F.expr("substr(s, i, 3)").alias("ngram"))
+    return (
+        tris.groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 50)
+    )
+
+
+SQL_NGRAM_VOCAB = """
+WITH toks AS (
+  SELECT '^' || token || '$' AS s FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+)
+SELECT ngram, count(*) AS freq
+FROM (SELECT substr(s, unnest(generate_series(1, length(s) - 2)), 3) AS ngram
+      FROM toks)
+GROUP BY ngram HAVING count(*) >= 50
+"""
+
+
+def q_type_freq_buckets(spark, sf_dir):
+    """Per-TYPE frequency buckets with the reference's CUMULATIVE
+    semantics (divideTypes, myutils.py:487-500): a type whose entity
+    frequency clears ``ind`` thresholds belongs to every bucket
+    ind..len(thresholds) — head buckets accumulate everything above
+    them. Thresholds (5, 20, 100) over distinct users per type."""
+    e = _t(spark, sf_dir, "events")
+    freq = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("freq")
+    )
+    ind = (
+        (F.col("freq") > 5).cast("int")
+        + (F.col("freq") > 20).cast("int")
+        + (F.col("freq") > 100).cast("int")
+    )
+    return (
+        freq.withColumn("ind", ind)
+        .select(
+            "event_type",
+            "freq",
+            F.explode(F.sequence(F.col("ind"), F.lit(3))).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("freq").alias("total_freq"),
+        )
+    )
+
+
+SQL_TYPE_FREQ_BUCKETS = """
+WITH freq AS (
+  SELECT event_type, count(DISTINCT user_id) AS freq
+  FROM events GROUP BY event_type
+), ind AS (
+  SELECT event_type, freq,
+         (CASE WHEN freq > 5 THEN 1 ELSE 0 END
+          + CASE WHEN freq > 20 THEN 1 ELSE 0 END
+          + CASE WHEN freq > 100 THEN 1 ELSE 0 END) AS ind
+  FROM freq
+)
+SELECT bucket, count(*) AS n_types, CAST(sum(freq) AS BIGINT) AS total_freq
+FROM (SELECT event_type, freq,
+             unnest(generate_series(ind, 3)) AS bucket
+      FROM ind)
+GROUP BY bucket
+"""
+
+
+def q_map_per_relation(spark, sf_dir):
+    """MAP per relation/type column (eval_rel_map,
+    src/joint/train.py:1376-1393): per event_type, rank users by their
+    max value; truth = the user also produced a 'signup' event; AP per
+    type + the per-type AP vector the reference writes out."""
+    e = _t(spark, sf_dir, "events")
+    bag = e.groupBy("user_id", "event_type").agg(
+        F.round(F.max("value"), 6).alias("score")
+    )
+    truth = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .withColumn("rel", F.lit(1))
+    )
+    j = bag.join(truth, "user_id", "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0))
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("score"), F.asc("user_id"))
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_rel", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        ranked.withColumn(
+            "prec", F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("rn"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("prec") / F.sum("rel"), 4).alias("ap"),
+            F.sum("rel").alias("n_rel"),
+        )
+        .filter(F.col("n_rel") > 0)
+    )
+
+
+SQL_MAP_PER_RELATION = """
+WITH bag AS (
+  SELECT user_id, event_type, round(max(value), 6) AS score
+  FROM events GROUP BY user_id, event_type
+), truth AS (
+  SELECT DISTINCT user_id, 1 AS rel FROM events WHERE event_type = 'signup'
+), j AS (
+  SELECT b.user_id, b.event_type, b.score,
+         COALESCE(t.rel, 0) AS rel
+  FROM bag b LEFT JOIN truth t USING (user_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY score DESC, user_id ASC) AS rn,
+         sum(rel) OVER (PARTITION BY event_type
+                ORDER BY score DESC, user_id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM j
+)
+SELECT event_type,
+       round(sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rn END)
+             / sum(rel), 4) AS ap,
+       CAST(sum(rel) AS BIGINT) AS n_rel
+FROM ranked GROUP BY event_type HAVING sum(rel) > 0
+"""
+
+
+def q_minmax_norm(spark, sf_dir):
+    """F4 min-max normalization within each bag: (v−min)/(max−min),
+    0 when the bag is constant (ANSI-safe, no 0/0)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    norm = F.when(mx > mn, (F.col("value") - mn) / (mx - mn)).otherwise(0.0)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.floor(norm * 10000.0 + 0.5) / 10000.0).alias("norm_value"),
+    )
+
+
+SQL_MINMAX_NORM = """
+SELECT event_id, user_id,
+       floor(CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.0 END
+             * 10000.0 + 0.5) / 10000.0 AS norm_value
+FROM (SELECT event_id, user_id, value,
+             min(value) OVER (PARTITION BY user_id) AS mn,
+             max(value) OVER (PARTITION BY user_id) AS mx
+      FROM events WHERE user_id < 30)
+"""
+
+
+def q_mean_insert(spark, sf_dir):
+    """F6 window-mean slot insert (calcInsertMeanInputs,
+    myutils.py:247-253): each slot's value replaced by the mean over
+    the ±2 window around it (slot included), per user in time order."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.floor(F.avg("value").over(w) * 10000.0 + 0.5) / 10000.0).alias(
+            "smoothed"
+        ),
+    )
+
+
+SQL_MEAN_INSERT = """
+SELECT event_id, user_id,
+       floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) * 10000.0 + 0.5)
+         / 10000.0 AS smoothed
+FROM events WHERE user_id < 30
+"""
+
+
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN — the recall-hardened twin of q_ann_lsh:
+    each query probes its own bucket plus the 6 buckets at Hamming
+    distance 1 (one hyperplane flipped), recovering neighbors that a
+    single probe loses at bucket boundaries. Candidates stay |N|·7/64
+    per query instead of |N| — still the bucket-join shape, never the
+    crossJoin."""
+    planes = _ann_planes()
+    e = _t(spark, sf_dir, "embeddings")
+
+    def dot_with(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with("embedding", arr, lambda a, b: a * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = sum(
+        [
+            (dot_with(p) > 0).cast("long") * F.lit(2**i)
+            for i, p in enumerate(planes)
+        ],
+        F.lit(0).cast("long"),
+    )
+    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    flips = spark.createDataFrame(
+        [(0,)] + [(2**i,) for i in range(len(planes))], "flip long"
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+        )
+        .crossJoin(F.broadcast(flips))
+        .withColumn("probe", F.col("bucket").bitwiseXOR(F.col("flip")))
+        .select("qid", "qv", F.col("probe").alias("bucket"))
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"))
+        .groupBy("qid", "cid")
+        .agg(F.max("cos").alias("cos"))  # dedupe multi-probe hits
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
+def _sql_ann_multiprobe() -> str:
+    planes = _ann_planes()
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    flips = ", ".join(["(0)"] + [f"({2**i})" for i in range(len(planes))])
+    return f"""
+WITH planes(i, p) AS (VALUES
+  {plane_rows}
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.embedding
+), flips(flip) AS (VALUES {flips}),
+q AS (SELECT vec_id AS qid, embedding AS qv,
+             xor(bucket, flip) AS bucket
+      FROM bucketed CROSS JOIN flips WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT qid, cid,
+         max(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+           (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+            sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])))) AS cos
+  FROM q JOIN c USING (bucket) WHERE qid <> cid
+  GROUP BY qid, cid
+)
+SELECT qid, cid, round(cos, 4) AS cos, rnk
+FROM (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+SQL_ANN_MULTIPROBE = _sql_ann_multiprobe()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1353,6 +1718,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neg_sample_complement": q_neg_sample_complement,
     "ann_lsh": q_ann_lsh,
     "near_dup_pairs": q_near_dup_pairs,
+    "top_frac_avg": q_top_frac_avg,
+    "char_vocab": q_char_vocab,
+    "ngram_vocab": q_ngram_vocab,
+    "type_freq_buckets": q_type_freq_buckets,
+    "map_per_relation": q_map_per_relation,
+    "minmax_norm": q_minmax_norm,
+    "mean_insert": q_mean_insert,
+    "ann_multiprobe": q_ann_multiprobe,
 }
 
 ORACLES: dict[str, str] = {
@@ -1392,4 +1765,12 @@ ORACLES: dict[str, str] = {
     "neg_sample_complement": SQL_NEG_SAMPLE_COMPLEMENT,
     "ann_lsh": SQL_ANN_LSH,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
+    "top_frac_avg": SQL_TOP_FRAC_AVG,
+    "char_vocab": SQL_CHAR_VOCAB,
+    "ngram_vocab": SQL_NGRAM_VOCAB,
+    "type_freq_buckets": SQL_TYPE_FREQ_BUCKETS,
+    "map_per_relation": SQL_MAP_PER_RELATION,
+    "minmax_norm": SQL_MINMAX_NORM,
+    "mean_insert": SQL_MEAN_INSERT,
+    "ann_multiprobe": SQL_ANN_MULTIPROBE,
 }

@@ -134,3 +134,32 @@ def test_freq_bucket_report(spark, toy):
     assert abs(rows["f1"]["micro_f1"] - 0.5) < 1e-6  # e1: 2tp/(2+2)... 2*1/(2+2)
     assert rows["f5"]["micro_f1"] == 1.0
     assert rows["fmore"]["micro_f1"] == 0.0
+
+
+def test_map_per_relation(spark):
+    triples = spark.createDataFrame(
+        [("a", "r1", "b", 0.9), ("c", "r1", "d", 0.8), ("e", "r1", "f", 0.7),
+         ("a", "r2", "b", 0.9), ("c", "r2", "d", 0.8)],
+        "subj string, pred string, obj string, conf double",
+    )
+    gold = spark.createDataFrame(
+        [("a", "r1", "b"), ("e", "r1", "f"), ("c", "r2", "d")],
+        "subj string, pred string, obj string",
+    )
+    rows = {r["pred"]: r for r in E.map_per_relation(triples, gold).collect()}
+    # r1: hits at ranks 1 and 3 -> AP = (1/1 + 2/3)/2 = 5/6
+    assert abs(rows["r1"]["ap"] - 5 / 6) < 1e-4 and rows["r1"]["n_rel"] == 2
+    # r2: hit at rank 2 -> AP = 1/2
+    assert abs(rows["r2"]["ap"] - 0.5) < 1e-9 and rows["r2"]["n_rel"] == 1
+
+
+def test_type_freq_bucket_report_is_cumulative(spark, toy):
+    pred, gold = toy
+    freqs = spark.createDataFrame(
+        [(0, 2), (1, 50), (2, 500)], "type_id int, freq int"
+    )
+    rows = {r["bucket"]: r for r in
+            E.type_freq_bucket_report(pred, gold, freqs).collect()}
+    # divideTypes semantics: freq 2 -> buckets 0..3; 50 -> 2..3; 500 -> 3
+    assert rows[0]["n_types"] <= rows[3]["n_types"]
+    assert rows[3]["n_types"] == 3  # every type lands in the last bucket

@@ -114,6 +114,22 @@ def test_salted_attention_merge_is_exact(k, n_salt, seed):
     np.testing.assert_allclose(S_merged, S_ref, atol=1e-10)
 
 
+def test_trivial_helpers():
+    """F7 punctuation splitter + F8 str_to_bool (myutils.py:1114-1117,
+    21-27)."""
+    from noise_mitigation_spark.functions.textproc import (
+        split_sentences,
+        str_to_bool,
+    )
+
+    # the pattern consumes ' .'/' !' only; following spaces survive,
+    # matching the reference splitter byte-for-byte
+    assert split_sentences("a b . c d ! e") == ["a b", " c d", " e"]
+    assert split_sentences("no punct") == ["no punct"]
+    assert str_to_bool("True") is True and str_to_bool("false") is False
+    assert str_to_bool("other") == "other"
+
+
 def test_consumed_features_are_load_bearing(corpus):
     """Zeroing the mention-word feature must change typing scores, and
     zeroing the caps channel must change relation probs — proving the
@@ -168,6 +184,29 @@ def test_vectorized_parse_equals_reference_rowloop(corpus):
     plain["content"] = ["no mentions here\njust text", ""]
     mp, pp = textproc.parse_batch(plain, corpus.vocab, {})
     assert len(mp) == 0 and len(pp) == 0
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """Recall vs the brute-force cosine ground truth: probing the 6
+    Hamming-1 buckets must recover at least as many true top-3
+    neighbors as the single-probe LSH (VERDICT r1 #10)."""
+    from noise_mitigation_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    gt = {
+        (r["qid"], r["cid"])
+        for r in Q.q_cosine_topk(spark, sf).filter("rnk <= 3").collect()
+    }
+    single = {
+        (r["qid"], r["cid"]) for r in Q.q_ann_lsh(spark, sf).collect()
+    }
+    multi = {
+        (r["qid"], r["cid"]) for r in Q.q_ann_multiprobe(spark, sf).collect()
+    }
+    r_single = len(single & gt) / len(gt)
+    r_multi = len(multi & gt) / len(gt)
+    assert r_multi >= r_single
+    assert r_multi > 0
 
 
 def test_triples_invariant_under_input_permutation(spark, corpus, oracle):
