@@ -366,6 +366,26 @@ def _pad_caps(caps: np.ndarray, side: str) -> list[int]:
     return out.tolist()
 
 
+START_TAG, END_TAG, PAD_TAG, UNK_TAG = "<S>", "</S>", "<PAD>", "<UNK>"
+
+
+def get_ngram_seq(voc2idx: dict, seq, max_len: int = 100) -> np.ndarray:
+    """F9 char/ngram sequence encode (get_ngram_seq,
+    myutils.py:831-844): ``<S>`` start tag, the sequence's symbols
+    (OOV → ``<UNK>``), one ``</S>`` at position len(seq), ``<PAD>``
+    beyond — always exactly max_len ids."""
+    out = [voc2idx[START_TAG]]
+    for i in range(max_len - 1):
+        if i == len(seq):
+            ch = END_TAG
+        elif i > len(seq):
+            ch = PAD_TAG
+        else:
+            ch = seq[i] if seq[i] in voc2idx else UNK_TAG
+        out.append(voc2idx[ch])
+    return np.array(out)
+
+
 SENT_SPLIT_RE = re.compile(r" [?!.]")
 
 

@@ -79,6 +79,69 @@ def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _partials_of_chunk(pdf: pd.DataFrame, encoder: str = "cnn") -> pd.DataFrame:
+    """Vectorized _partial over a chunk of COMPLETE, contiguous
+    (entity, salt) groups: one np.stack for the whole chunk, group
+    reductions via ufunc.reduceat — per-group Python cost is one tiny
+    einsum for the v matrix, nothing else.
+
+    att_logits are RECOMPUTED here from rep (one [n, D]·[D, T] matmul,
+    bit-identical to the scoring stage's attention_logits) instead of
+    being shuffled — the logits column is 102 floats/row that a single
+    cheap matmul replaces, cutting the attention shuffle ~2.3×."""
+    R32 = np.stack(pdf["rep"].to_numpy())  # [n, D] float32
+    L = scorer.attention_logits_encoder(encoder, R32).astype(np.float64)
+    R = R32.astype(np.float64)
+    ent = pdf["entity_id"].to_numpy()
+    salt = pdf["salt"].to_numpy()
+    boundary = np.ones(len(pdf), dtype=bool)
+    boundary[1:] = (ent[1:] != ent[:-1]) | (salt[1:] != salt[:-1])
+    starts = np.nonzero(boundary)[0]
+    counts = np.diff(np.append(starts, len(pdf)))
+    m = np.maximum.reduceat(L, starts, axis=0)  # [G, T]
+    e = np.exp(L - np.repeat(m, counts, axis=0))  # [n, T]
+    n = np.add.reduceat(e, starts, axis=0)  # [G, T]
+    ends = np.append(starts[1:], len(pdf))
+    v = [
+        (e[s:t].T @ R[s:t]).ravel() for s, t in zip(starts, ends)
+    ]  # G small matmuls
+    return pd.DataFrame(
+        {
+            "entity_id": ent[starts],
+            "salt": salt[starts].astype("int32"),
+            "cnt": counts.astype("int64"),
+            "m": list(m),
+            "n": list(n),
+            "v": v,
+        }
+    )
+
+
+def _iter_complete_chunks(batches, key_cols: list[str]):
+    """Like _iter_exact_groups but yields CHUNKS of complete groups
+    (the whole batch minus its possibly-incomplete trailing group,
+    which carries over) — callers vectorize across groups."""
+    import pandas as pd
+
+    pend = None
+    for pdf in batches:
+        if pend is not None:
+            pdf = pd.concat([pend, pdf], ignore_index=True)
+            pend = None
+        if len(pdf) == 0:
+            continue
+        keys = [pdf[c].to_numpy() for c in key_cols]
+        last = tuple(k[-1] for k in keys)
+        not_tail = ~np.logical_and.reduce([k == v for k, v in zip(keys, last)])
+        nz = np.nonzero(not_tail)[0]
+        start_tail = int(nz[-1]) + 1 if len(nz) else 0
+        head, pend = pdf.iloc[:start_tail], pdf.iloc[start_tail:]
+        if len(head):
+            yield head
+    if pend is not None and len(pend):
+        yield pend
+
+
 def _combine(pdf: pd.DataFrame, encoder: str = "cnn") -> pd.DataFrame:
     pdf = pdf.sort_values("salt")  # deterministic merge order
     ms = np.stack(pdf["m"].to_numpy())  # [s, T]
@@ -152,29 +215,29 @@ def miml_attention(
     (n_mentions, score_att[102]).
 
     Salt is a deterministic hash of the mention's provenance (NOT
-    rand()) so re-runs and resume produce identical partials. Both
-    phases run as mapInPandas over exactly-grouped sorted partitions
-    (_iter_exact_groups) — the groups, their row order, and therefore
-    every float are IDENTICAL to a per-group applyInPandas, but Python
-    is invoked once per Arrow batch instead of once per group (the
-    head-entity corpus has ~|entities|×n_salt tiny groups; per-group
-    invocation dominated this stage's wall time in round 1)."""
+    rand()) so re-runs and resume produce identical partials; the same
+    hash doubles as the deterministic within-group sort key, so the
+    shuffle carries one long instead of five provenance strings. Both
+    phases run as mapInPandas over exactly-grouped sorted partitions:
+    the partial phase vectorizes across ALL complete groups in each
+    Arrow batch (_partials_of_chunk: stack once, ufunc.reduceat per
+    group), and the combine phase re-assembles exact per-entity groups
+    (_iter_exact_groups). Python is invoked once per batch — the
+    head-entity corpus has ~|entities|×n_salt tiny groups, and
+    per-group invocation dominated this stage's wall time in round
+    1."""
     salted = scored.withColumn(
-        "salt",
-        F.pmod(
-            F.xxhash64("repo", "path", "commit", "sent_id", "position"),
-            F.lit(n_salt),
-        ).cast("int"),
-    )
+        "h", F.xxhash64("repo", "path", "commit", "sent_id", "position")
+    ).withColumn("salt", F.pmod(F.col("h"), F.lit(n_salt)).cast("int"))
 
     def _partials_map(batches):
-        for g in _iter_exact_groups(batches, ["entity_id", "salt"]):
-            yield _partial(g)
+        for chunk in _iter_complete_chunks(batches, ["entity_id", "salt"]):
+            yield _partials_of_chunk(chunk, encoder)
 
     partials = (
-        salted.select("entity_id", "salt", "rep", "att_logits", *_PROVENANCE)
+        salted.select("entity_id", "salt", "rep", "h")
         .repartition("entity_id", "salt")
-        .sortWithinPartitions("entity_id", "salt", *_PROVENANCE)
+        .sortWithinPartitions("entity_id", "salt", "h")
         .mapInPandas(_partials_map, schema=_PARTIAL_SCHEMA)
     )
 
@@ -189,43 +252,39 @@ def miml_attention(
     )
 
 
-def miml_mean1(scored: DataFrame, emb_dim_check: bool = False) -> DataFrame:
+def miml_mean1(scored: DataFrame, encoder: str = "cnn") -> DataFrame:
     """A4 'mean1' variant (train2level.py:507-537): average the context
     REPRESENTATIONS per entity, then apply the classification head to
-    the mean rep. The mean is associative → built-in two-phase agg
-    (posexplode + partial sums), skew-safe without salting; only the
-    final tiny head application is a pandas stage (one row per
-    entity)."""
+    the mean rep. One exact-group mapInPandas pass over entity-
+    partitioned, provenance-sorted mentions — the round-1 posexplode
+    realization shuffled REP_DIM rows per mention and reassembled
+    arrays with array_sort(collect_list(...)); this shuffles each rep
+    once, whole."""
     import pandas as pd
 
     from ..functions import scorer as _scorer
 
-    exploded = scored.select(
-        "entity_id", F.posexplode("rep").alias("dim", "v")
-    )
-    means = exploded.groupBy("entity_id", "dim").agg(
-        F.avg(F.col("v").cast("double")).alias("m")
-    )
-    arr = means.groupBy("entity_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))),
-            lambda s: s["m"],
-        ).alias("mean_rep")
-    )
+    def _mean_map(batches):
+        rows_e, rows_s = [], []
+        for g in _iter_exact_groups(batches, ["entity_id"]):
+            R = np.stack(g["rep"].to_numpy()).astype(np.float64)
+            mean = R.mean(axis=0, keepdims=True).astype(np.float32)
+            rows_e.append(g["entity_id"].iloc[0])
+            rows_s.append(
+                _scorer.typing_scores_encoder(encoder, mean)[0].astype(
+                    np.float64
+                )
+            )
+        if rows_e:
+            yield pd.DataFrame(
+                {"entity_id": rows_e, "score_mean1": rows_s}
+            )
 
-    def _head(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            R = np.stack(pdf["mean_rep"].to_numpy()).astype(np.float32)
-            out = pdf[["entity_id"]].copy()
-            out["score_mean1"] = list(_scorer.typing_scores(R).astype(np.float64))
-            yield out
-
-    return arr.mapInPandas(
-        _head, schema="entity_id string, score_mean1 array<double>"
+    return (
+        scored.select("entity_id", "rep", *_PROVENANCE)
+        .repartition("entity_id")
+        .sortWithinPartitions("entity_id", *_PROVENANCE)
+        .mapInPandas(_mean_map, schema="entity_id string, score_mean1 array<double>")
     )
 
 

@@ -87,6 +87,67 @@ def streaming_event_sessions(events: DataFrame, gap: str = "30 minutes") -> Data
     )
 
 
+def streaming_entity_scores(scored_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: incremental MIML-ATT over a mention
+    stream (applyInPandasWithState).
+
+    Per entity, the state is the SAME associative log-sum-exp partial
+    the batch salted aggregation uses (operators/miml.py: m = running
+    per-type max logit, n = Σe^{L−m}, v = Σe^{L−m}·rep, cnt) — each
+    micro-batch folds its mentions in with the exact two-partial merge
+    and emits the refreshed bag score. Because the merge is the batch
+    algebra verbatim, a drained stream converges to the batch/oracle
+    answer (modulo float merge order); state size is O(types·rep_dim)
+    per entity REGARDLESS of bag size — a head entity with 10^7
+    mentions costs the same state as a tail one."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions import scorer as _scorer
+
+    out_schema = "entity_id string, n_mentions long, score_att array<double>"
+    state_schema = "cnt long, m array<double>, n array<double>, v array<double>"
+
+    def _update(key, pdfs, state):
+        Ls, Rs = [], []
+        for pdf in pdfs:
+            if len(pdf):
+                Ls.append(np.stack(pdf["att_logits"].to_numpy()).astype(np.float64))
+                Rs.append(np.stack(pdf["rep"].to_numpy()).astype(np.float64))
+        if not Ls:
+            return
+        L, R = np.concatenate(Ls), np.concatenate(Rs)
+        m_b = L.max(axis=0)
+        e = np.exp(L - m_b)
+        n_b, v_b, cnt_b = e.sum(axis=0), e.T @ R, len(L)
+        if state.exists:
+            cnt0, m0, n0, v0 = state.get
+            m0, n0 = np.asarray(m0), np.asarray(n0)
+            v0 = np.asarray(v0).reshape(len(m0), -1)
+            m = np.maximum(m0, m_b)
+            s0, s_b = np.exp(m0 - m), np.exp(m_b - m)
+            n = n0 * s0 + n_b * s_b
+            v = v0 * s0[:, None] + v_b * s_b[:, None]
+            cnt = int(cnt0) + cnt_b
+        else:
+            m, n, v, cnt = m_b, n_b, v_b, cnt_b
+        state.update((cnt, m.tolist(), n.tolist(), v.ravel().tolist()))
+        score = _scorer.attention_bag_scores(v / n[:, None])
+        yield pd.DataFrame(
+            {"entity_id": [key[0]], "n_mentions": [cnt], "score_att": [score]}
+        )
+
+    return (
+        scored_stream.select("entity_id", "rep", "att_logits")
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            _update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str):
     """Drain a finite file-backed stream into an in-memory table."""
     q = (

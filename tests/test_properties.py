@@ -130,6 +130,18 @@ def test_trivial_helpers():
     assert str_to_bool("other") == "other"
 
 
+def test_get_ngram_seq():
+    """F9 sequence encode: tags, OOV, truncation (myutils.py:831-844)."""
+    from noise_mitigation_spark.functions.textproc import get_ngram_seq
+
+    voc = {"<S>": 0, "</S>": 1, "<PAD>": 2, "<UNK>": 3, "a": 4, "b": 5}
+    got = get_ngram_seq(voc, ["a", "x", "b"], max_len=7)
+    # <S>, a, UNK(x), b, </S>, PAD, PAD
+    assert got.tolist() == [0, 4, 3, 5, 1, 2, 2]
+    long = get_ngram_seq(voc, ["a"] * 50, max_len=10)
+    assert len(long) == 10 and long[0] == 0 and (long[1:] == 4).all()
+
+
 def test_consumed_features_are_load_bearing(corpus):
     """Zeroing the mention-word feature must change typing scores, and
     zeroing the caps channel must change relation probs — proving the

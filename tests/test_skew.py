@@ -22,7 +22,10 @@ def skewed(spark):
         (f"/m/e{i:03d}", 20) for i in range(50)
     ]:
         rep = rng.standard_normal((n, scorer.REP_DIM)).astype(np.float32)
-        logit = rng.standard_normal((n, 102)).astype(np.float32) * 2
+        # logits are a pure function of rep in this engine (bilinear
+        # attention) — miml_attention recomputes them from rep instead
+        # of shipping them through the shuffle
+        logit = scorer.attention_logits(rep)
         for k in range(n):
             rows.append(
                 {
@@ -44,8 +47,9 @@ def skewed(spark):
 def _numpy_att(pdf: pd.DataFrame) -> dict:
     out = {}
     for eid, g in pdf.groupby("entity_id"):
-        L = np.stack(g["att_logits"].to_numpy()).astype(np.float64)
-        R = np.stack(g["rep"].to_numpy()).astype(np.float64)
+        R32 = np.stack(g["rep"].to_numpy())
+        L = scorer.attention_logits(R32).astype(np.float64)
+        R = R32.astype(np.float64)
         m = L.max(axis=0)
         e = np.exp(L - m)
         S = (e.T @ R) / e.sum(axis=0)[:, None]

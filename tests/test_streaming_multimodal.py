@@ -91,3 +91,51 @@ def test_sample_frames_fanout(spark, media):
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 2 for r in per)  # 8 frames / every 4 → 2
     assert frames.count() == 80
+
+
+def test_streaming_stateful_attention_converges_to_batch(
+    spark, corpus, oracle, tmp_path
+):
+    """applyInPandasWithState MIML-ATT: drain a multi-file mention
+    stream; final per-entity state must equal the batch/oracle bag
+    scores (the state merge IS the batch salted-partial algebra)."""
+    import numpy as np
+
+    from noise_mitigation_spark.operators import mentions, scoring
+
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(corpus.vocab)
+    emb_b = sc.broadcast(corpus.emb)
+    docs = spark.createDataFrame(corpus.documents)
+    parsed = mentions.parse_documents(docs, vocab_b)
+    scored = scoring.score_mentions(mentions.mentions_view(parsed), emb_b)
+    scored_dir = str(tmp_path / "scored")
+    scored.repartition(5).write.parquet(scored_dir)
+    schema = spark.read.parquet(scored_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scored_dir)
+    )
+    out = ingest.streaming_entity_scores(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("att_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    pdf = spark.sql("SELECT * FROM att_stream").toPandas()
+    # update mode appends every refresh; the final state per entity is
+    # the row with the max n_mentions
+    final = pdf.loc[pdf.groupby("entity_id")["n_mentions"].idxmax()]
+    want = oracle["ent_scores"].set_index("entity_id")
+    final = final.set_index("entity_id").sort_index()
+    assert (final["n_mentions"] == want.loc[final.index, "n_mentions"]).all()
+    got = np.stack(final["score_att"].to_numpy())
+    exp = np.stack(want.loc[final.index, "score_att"].to_numpy())
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+    assert len(final) == len(want)
