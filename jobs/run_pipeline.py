@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
         help="ET→RE type-integration variant (src/joint/train.py:700-824)",
     )
     ap.add_argument(
-        "--encoder", default="cnn", choices=["cnn", "split", "gru"],
+        "--encoder", default="cnn",
+        choices=["cnn", "split", "gru", "lstm", "bilstm"],
         help="typing context encoder (train2level.py:283-326, model.py:211-218)",
     )
     args = ap.parse_args(argv)

@@ -210,7 +210,7 @@ def attention_logits(rep: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 REC_HID = 32  # rnn_config['hidden'] analog
-SEED_ENC = {"split": 424242, "gru": 515151}
+SEED_ENC = {"split": 424242, "gru": 515151, "lstm": 626262, "bilstm": 737373}
 _HALF = CTX_LEN // 2  # split pivot (split_inp, train2level.py:305-307)
 
 
@@ -225,11 +225,16 @@ def encoder_weights(name: str, emb_dim: int = EMB_DIM):
       final-timestep state is the context feature (gru_layer,
       src/typing/model.py:211-218; create_rec takes fv = h[last],
       :263-285).
+    'lstm'  — linear [d, 4h] into an LSTM, last hidden state
+      (lstm_layer, model.py:220-224).
+    'bilstm'— bidirectional LSTM, forward-last ⊕ backward-last, 2h
+      feature (bilstm_layer, model.py:226-233).
 
-    Both concat the mention-word mean block, mirroring the default
+    All concat the mention-word mean block, mirroring the default
     tower's feature list."""
     rng = np.random.Generator(np.random.PCG64(SEED_ENC[name]))
     w = {}
+    h = REC_HID
     if name == "split":
         for half in ("l", "r"):
             for width in CNN_WIDTHS:
@@ -239,7 +244,6 @@ def encoder_weights(name: str, emb_dim: int = EMB_DIM):
                 w[f"bconv{half}{width}"] = np.zeros(CNN_K, dtype=np.float32)
         ctx_dim = 2 * CNN_OUT  # 48
     elif name == "gru":
-        h = REC_HID
         w["Wi"] = _glorot(rng, emb_dim, h, emb_dim, h)
         w["bi"] = np.zeros(h, dtype=np.float32)
         w["Wg"] = _glorot(rng, emb_dim, 2 * h, emb_dim, 2 * h)
@@ -248,6 +252,13 @@ def encoder_weights(name: str, emb_dim: int = EMB_DIM):
         w["Uz"] = _glorot(rng, h, h, h, h)
         w["Ur"] = _glorot(rng, h, h, h, h)
         ctx_dim = h
+    elif name in ("lstm", "bilstm"):
+        dirs = ("f", "b") if name == "bilstm" else ("f",)
+        for d_ in dirs:
+            w[f"Wx{d_}"] = _glorot(rng, emb_dim, 4 * h, emb_dim, 4 * h)
+            w[f"bx{d_}"] = np.zeros(4 * h, dtype=np.float32)
+            w[f"Uh{d_}"] = _glorot(rng, h, 4 * h, h, 4 * h)
+        ctx_dim = h * len(dirs)
     else:
         raise ValueError(f"unknown encoder {name!r}")
     rep_dim = ctx_dim + emb_dim  # + mention-mean block
@@ -260,6 +271,25 @@ def encoder_weights(name: str, emb_dim: int = EMB_DIM):
     w["M"] = _glorot(rng, rep_dim, N_TYPES, rep_dim, N_TYPES)
     w["c"] = np.zeros(N_TYPES, dtype=np.float32)
     return w
+
+
+def _lstm_last(X: np.ndarray, Wx, bx, Uh) -> np.ndarray:
+    """Run an LSTM over [B, L, d], return the last hidden state [B, h]
+    (lstm_layer + create_rec fv = h[last], model.py:220-224,263-285).
+    Gate order i, f, g, o; zero initial state."""
+    h = Uh.shape[0]
+    pre = X @ Wx + bx  # [B, L, 4h]
+    state = np.zeros((X.shape[0], h), dtype=np.float32)
+    cell = np.zeros_like(state)
+    for t in range(X.shape[1]):
+        z = pre[:, t] + state @ Uh
+        i = _sigmoid(z[:, :h])
+        f = _sigmoid(z[:, h : 2 * h])
+        g = np.tanh(z[:, 2 * h : 3 * h])
+        o = _sigmoid(z[:, 3 * h :])
+        cell = f * cell + i * g
+        state = o * np.tanh(cell)
+    return state.astype(np.float32)
 
 
 def typing_rep_encoder(
@@ -291,6 +321,17 @@ def typing_rep_encoder(
             cand = np.tanh(inputs[:, t] + (r * state) @ w["U"])
             state = z * cand + (1.0 - z) * state
         parts = [state]
+    elif name in ("lstm", "bilstm"):
+        X = emb[ctx_ids]  # [B, L, d]
+        parts = []
+        dirs = ("f", "b") if name == "bilstm" else ("f",)
+        for d_ in dirs:
+            parts.append(
+                _lstm_last(
+                    X[:, ::-1, :] if d_ == "b" else X,
+                    w[f"Wx{d_}"], w[f"bx{d_}"], w[f"Uh{d_}"],
+                )
+            )
     else:
         raise ValueError(f"unknown encoder {name!r}")
     parts.append(emb[word_ids].mean(axis=1))

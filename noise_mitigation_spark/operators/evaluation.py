@@ -221,13 +221,19 @@ def type_freq_bucket_report(
 
 
 def fit_thresholds(
-    dev_scores: DataFrame, dev_gold: DataFrame, grid_step: float = 0.05
+    dev_scores: DataFrame,
+    dev_gold: DataFrame,
+    grid_step: float = 0.05,
+    offset: float = 0.0,
 ) -> DataFrame:
     """Per-type threshold maximizing dev F1 over a grid — fully
     relational sweep (crossJoin with the grid, one grouped agg).
 
     Returns (type_id, theta). Ties broken toward the lower theta
-    (higher recall), matching a stable argmax.
+    (higher recall), matching a stable argmax. ``offset`` is the
+    reference's precision-biasing variant that shifts the fitted theta
+    up (the +0.15 offset of find_best_theta, train2level.py:116-133) —
+    applied AFTER the argmax, capped at 1.0.
     """
     spark = dev_scores.sparkSession
     grid = spark.createDataFrame(
@@ -259,7 +265,13 @@ def fit_thresholds(
     return (
         f1.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("type_id", "theta", F.round("f1", 6).alias("dev_f1"))
+        .select(
+            "type_id",
+            F.least(F.round(F.col("theta") + offset, 6), F.lit(1.0)).alias(
+                "theta"
+            ),
+            F.round("f1", 6).alias("dev_f1"),
+        )
     )
 
 

@@ -19,7 +19,7 @@ def parsed(spark, corpus):
     return mentions.parse_documents(docs, vocab_b).cache()
 
 
-@pytest.mark.parametrize("encoder", ["split", "gru"])
+@pytest.mark.parametrize("encoder", ["split", "gru", "lstm", "bilstm"])
 def test_encoder_variant_matches_oracle(spark, corpus, parsed, encoder):
     emb_b = spark.sparkContext.broadcast(corpus.emb)
     scored = scoring.score_mentions(
@@ -48,15 +48,21 @@ def test_encoders_are_distinct(corpus):
     V = corpus.emb.shape[0]
     ctx = rng.integers(2, V, size=(32, scorer.CTX_LEN))
     wid = rng.integers(2, V, size=(32, 4))
+    names = ("cnn", "split", "gru", "lstm", "bilstm")
     reps = {
         name: scorer.typing_rep_encoder(name, ctx, wid, corpus.emb)
-        for name in ("cnn", "split", "gru")
+        for name in names
     }
     assert reps["cnn"].shape[1] != reps["split"].shape[1]
+    assert reps["bilstm"].shape[1] == reps["lstm"].shape[1] + scorer.REC_HID
     scores = {
         name: scorer.typing_scores_encoder(name, rep)
         for name, rep in reps.items()
     }
-    assert not np.allclose(scores["cnn"], scores["split"])
-    assert not np.allclose(scores["cnn"], scores["gru"])
-    assert not np.allclose(scores["split"], scores["gru"])
+    for a in names:
+        for b in names:
+            if a < b:
+                assert not np.allclose(scores[a], scores[b]), (a, b)
+    # the recurrent encoders are order-sensitive (unlike max-pooled CNN)
+    rev = scorer.typing_rep_encoder("gru", ctx[:, ::-1], wid, corpus.emb)
+    assert not np.allclose(rev, reps["gru"])
