@@ -87,6 +87,18 @@ def streaming_event_sessions(events: DataFrame, gap: str = "30 minutes") -> Data
     )
 
 
+def streaming_exact_dedup(docs: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup on the content hash: the first occurrence
+    of each sha256 within the watermark horizon passes, later copies
+    are dropped (dropDuplicatesWithinWatermark keeps one state row per
+    distinct hash and EVICTS it after the horizon — bounded state, the
+    streaming twin of queries.q_dedup_exact)."""
+    stamped = docs.withColumn("ingest_ts", F.current_timestamp())
+    return stamped.withWatermark("ingest_ts", horizon).dropDuplicatesWithinWatermark(
+        ["sha256"]
+    )
+
+
 def streaming_entity_scores(scored_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: incremental MIML-ATT over a mention
     stream (applyInPandasWithState).

@@ -163,6 +163,35 @@ def test_type_vector_join_not_forced_when_large(spark, corpus):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_join_eliminates_exchange(spark, tmp_path_factory):
+    """Tables bucketed on the join key with equal bucket counts join
+    with NO Exchange in the plan — the amortized-shuffle pattern the
+    ET→RE join uses at 10^8+ entities (sources/bucketing.py)."""
+    from noise_mitigation_spark.sources import bucketing
+
+    loc = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{loc}'")
+    a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000, 3).selectExpr("id AS k", "id * 7 AS vb")
+    bucketing.write_bucketed(a, "bdb.ta", ["k"], 8, sort_cols=["k"])
+    bucketing.write_bucketed(b, "bdb.tb", ["k"], 8, sort_cols=["k"])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketing.bucketed(spark, "bdb.ta").join(
+            bucketing.bucketed(spark, "bdb.tb"), "k"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:1500]
+        # and it computes the same answer as the shuffled join
+        assert j.count() == a.join(b, "k").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
 def test_no_python_udf_in_query_suite(spark):
     """queries.py promises zero Python UDFs — verify on the plans."""
     for name in ("miml_att", "minhash_signatures", "simhash", "cosine_topk",

@@ -139,3 +139,29 @@ def test_streaming_stateful_attention_converges_to_batch(
     exp = np.stack(want.loc[final.index, "score_att"].to_numpy())
     np.testing.assert_allclose(got, exp, atol=1e-9)
     assert len(final) == len(want)
+
+
+def test_streaming_exact_dedup(spark, corpus, tmp_path):
+    """dropDuplicatesWithinWatermark on sha256: a stream carrying
+    duplicated documents emits each distinct content exactly once."""
+    import pandas as pd
+
+    dup = pd.concat(
+        [corpus.documents.iloc[:40], corpus.documents.iloc[:15]],
+        ignore_index=True,
+    )
+    d = str(tmp_path / "dupdocs")
+    spark.createDataFrame(dup).repartition(4).write.parquet(d)
+    stream = ingest.stream_documents(spark, d)
+    q = (
+        ingest.streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT sha256 FROM dedup_stream").toPandas()
+    assert len(got) == dup["sha256"].nunique()
+    assert got["sha256"].is_unique
