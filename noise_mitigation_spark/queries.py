@@ -1312,6 +1312,53 @@ WHERE j.jaccard >= 0.05 AND j.d1 < 60 AND j.d2 < 60
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """The full dedup DECISION on top of q_near_dup_pairs: connected
+    components over the verified near-dup pairs (transitive closure —
+    if A~B and B~C, all three are one duplicate cluster), keep = the
+    cluster's min doc_id. Spark side runs the engine's iterative
+    min-label + pointer-doubling CC (operators/linking.py — the same
+    operator that canonicalizes entities); the DuckDB oracle states the
+    identical semantics as a recursive-CTE transitive closure, which is
+    feasible because verified near-dup pairs are a tiny fraction of the
+    corpus (candidates were LSH-bounded upstream)."""
+    from .operators.linking import connected_components
+
+    pairs = q_near_dup_pairs(spark, sf_dir).select("d1", "d2")
+    nodes = (
+        pairs.select(F.col("d1").alias("node"))
+        .union(pairs.select(F.col("d2").alias("node")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keep_id"),
+        (F.col("node") != F.col("component")).alias("is_dup"),
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH nd AS ({SQL_NEAR_DUP_PAIRS}),
+edges AS (
+  SELECT d1, d2 FROM nd UNION SELECT d2, d1 FROM nd
+),
+nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.src, e.d2 FROM r JOIN edges e ON r.dst = e.d1
+  )
+  SELECT * FROM r
+)
+SELECT src AS doc_id, min(dst) AS keep_id,
+       (src <> min(dst)) AS is_dup
+FROM reach GROUP BY src
+"""
+
+
 def q_top_frac_avg(spark, sf_dir):
     """A8 top-p-fraction bag average (big2small_avgs,
     myutils.py:1027-1038): sort the bag, average the top
@@ -1726,6 +1773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_norm": q_minmax_norm,
     "mean_insert": q_mean_insert,
     "ann_multiprobe": q_ann_multiprobe,
+    "near_dup_clusters": q_near_dup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1773,4 +1821,5 @@ ORACLES: dict[str, str] = {
     "minmax_norm": SQL_MINMAX_NORM,
     "mean_insert": SQL_MEAN_INSERT,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
 }
