@@ -55,3 +55,32 @@ def test_canonical_map_large_corpus_matches_unionfind(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_distributed_loop_matches_unionfind_fastpath(spark, monkeypatch):
+    """The adaptive small-graph fast path and the distributed
+    min-label/pointer-doubling loop must emit IDENTICAL components."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 300, size=(400, 2))
+        if a != b
+    }
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in sorted(pairs)], "src long, dst long"
+    )
+    nodes = spark.range(300).select(F.col("id").alias("node"))
+
+    fast = {
+        (r["node"], r["component"])
+        for r in linking.connected_components(nodes, edges).collect()
+    }
+    monkeypatch.setattr(linking, "SMALL_GRAPH_EDGES", -1)
+    dist = {
+        (r["node"], r["component"])
+        for r in linking.connected_components(nodes, edges).collect()
+    }
+    assert fast == dist
+    assert len(fast) == 300
