@@ -15,17 +15,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
 def parse_bytes(s: str) -> int:
-    """'10485760' / '64m' / '1g' → bytes; '-1' → -1 (disabled)."""
+    """'10485760' / '64m' / '64MB' / '1g' → bytes; '-1' → -1 (disabled)."""
     s = str(s).strip().lower()
-    if s.endswith("b") and s[:-1] and s[:-2:-1].isdigit():
+    if s.endswith("b"):
         s = s[:-1]
+    mult = 1
     if s and s[-1] in _UNITS:
-        return int(float(s[:-1]) * _UNITS[s[-1]])
-    return int(s)
+        mult = _UNITS[s[-1]]
+        s = s[:-1]
+    return int(float(s) * mult)
 
 
 def estimated_size_bytes(df: DataFrame) -> int:

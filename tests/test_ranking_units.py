@@ -1,0 +1,122 @@
+"""Unit tests for round-2 infrastructure: the two-pass global rank,
+the exact-group batch iterators, and size parsing — edge cases that
+the integration suites would only hit probabilistically."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.operators import miml
+from noise_mitigation_spark.operators.joins import parse_bytes
+from noise_mitigation_spark.operators.ranking import global_rank_prefix
+
+
+def test_global_rank_prefix_equals_global_window(spark):
+    """Range-partitioned two-pass rank ≡ the single-task global window
+    on every rank and running sum, including ties on the value."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(5000),
+            "v": rng.integers(0, 50, size=5000).astype(float),  # many ties
+            "rel": rng.integers(0, 2, size=5000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = (
+        global_rank_prefix(
+            df, [F.desc("v"), F.asc("id")], "rel", "rn", "cum"
+        )
+        .select("id", "rn", "cum")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    w = W.orderBy(F.desc("v"), F.asc("id"))
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("rel").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .select("id", "rn", "cum")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_global_rank_prefix_tiny_and_empty(spark):
+    one = spark.createDataFrame([(1, 1.0, 1)], "id int, v double, rel int")
+    r = global_rank_prefix(one, [F.desc("v"), F.asc("id")], "rel").collect()
+    assert len(r) == 1 and r[0]["rn"] == 1 and r[0]["cum"] == 1
+    empty = one.limit(0)
+    assert (
+        global_rank_prefix(empty, [F.desc("v"), F.asc("id")], "rel").count()
+        == 0
+    )
+
+
+def _batches(pdf, sizes):
+    out, i = [], 0
+    for s in sizes:
+        out.append(pdf.iloc[i : i + s].reset_index(drop=True))
+        i += s
+    assert i == len(pdf)
+    return iter(out)
+
+
+def test_iter_exact_groups_spanning_many_batches():
+    """A group spanning 3+ Arrow batches must come out whole, in order,
+    exactly once — including when a batch consists ENTIRELY of the
+    pending tail group."""
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a"] * 7 + ["b"] * 1 + ["c"] * 4,
+            "x": list(range(12)),
+        }
+    )
+    for sizes in ([2, 2, 2, 2, 2, 2], [3, 3, 3, 3], [1] * 12, [12], [7, 5]):
+        groups = list(
+            miml._iter_exact_groups(_batches(pdf, sizes), ["entity_id"])
+        )
+        keys = [g["entity_id"].iloc[0] for g in groups]
+        assert keys == ["a", "b", "c"], sizes
+        assert [list(g["x"]) for g in groups] == [
+            list(range(7)), [7], [8, 9, 10, 11],
+        ], sizes
+
+
+def test_iter_complete_chunks_preserves_rows():
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a"] * 5 + ["b"] * 5 + ["c"] * 2,
+            "salt": [0] * 3 + [1] * 2 + [0] * 5 + [0] * 2,
+            "x": list(range(12)),
+        }
+    )
+    chunks = list(
+        miml._iter_complete_chunks(
+            _batches(pdf, [4, 4, 4]), ["entity_id", "salt"]
+        )
+    )
+    flat = pd.concat(chunks, ignore_index=True)
+    assert list(flat["x"]) == list(range(12))
+    # no (entity, salt) group may be split ACROSS chunks
+    seen = set()
+    for c in chunks:
+        for key in set(zip(c["entity_id"], c["salt"])):
+            assert key not in seen
+            seen.add(key)
+
+
+def test_parse_bytes():
+    assert parse_bytes("10485760") == 10 * 1024 * 1024
+    assert parse_bytes("64m") == 64 << 20
+    assert parse_bytes("64MB") == 64 << 20
+    assert parse_bytes("1g") == 1 << 30
+    assert parse_bytes("-1") == -1
