@@ -246,8 +246,13 @@ def main() -> None:
         Q.QUERIES[name](spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
 
-    # warm python workers + codegen on a tiny corpus, then measure
-    # best-of-2 (this VM shows sporadic ~60s stalls)
+    spark.stop()
+
+    # KG pipeline in a FRESH session: a query-suite session ages (heap
+    # growth, accumulated python workers) and was measured to inflate
+    # the pipeline wall up to 3×. Warm python workers + codegen on a
+    # tiny corpus, then best-of-2 (this VM shows sporadic ~60s stalls).
+    spark = get_spark("nm-bench-kg", cores=CPUS, shuffle_partitions=CPUS)
     warm_dir = _corpus_dir(500)
     run_full_pipeline(spark, warm_dir)
     kg_wall, n_docs, n_triples = run_full_pipeline(spark, bench_dir)

@@ -1724,6 +1724,132 @@ WHERE rnk <= 3
 SQL_ANN_MULTIPROBE = _sql_ann_multiprobe()
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Sliding-window content fingerprint (winnowing-style document
+    signature): hash every 16-char window of the text, keep the min
+    (and the window count) per doc — near-identical docs share the
+    min-window fingerprint with high probability even under small
+    edits, unlike whole-content hashing (q_dedup_exact). Stateless
+    md5-prefix window hash, identical in both engines, no sort."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+    wins = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 15)).alias("i"),
+        "text",
+    ).select(
+        "doc_id", F.expr("substr(text, i, 16)").alias("win")
+    )
+    return wins.withColumn("h", _tokhash_spark("win")).groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"), F.count("*").alias("n_windows")
+    )
+
+
+SQL_ROLLING_FINGERPRINT = f"""
+WITH wins AS (
+  SELECT doc_id,
+         substr(text, unnest(generate_series(1, length(text) - 15)), 16)
+           AS win
+  FROM documents WHERE length(text) >= 16
+)
+SELECT doc_id, min({_tokhash_sql("win")}) AS fingerprint,
+       count(*) AS n_windows
+FROM wins GROUP BY doc_id
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the vector twin of the
+    MinHash recipe: LSH sign-buckets bound the candidate set (never
+    all-pairs), cosine verifies, τ keeps the near-identical tail,
+    keep/drop by min vec_id. τ=0.4 tuned to the synthetic embedding
+    table's similarity spectrum (random pairs sit near 0)."""
+    planes = _ann_planes()
+    e = _t(spark, sf_dir, "embeddings")
+
+    def dot_with(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with("embedding", arr, lambda a, b: a * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = sum(
+        [
+            (dot_with(p) > 0).cast("long") * F.lit(2**i)
+            for i, p in enumerate(planes)
+        ],
+        F.lit(0).cast("long"),
+    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a1 = b.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    a2 = b.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda a, b_: a * b_),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a1.join(a2, "bucket")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos", dot / (norm(F.col("e1")) * norm(F.col("e2"))))
+        .filter(F.col("cos") >= 0.4)
+        .select(
+            "v1",
+            "v2",
+            F.round("cos", 4).alias("cos"),
+            F.least("v1", "v2").alias("keep_id"),
+            F.greatest("v1", "v2").alias("drop_id"),
+        )
+    )
+
+
+def _sql_embedding_near_dup() -> str:
+    planes = _ann_planes()
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(i, p) AS (VALUES
+  {plane_rows}
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.embedding
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+         AS cos,
+       least(a.vec_id, b.vec_id) AS keep_id,
+       greatest(a.vec_id, b.vec_id) AS drop_id
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.4
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1774,6 +1900,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mean_insert": q_mean_insert,
     "ann_multiprobe": q_ann_multiprobe,
     "near_dup_clusters": q_near_dup_clusters,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1822,4 +1950,6 @@ ORACLES: dict[str, str] = {
     "mean_insert": SQL_MEAN_INSERT,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }
