@@ -160,6 +160,24 @@ def streaming_entity_scores(scored_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_kg_typing(
+    docs_stream: DataFrame, vocab_b, emb_b
+) -> DataFrame:
+    """The typing branch of the KG pipeline as ONE streaming plan:
+    stream of documents → mention parse (the batch mapInPandas operator
+    verbatim — mapInPandas is streaming-compatible) → frozen scorer →
+    stateful incremental MIML-ATT. A drained stream converges to the
+    batch/oracle entity scores; an unbounded one maintains them
+    continuously with O(types·rep_dim) state per entity."""
+    from ..operators import mentions, scoring
+
+    parsed = mentions.parse_documents(docs_stream, vocab_b)
+    scored = scoring.score_mentions(
+        mentions.mentions_view(parsed), emb_b
+    )
+    return streaming_entity_scores(scored)
+
+
 def run_to_memory(stream_df: DataFrame, name: str):
     """Drain a finite file-backed stream into an in-memory table."""
     q = (

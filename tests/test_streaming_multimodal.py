@@ -165,3 +165,36 @@ def test_streaming_exact_dedup(spark, corpus, tmp_path):
     got = spark.sql("SELECT sha256 FROM dedup_stream").toPandas()
     assert len(got) == dup["sha256"].nunique()
     assert got["sha256"].is_unique
+
+
+def test_streaming_kg_typing_end_to_end(spark, corpus, oracle, tmp_path):
+    """documents stream → parse → score → stateful MIML-ATT, one
+    streaming plan reusing the batch operators verbatim; the drained
+    stream's final entity scores equal the numpy oracle's."""
+    import numpy as np
+
+    d = str(tmp_path / "docs_stream")
+    spark.createDataFrame(corpus.documents).repartition(5).write.parquet(d)
+    sc = spark.sparkContext
+    out = ingest.streaming_kg_typing(
+        ingest.stream_documents(spark, d),
+        sc.broadcast(corpus.vocab),
+        sc.broadcast(corpus.emb),
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kg_typing_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pdf = spark.sql("SELECT * FROM kg_typing_stream").toPandas()
+    final = pdf.loc[pdf.groupby("entity_id")["n_mentions"].idxmax()]
+    final = final.set_index("entity_id").sort_index()
+    want = oracle["ent_scores"].set_index("entity_id")
+    assert len(final) == len(want)
+    assert (final["n_mentions"] == want.loc[final.index, "n_mentions"]).all()
+    got = np.stack(final["score_att"].to_numpy())
+    exp = np.stack(want.loc[final.index, "score_att"].to_numpy())
+    np.testing.assert_allclose(got, exp, atol=1e-9)
