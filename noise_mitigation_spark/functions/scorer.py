@@ -147,6 +147,13 @@ def _conv_tables(emb: np.ndarray, filt: np.ndarray, tag: str) -> list[np.ndarray
             for off in range(filt.shape[1])
         ]
         _CONV_TABLE_CACHE[key] = tbl
+        # id()-keyed caches go stale if the array is freed and its
+        # address recycled by a different embedding matrix — evict the
+        # entry when THIS array is garbage-collected (also bounds the
+        # cache to live embeddings)
+        import weakref
+
+        weakref.finalize(emb, _CONV_TABLE_CACHE.pop, key, None)
     return tbl
 
 

@@ -106,7 +106,9 @@ def connected_components(
         .localCheckpoint(eager=True)  # edge derivation runs once, not per round
     )
     n_edges = sym.count()
-    if n_edges <= SMALL_GRAPH_EDGES:
+    # the fast path collects BOTH edges and nodes — gate on both (a
+    # sparse graph over 10^8 nodes must stay distributed)
+    if n_edges <= SMALL_GRAPH_EDGES and nodes.count() <= SMALL_GRAPH_EDGES:
         return _unionfind_components(nodes, sym)
     sc = nodes.sparkSession.sparkContext
     parts = int(max(2, min(sc.defaultParallelism, n_edges // 1_000_000 + 2)))

@@ -60,25 +60,6 @@ _PARTIAL_SCHEMA = (
 _ATT_SCHEMA = "entity_id string, n_mentions long, score_att array<double>"
 
 
-def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
-    L = np.stack(pdf["att_logits"].to_numpy()).astype(np.float64)  # [k, T]
-    R = np.stack(pdf["rep"].to_numpy()).astype(np.float64)  # [k, D]
-    m = L.max(axis=0)  # [T]
-    e = np.exp(L - m)  # [k, T]
-    n = e.sum(axis=0)  # [T]
-    v = e.T @ R  # [T, D]
-    return pd.DataFrame(
-        {
-            "entity_id": [pdf["entity_id"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "cnt": [len(pdf)],
-            "m": [m],
-            "n": [n],
-            "v": [v.ravel()],
-        }
-    )
-
-
 def _partials_of_chunk(pdf: pd.DataFrame, encoder: str = "cnn") -> pd.DataFrame:
     """Vectorized _partial over a chunk of COMPLETE, contiguous
     (entity, salt) groups: one np.stack for the whole chunk, group
@@ -165,44 +146,18 @@ def _combine(pdf: pd.DataFrame, encoder: str = "cnn") -> pd.DataFrame:
 
 
 def _iter_exact_groups(batches, key_cols: list[str]):
-    """Re-assemble EXACT groups from a mapInPandas batch iterator.
-
-    Requires the upstream plan to repartition by key_cols and
-    sortWithinPartitions by key_cols (+ a deterministic row order):
-    each group's rows are then contiguous within the partition, and the
-    only split risk is the Arrow batch boundary — carry the trailing
-    (possibly incomplete) group into the next batch and flush at
-    partition end. Yields complete per-group frames in deterministic
-    row order, with none of applyInPandas' per-group invocation cost
-    (one Python call per ~10k-row batch instead of per group)."""
-    import pandas as pd
-
-    pend = None
-    for pdf in batches:
-        if pend is not None:
-            pdf = pd.concat([pend, pdf], ignore_index=True)
-            pend = None
-        if len(pdf) == 0:
-            continue
-        keys = [pdf[c].to_numpy() for c in key_cols]
-        last = tuple(k[-1] for k in keys)
-        not_tail = ~np.logical_and.reduce(
-            [k == v for k, v in zip(keys, last)]
-        )
-        nz = np.nonzero(not_tail)[0]
-        start_tail = int(nz[-1]) + 1 if len(nz) else 0
-        head, pend = pdf.iloc[:start_tail], pdf.iloc[start_tail:]
-        if len(head):
-            kh = [head[c].to_numpy() for c in key_cols]
-            boundary = np.ones(len(head), dtype=bool)
-            boundary[1:] = np.logical_or.reduce(
-                [k[1:] != k[:-1] for k in kh]
-            )
-            starts = np.nonzero(boundary)[0].tolist() + [len(head)]
-            for s, e in zip(starts[:-1], starts[1:]):
-                yield head.iloc[s:e]
-    if pend is not None and len(pend):
-        yield pend
+    """Re-assemble EXACT groups from a mapInPandas batch iterator
+    (same contract as _iter_complete_chunks, whose tail-carry logic it
+    reuses — one implementation of the subtle part). Yields complete
+    per-group frames in deterministic row order, with none of
+    applyInPandas' per-group invocation cost."""
+    for chunk in _iter_complete_chunks(batches, key_cols):
+        kh = [chunk[c].to_numpy() for c in key_cols]
+        boundary = np.ones(len(chunk), dtype=bool)
+        boundary[1:] = np.logical_or.reduce([k[1:] != k[:-1] for k in kh])
+        starts = np.nonzero(boundary)[0].tolist() + [len(chunk)]
+        for s, e in zip(starts[:-1], starts[1:]):
+            yield chunk.iloc[s:e]
 
 
 _PROVENANCE = ["repo", "path", "commit", "sent_id", "position"]

@@ -43,8 +43,16 @@ def global_rank_prefix(
     ``rank_name`` = global 1-based rank and ``cum_name`` = running sum
     of ``agg_col`` over that order, with no single-task global sort."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialize the range partitioning: two plan branches (local
+    # ranks + per-partition totals) read `ranged`, and they MUST see
+    # identical partition contents. Exchange reuse usually guarantees
+    # that, but it is an optimization, not a contract — a re-executed
+    # range exchange re-samples boundaries from a nondeterministically
+    # ordered upstream and would silently skew the offsets join.
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = W.partitionBy("_pid").orderBy(*order_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(w_local)).withColumn(

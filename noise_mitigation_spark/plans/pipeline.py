@@ -67,13 +67,31 @@ def run(
 
     # A small corpus parquet arrives as 1-4 splits; the pandas-UDF parse
     # would then run nearly serial. Fan out to cluster parallelism
-    # (round-robin — parse is embarrassingly parallel). At 100 TB the
-    # source has ≫ cores splits already and this is a no-op. Input
-    # width is estimated from the file listing (no df.rdd conversion);
-    # a local in-memory frame (no files) always fans out.
+    # (round-robin — parse is embarrassingly parallel). Width is
+    # estimated as SPLITS, not files: a multi-TB corpus in a handful of
+    # large splittable files already scans wide, and repartitioning it
+    # would be a needless full shuffle. A local in-memory frame (no
+    # files) always fans out.
     par = sc.defaultParallelism
-    n_files = len(documents.inputFiles())
-    if n_files < par:
+    files = documents.inputFiles()
+    est_splits = len(files)
+    if files:
+        try:
+            from ..operators.joins import parse_bytes
+
+            max_split = parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            import os as _os
+            from urllib.parse import urlparse
+
+            total = sum(
+                _os.path.getsize(urlparse(f).path) for f in files
+            )
+            est_splits = max(len(files), total // max_split)
+        except (OSError, ValueError):
+            pass  # non-local fs or odd conf: fall back to file count
+    if est_splits < par:
         documents = documents.repartition(par)
 
     parsed = mentions.parse_documents(documents, vocab_b)
@@ -92,7 +110,10 @@ def run(
         fp_parsed = f"{doc_fp}|emb:{emb_fp}"
         fp_scored = f"{fp_parsed}|enc:{encoder}"
         fp_att = f"{fp_scored}|salt:{n_salt}"
-        fp_triples = f"{fp_scored}|relth:{rel_theta}|mode:{type_mode}"
+        # triples consume ent_att (type vectors), so they chain from
+        # fp_att — an n_salt change (different float merge order) must
+        # invalidate them too, not just ent_att
+        fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}"
         parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp_parsed)
     else:
         # both branches (typing + relations) read this; without a

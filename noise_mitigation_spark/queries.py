@@ -785,6 +785,45 @@ WHERE token <> '' GROUP BY doc_id
 """
 
 
+def _arr_dot(a, b):
+    """Σ aᵢ·bᵢ over two array columns — JVM higher-order fold, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _arr_norm(col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _cosine(a, b):
+    return _arr_dot(a, b) / (_arr_norm(a) * _arr_norm(b))
+
+
+def _lsh_bucket(col, planes):
+    """Sign-hyperplane LSH bucket id for an embedding column."""
+
+    def dot_plane(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return _arr_dot(F.col(col), arr)
+
+    return sum(
+        [
+            (dot_plane(p) > 0).cast("long") * F.lit(2**i)
+            for i, p in enumerate(planes)
+        ],
+        F.lit(0).cast("long"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings
     table: queries = vec_id < 10, top-5 neighbors each. Dot product
@@ -794,22 +833,10 @@ def q_cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x * x),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -1161,45 +1188,19 @@ def q_ann_lsh(spark, sf_dir):
     join replaces the crossJoin."""
     planes = _ann_planes()
     e = _t(spark, sf_dir, "embeddings")
-
-    def dot_with(plane):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with("embedding", arr, lambda a, b: a * b),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
-    bucket = sum(
-        [
-            (dot_with(p) > 0).cast("long") * F.lit(2**i)
-            for i, p in enumerate(planes)
-        ],
-        F.lit(0).cast("long"),
+    bucketed = e.select(
+        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
     )
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
     )
     c = bucketed.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x * x),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -1398,7 +1399,10 @@ def q_char_vocab(spark, sf_dir):
     """A11 char vocab with min-freq cutoff (build_char_vocab,
     myutils.py:815-830): every character of the corpus text, kept if
     freq ≥ 1000 (the reference scales its cutoff with corpus size)."""
-    d = _t(spark, sf_dir, "documents")
+    # length >= 1 guard: Spark's sequence(1, 0) counts DOWN ([1, 0])
+    # while DuckDB's generate_series(1, 0) is empty — empty docs must
+    # not reach the explode
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
     chars = d.select(
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
         F.col("text"),
@@ -1413,7 +1417,7 @@ def q_char_vocab(spark, sf_dir):
 SQL_CHAR_VOCAB = """
 SELECT ch, count(*) AS freq
 FROM (SELECT substr(text, unnest(generate_series(1, length(text))), 1) AS ch
-      FROM documents)
+      FROM documents WHERE length(text) >= 1)
 GROUP BY ch HAVING count(*) >= 1000
 """
 
@@ -1624,23 +1628,9 @@ def q_ann_multiprobe(spark, sf_dir):
     crossJoin."""
     planes = _ann_planes()
     e = _t(spark, sf_dir, "embeddings")
-
-    def dot_with(plane):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with("embedding", arr, lambda a, b: a * b),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
-    bucket = sum(
-        [
-            (dot_with(p) > 0).cast("long") * F.lit(2**i)
-            for i, p in enumerate(planes)
-        ],
-        F.lit(0).cast("long"),
+    bucketed = e.select(
+        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
     )
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
     flips = spark.createDataFrame(
         [(0,)] + [(2**i,) for i in range(len(planes))], "flip long"
     )
@@ -1656,22 +1646,10 @@ def q_ann_multiprobe(spark, sf_dir):
     c = bucketed.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x * x),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"))
+        .select("qid", "cid", _cosine(F.col("qv"), F.col("cv")).alias("cos"))
         .groupBy("qid", "cid")
         .agg(F.max("cos").alias("cos"))  # dedupe multi-probe hits
     )
@@ -1730,7 +1708,11 @@ def q_rolling_fingerprint(spark, sf_dir):
     (and the window count) per doc — near-identical docs share the
     min-window fingerprint with high probability even under small
     edits, unlike whole-content hashing (q_dedup_exact). Stateless
-    md5-prefix window hash, identical in both engines, no sort."""
+    md5-prefix window hash, identical in both engines, no sort.
+    NOTE: one md5 per character position is the cross-engine-testable
+    shape; a production 100 TB run swaps in an incremental polynomial
+    (Rabin-Karp) hash inside a pandas UDF — same algebra, O(1) per
+    position instead of O(window)."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 16)
     wins = d.select(
         "doc_id",
@@ -1765,45 +1747,19 @@ def q_embedding_near_dup(spark, sf_dir):
     table's similarity spectrum (random pairs sit near 0)."""
     planes = _ann_planes()
     e = _t(spark, sf_dir, "embeddings")
-
-    def dot_with(plane):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with("embedding", arr, lambda a, b: a * b),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
-    bucket = sum(
-        [
-            (dot_with(p) > 0).cast("long") * F.lit(2**i)
-            for i, p in enumerate(planes)
-        ],
-        F.lit(0).cast("long"),
+    b = e.select(
+        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
     )
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
     a1 = b.select(
         F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "bucket"
     )
     a2 = b.select(
         F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "bucket"
     )
-    dot = F.aggregate(
-        F.zip_with("e1", "e2", lambda a, b_: a * b_),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x * x),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-    )
     return (
         a1.join(a2, "bucket")
         .filter(F.col("v1") < F.col("v2"))
-        .withColumn("cos", dot / (norm(F.col("e1")) * norm(F.col("e2"))))
+        .withColumn("cos", _cosine(F.col("e1"), F.col("e2")))
         .filter(F.col("cos") >= 0.4)
         .select(
             "v1",

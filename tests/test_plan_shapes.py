@@ -110,12 +110,14 @@ def test_dedup_family_has_no_global_sort(spark):
 
 
 def test_pr_curve_is_range_partitioned(spark):
-    """Global rank = two-pass range-partitioned prefix sum: the plan
-    must range-partition the data and contain no global Sort; the only
-    un-partitioned window runs over the P-row offsets table."""
+    """Global rank = two-pass range-partitioned prefix sum: the ranged
+    input is materialized once (localCheckpoint → ExistingRDD in the
+    final plan, so both consuming branches see identical partitions)
+    and the plan contains no global Sort; the only un-partitioned
+    window runs over the P-row offsets table."""
     plan = _plan(Q.q_pr_curve(spark, SF))
-    assert "rangepartitioning" in plan
-    assert "], true, 0" not in plan
+    assert "ExistingRDD" in plan  # the materialized range partitioning
+    assert "], true, 0" not in plan  # no single-task global sort
 
 
 def test_near_dup_verify_is_candidate_bounded(spark):
