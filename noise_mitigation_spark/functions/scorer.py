@@ -137,15 +137,75 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 _CONV_TABLE_CACHE: dict = {}
 
 
+@lru_cache(maxsize=1)
+def _openblas_threads_api():
+    """(set_num_threads, get_num_threads) handles, or (None, None).
+
+    Multi-threaded OpenBLAS sgemm splits the contraction differently
+    per thread count, so `emb @ filt.T` is NOT bit-stable across
+    processes with different effective thread counts — measured 1e-6
+    drift between this driver and Spark's Python workers. The golden
+    gate compares driver-side oracle output to executor-side UDF output
+    to rtol 1e-7, so the precompose must be pinned."""
+    import ctypes
+    import glob
+
+    pats = (
+        np.__path__[0] + ".libs/libopenblas*",
+        np.__path__[0] + "/../numpy.libs/libopenblas*",
+    )
+    for pat in pats:
+        for so in sorted(glob.glob(pat)):
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                continue
+            for suffix in ("64_", ""):
+                set_fn = getattr(lib, f"openblas_set_num_threads{suffix}", None)
+                get_fn = getattr(lib, f"openblas_get_num_threads{suffix}", None)
+                if set_fn is not None and get_fn is not None:
+                    return set_fn, get_fn
+    return None, None
+
+
+# Pin this process's BLAS to one thread the moment the kernels load:
+# every gemm in the scorer then has one fixed reduction order, so the
+# driver-side oracle and every executor worker produce bit-identical
+# float32 outputs (multi-threaded sgemm reorders the contraction per
+# thread count — measured 1e-6 drift driver↔worker before pinning).
+# This is also the right performance setting: the kernels run under
+# 32-way task parallelism, where nested BLAS threading only thrashes.
+_OPENBLAS_SET_THREADS = _openblas_threads_api()[0]
+if _OPENBLAS_SET_THREADS is not None:
+    _OPENBLAS_SET_THREADS(1)
+
+
 def _conv_tables(emb: np.ndarray, filt: np.ndarray, tag: str) -> list[np.ndarray]:
     key = (id(emb), emb.shape, tag)
     tbl = _CONV_TABLE_CACHE.get(key)
     if tbl is None:
-        # filt: [K, width, d] → per-offset [V, K] tables
-        tbl = [
-            np.ascontiguousarray(emb @ filt[:, off, :].T)
-            for off in range(filt.shape[1])
-        ]
+        if _OPENBLAS_SET_THREADS is not None:
+            # single-threaded sgemm (pinned at module load) has one
+            # fixed reduction order → identical tables everywhere
+            # filt: [K, width, d] → per-offset [V, K] tables
+            tbl = [
+                np.ascontiguousarray(emb @ filt[:, off, :].T)
+                for off in range(filt.shape[1])
+            ]
+        else:
+            # non-OpenBLAS numpy: BLAS-free fixed-order contraction
+            # (numpy pairwise sum, single-threaded) — same answer
+            # everywhere, ~5× slower, still once per process
+            tbl = [
+                np.stack(
+                    [
+                        (emb * filt[k, off, :]).sum(axis=1)
+                        for k in range(filt.shape[0])
+                    ],
+                    axis=1,
+                )
+                for off in range(filt.shape[1])
+            ]
         _CONV_TABLE_CACHE[key] = tbl
         # id()-keyed caches go stale if the array is freed and its
         # address recycled by a different embedding matrix — evict the

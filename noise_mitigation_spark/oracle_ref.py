@@ -77,14 +77,18 @@ def miml_aggregate(scored: pd.DataFrame, encoder: str = "cnn") -> pd.DataFrame:
     av = np.add.reduceat(P, starts, axis=0) / counts[:, None]
     m = np.maximum.reduceat(L, starts, axis=0)  # [G, T]
     e = np.exp(L - np.repeat(m, counts, axis=0))  # [n, T]
-    denom = np.add.reduceat(e, starts, axis=0)  # [G, T]
     mean_rep = (
         np.add.reduceat(R, starts, axis=0) / counts[:, None]
     ).astype(np.float32)
     mean1 = scorer.typing_scores_encoder(encoder, mean_rep).astype(np.float64)
     rows = []
     for g, (s, t) in enumerate(zip(starts, ends)):
-        S = (e[s:t].T @ R[s:t]) / denom[g][:, None]  # [T, D]
+        # pairwise per-group sum (ndarray.sum), NOT reduceat's sequential
+        # fold: the attention denominator feeds S directly and the Spark
+        # twin accumulates pairwise, so the fold order is load-bearing
+        # for the golden suite's rtol=1e-7 comparison.
+        denom = e[s:t].sum(axis=0)  # [T]
+        S = (e[s:t].T @ R[s:t]) / denom[:, None]  # [T, D]
         rows.append(
             {
                 "entity_id": ent[s],
