@@ -1806,6 +1806,232 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: the
+    duplicate-word-trigram fraction (1 − distinct/total) and the
+    most-frequent-bigram mass fraction, with a keep flag at the
+    thresholds both engines compute on ROUNDED values (the repo's
+    float-before-predicate convention). All JVM-side: transform over
+    sequence builds the n-grams, two hash aggregations — the shape
+    that survives 100 TB (per-doc grouping, no global state)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    tri = d.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-2),"
+                " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("g"),
+    )
+    trid = tri.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.col("g")) / F.count("*"), 4
+        ).alias("dup_tri_frac")
+    )
+    bi = d.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1),"
+                " i -> concat_ws(' ', t[i-1], t[i]))"
+            )
+        ).alias("g"),
+    )
+    bic = bi.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bid = bic.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bi_frac")
+    )
+    return trid.join(bid, "doc_id").select(
+        "doc_id",
+        "dup_tri_frac",
+        "top_bi_frac",
+        (
+            (F.col("dup_tri_frac") <= 0.02) & (F.col("top_bi_frac") <= 0.08)
+        ).alias("keep"),
+    )
+
+
+SQL_REPETITION_FILTER = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) s
+  WHERE len(t) >= 3
+), trid AS (
+  SELECT doc_id,
+         round(1.0 - count(DISTINCT g) * 1.0 / count(*), 4) AS dup_tri_frac
+  FROM tri GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+  WHERE len(t) >= 2
+), bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bid AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bi_frac
+  FROM bic GROUP BY doc_id
+)
+SELECT doc_id, dup_tri_frac, top_bi_frac,
+       (dup_tri_frac <= 0.02 AND top_bi_frac <= 0.08) AS keep
+FROM trid JOIN bid USING (doc_id)
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share
+    any word 4-gram with the held-out eval slice (doc_id % 17 = 0 —
+    the stand-in benchmark). The scale shape: the benchmark gram set
+    is small by construction, so it BROADCASTS to every executor and
+    the 100 TB training side streams through a map-side hash join —
+    no shuffle of the big side, no all-pairs comparison."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 4)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-3),"
+                " i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    ev = (
+        grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % 17 != 0)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) s
+  WHERE len(t) >= 4
+), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 0)
+SELECT doc_id, count(*) AS n_shared
+FROM tr JOIN ev USING (g) GROUP BY doc_id
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the reproducible corpus
+    mixer of a training-data pipeline: hash(lang:doc_id) → bucket in
+    [0, 1000); keep en at 20%, every other language at 60% (low-
+    resource upsampling). Stateless per-row predicate (same md5-prefix
+    hash as the dedup family) — no sort, no sampling state, identical
+    sample under any partitioning, any engine, any run."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "key", F.concat_ws(":", "lang", F.col("doc_id").cast("string"))
+    )
+    d = d.withColumn("bucket", _tokhash_spark("key") % 1000)
+    rate = F.when(F.col("lang") == "en", F.lit(200)).otherwise(F.lit(600))
+    return d.filter(F.col("bucket") < rate).select("doc_id", "lang", "bucket")
+
+
+SQL_HASH_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         lang || ':' || CAST(doc_id AS VARCHAR) AS key
+  FROM documents
+)
+SELECT doc_id, lang, {_tokhash_sql("key")} % 1000 AS bucket
+FROM keyed
+WHERE {_tokhash_sql("key")} % 1000 <
+      (CASE WHEN lang = 'en' THEN 200 ELSE 600 END)
+"""
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-style ANN — the coarse-quantizer scale path beside the LSH
+    buckets (ann_lsh/ann_multiprobe): assign every vector to its
+    nearest of 8 deterministic centroids (vec_id < 8 — a frozen
+    quantizer; production fits k-means offline and broadcasts it the
+    same way), then each query probes its nprobe=2 nearest cells and
+    brute-forces only those candidates (~2/8 of the corpus instead of
+    all of it). Centroid table broadcasts; the big side never
+    shuffles; per-cell search is an equi-join on cent_id."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    a = e.crossJoin(F.broadcast(cent)).withColumn(
+        "acos", _cosine(F.col("embedding"), F.col("cv"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cent_id"))
+    ranked = a.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cent_id", "embedding"
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") >= 490) & (F.col("rn") <= 2)
+    ).select(
+        F.col("vec_id").alias("qid"), "cent_id", F.col("embedding").alias("qv")
+    )
+    scored = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", _cosine(F.col("qv"), F.col("embedding")))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round("cos", 4).alias("cos"),
+            "rnk",
+        )
+    )
+
+
+SQL_IVF_ANN = """
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+), a AS (
+  SELECT e.vec_id, c.cent_id, e.embedding,
+         list_dot_product(e.embedding, c.cv) /
+           (sqrt(list_dot_product(e.embedding, e.embedding)) *
+            sqrt(list_dot_product(c.cv, c.cv))) AS acos
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, cent_id, embedding,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY acos DESC, cent_id) AS rn
+  FROM a
+), assign AS (
+  SELECT vec_id, cent_id, embedding FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, cent_id, embedding AS qv
+  FROM ranked WHERE vec_id >= 490 AND rn <= 2
+), scored AS (
+  SELECT p.qid, s.vec_id AS cid,
+         list_dot_product(p.qv, s.embedding) /
+           (sqrt(list_dot_product(p.qv, p.qv)) *
+            sqrt(list_dot_product(s.embedding, s.embedding))) AS cos
+  FROM probes p JOIN assign s USING (cent_id)
+  WHERE s.vec_id <> p.qid
+)
+SELECT qid, cid, round(cos, 4) AS cos, rnk FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1858,6 +2084,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": q_near_dup_clusters,
     "rolling_fingerprint": q_rolling_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
+    "repetition_filter": q_repetition_filter,
+    "decontaminate": q_decontaminate,
+    "hash_sample": q_hash_sample,
+    "ivf_ann": q_ivf_ann,
 }
 
 ORACLES: dict[str, str] = {
@@ -1908,4 +2138,8 @@ ORACLES: dict[str, str] = {
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "repetition_filter": SQL_REPETITION_FILTER,
+    "decontaminate": SQL_DECONTAMINATE,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "ivf_ann": SQL_IVF_ANN,
 }
