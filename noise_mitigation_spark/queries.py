@@ -1975,7 +1975,7 @@ def q_ivf_ann(spark, sf_dir):
         "vec_id", "cent_id", "embedding"
     )
     probes = ranked.filter(
-        (F.col("vec_id") >= 490) & (F.col("rn") <= 2)
+        (F.col("vec_id") % 50 == 0) & (F.col("rn") <= 2)  # scale-free query set
     ).select(
         F.col("vec_id").alias("qid"), "cent_id", F.col("embedding").alias("qv")
     )
@@ -2015,7 +2015,7 @@ WITH cent AS (
   SELECT vec_id, cent_id, embedding FROM ranked WHERE rn = 1
 ), probes AS (
   SELECT vec_id AS qid, cent_id, embedding AS qv
-  FROM ranked WHERE vec_id >= 490 AND rn <= 2
+  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2
 ), scored AS (
   SELECT p.qid, s.vec_id AS cid,
          list_dot_product(p.qv, s.embedding) /
