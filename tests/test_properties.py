@@ -237,3 +237,46 @@ def test_triples_invariant_under_input_permutation(spark, corpus, oracle):
         zip(oracle["triples"]["subj"], oracle["triples"]["pred"], oracle["triples"]["obj"])
     )
     assert got == want
+
+
+def test_kernels_bit_identical_across_blas_thread_envs(corpus, tmp_path):
+    """Regression guard for the round-2 golden drift: the frozen
+    kernels must produce BIT-identical float32 outputs in a process
+    whose BLAS would otherwise pick a different thread count (the
+    oracle runs in the driver, the UDFs in Spark's Python workers —
+    multi-threaded OpenBLAS sgemm is not reduction-order-stable across
+    thread counts, so scorer.py pins it to one thread at import)."""
+    import subprocess
+    import sys
+
+    from noise_mitigation_spark import oracle_ref
+    from noise_mitigation_spark.functions import scorer
+
+    mentions, _ = oracle_ref.parse_all(corpus)
+    ctx = np.stack(mentions["ctx_ids"].to_numpy())[:256]
+    wid = np.stack(mentions["mention_word_ids"].to_numpy())[:256]
+    rep = scorer.typing_rep(ctx, wid, corpus.emb)
+    probs = scorer.typing_scores(rep)
+
+    inp = tmp_path / "inp.npz"
+    out = tmp_path / "out.npz"
+    np.savez(inp, ctx=ctx, wid=wid, emb=corpus.emb)
+    code = (
+        "import numpy as np;"
+        "from noise_mitigation_spark.functions import scorer;"
+        f"d = np.load({str(inp)!r});"
+        "rep = scorer.typing_rep(d['ctx'], d['wid'], d['emb']);"
+        "probs = scorer.typing_scores(rep);"
+        f"np.savez({str(out)!r}, rep=rep, probs=probs)"
+    )
+    env = dict(
+        __import__("os").environ,
+        OPENBLAS_NUM_THREADS="4",
+        OMP_NUM_THREADS="4",
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, env=env, cwd="/root/repo"
+    )
+    got = np.load(out)
+    assert np.array_equal(rep, got["rep"]), "rep drifts across processes"
+    assert np.array_equal(probs, got["probs"]), "probs drift across processes"
