@@ -2032,6 +2032,60 @@ SELECT qid, cid, round(cos, 4) AS cos, rnk FROM (
 """
 
 
+def q_substring_dup_spans(spark, sf_dir):
+    """Exact-substring duplication coverage — the span-level dedup
+    signal (which FRACTION of a document is literally repeated
+    somewhere else in the corpus), complementing whole-doc hashing
+    (dedup_exact) and signature similarity (minhash/rolling_
+    fingerprint): hash strided 32-char windows, find hashes seen in
+    ≥2 distinct docs, report per-doc duplicated-window fraction.
+    Pure hash groupBy + equi-join on the window hash — no global
+    ordering, no all-pairs; the stride bounds cost to len/8 windows
+    per doc at any corpus size."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 32)
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - 31, F.lit(8))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.md5(F.expr("substr(text, i, 32)")).alias("h"))
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    return (
+        wins.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_win"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dup"),
+            F.round(
+                F.sum(F.coalesce(F.col("dup"), F.lit(0))) / F.count("*"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SQL_SUBSTRING_DUP_SPANS = """
+WITH wins AS (
+  SELECT doc_id, md5(substr(text, i, 32)) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 31, 8)) AS i) s
+  WHERE length(text) >= 32
+), shared AS (
+  SELECT h, 1 AS dup FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id, count(*) AS n_win,
+       sum(coalesce(s.dup, 0)) AS n_dup,
+       round(sum(coalesce(s.dup, 0)) * 1.0 / count(*), 4) AS dup_frac
+FROM wins w LEFT JOIN shared s USING (h)
+GROUP BY w.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2088,6 +2142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "hash_sample": q_hash_sample,
     "ivf_ann": q_ivf_ann,
+    "substring_dup_spans": q_substring_dup_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -2142,4 +2197,5 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "hash_sample": SQL_HASH_SAMPLE,
     "ivf_ann": SQL_IVF_ANN,
+    "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
 }
