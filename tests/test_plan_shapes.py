@@ -200,3 +200,23 @@ def test_no_python_udf_in_query_suite(spark):
                  "pr_curve", "sessionize"):
         plan = _plan(Q.QUERIES[name](spark, SF))
         assert "PythonUDF" not in plan and "MapInPandas" not in plan, name
+
+
+def test_new_pipeline_queries_plan_shapes(spark):
+    """The round-2 training-data operators keep their documented
+    100 TB shapes: the decontamination benchmark-gram set broadcasts
+    (map-side join, training side never shuffles for the probe); the
+    IVF centroid assignment broadcasts the centroid table; none of the
+    new family re-introduces a single-task global sort."""
+    plan = _plan(Q.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(Q.q_ivf_ann(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for name in (
+        "repetition_filter",
+        "decontaminate",
+        "hash_sample",
+        "substring_dup_spans",
+    ):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "], true, 0" not in plan, name  # no global sort anywhere
