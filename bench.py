@@ -64,6 +64,7 @@ HEADLINE = [
     "dim_broadcast_join", "pair_generation", "minhash_signatures",
     "simhash", "cosine_topk", "sessionize", "cube_rollup",
     "near_dup_pairs", "langid", "token_stats", "ann_multiprobe",
+    "repetition_filter", "decontaminate", "substring_dup_spans", "ivf_ann",
 ]  # fmt: skip
 
 
