@@ -1,0 +1,53 @@
+"""spark-submit entrypoint for the corpus-cleaning plan.
+
+    spark-submit --py-files nm_spark.zip jobs/run_cleaning.py \
+        --documents /data/corpus/documents.parquet \
+        --out       /data/clean_out
+
+Runs the composed hygiene pipeline (plans/cleaning.py): exact dedup →
+transitive near-dup (MinHash-LSH → Jaccard → connected components) →
+repetition filter → benchmark decontamination, materializing
+doc_flags and clean_docs with lineage manifests under --out. A
+re-submit with the same inputs+thresholds resumes from the manifests;
+changing any threshold recomputes (the fingerprint chains the params).
+Prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="corpus-cleaning pipeline")
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--near-dup-tau", type=float, default=0.5)
+    ap.add_argument("--rep-dup-tri-max", type=float, default=0.02)
+    ap.add_argument("--rep-top-bi-max", type=float, default=0.08)
+    ap.add_argument("--benchmark-mod", type=int, default=17)
+    args = ap.parse_args(argv)
+
+    from noise_mitigation_spark.plans import cleaning
+    from noise_mitigation_spark.session import get_spark
+
+    spark = get_spark("nm-cleaning")
+    docs = spark.read.parquet(args.documents)
+    res = cleaning.run_cleaning(
+        spark,
+        docs,
+        out_dir=args.out,
+        near_dup_tau=args.near_dup_tau,
+        rep_dup_tri_max=args.rep_dup_tri_max,
+        rep_top_bi_max=args.rep_top_bi_max,
+        benchmark_mod=args.benchmark_mod,
+    )
+    print(json.dumps({**res.stats, "out": args.out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -660,18 +660,17 @@ def _tokhash_sql(col: str = "token") -> str:
     return f"(({terms}) % {_MH_PRIME})"
 
 
-def q_minhash_signatures(spark, sf_dir):
-    """MinHash signatures for near-dup detection, fully relational:
-    stateless token ids (md5-prefix hash — no vocab table, no global
-    sort), k permutations h_k(t) = (a_k·tid + b_k) mod p, signature
-    = per-doc min. No UDF; the LSH band join consumes this table."""
-    d = _t(spark, sf_dir, "documents")
+def minhash_signatures_df(d: DataFrame) -> DataFrame:
+    """DataFrame core of q_minhash_signatures — also composed by the
+    cleaning plan (plans/cleaning.py)."""
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
     )
-    params = spark.createDataFrame(_MINHASH_PARAMS, "k int, a long, b long")
+    params = d.sparkSession.createDataFrame(
+        _MINHASH_PARAMS, "k int, a long, b long"
+    )
     return (
         toks.withColumn("tid", _tokhash_spark())
         .crossJoin(F.broadcast(params))
@@ -681,6 +680,14 @@ def q_minhash_signatures(spark, sf_dir):
         .groupBy("doc_id", "k")
         .agg(F.min("h").alias("minhash"))
     )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures for near-dup detection, fully relational:
+    stateless token ids (md5-prefix hash — no vocab table, no global
+    sort), k permutations h_k(t) = (a_k·tid + b_k) mod p, signature
+    = per-doc min. No UDF; the LSH band join consumes this table."""
+    return minhash_signatures_df(_t(spark, sf_dir, "documents"))
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -901,12 +908,10 @@ FROM events GROUP BY 1
 """
 
 
-def q_lsh_candidate_pairs(spark, sf_dir):
-    """MinHash-LSH banding: 8 minhashes → 2 bands of 4; docs sharing a
-    band key become near-dup candidate pairs. The band key is an
-    order-independent polynomial combine so both engines agree without
-    an ordered string-agg. Downstream of q_minhash_signatures."""
-    sig = q_minhash_signatures(spark, sf_dir).withColumn(
+def lsh_candidate_pairs_df(sig: DataFrame) -> DataFrame:
+    """DataFrame core of q_lsh_candidate_pairs over a signature table
+    (doc_id, k, minhash) — also composed by the cleaning plan."""
+    sig = sig.withColumn(
         "band", F.floor((F.col("k") - 1) / 4).cast("int")
     )
     keyed = sig.withColumn(
@@ -926,6 +931,14 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH banding: 8 minhashes → 2 bands of 4; docs sharing a
+    band key become near-dup candidate pairs. The band key is an
+    order-independent polynomial combine so both engines agree without
+    an ordered string-agg. Downstream of q_minhash_signatures."""
+    return lsh_candidate_pairs_df(q_minhash_signatures(spark, sf_dir))
+
+
 SQL_LSH_CANDIDATE_PAIRS = f"""
 WITH sig AS ({SQL_MINHASH_SIGNATURES}),
 keyed AS (
@@ -939,9 +952,9 @@ FROM keyed a JOIN keyed b
 """
 
 
-def _doc_shingles(spark, sf_dir, max_doc: int = 60):
-    """Distinct bigram shingles per doc (doc_id < max_doc)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
+def doc_shingles_df(d: DataFrame) -> DataFrame:
+    """Distinct bigram shingles per doc — DataFrame core, also
+    composed by the cleaning plan."""
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token") != "")
@@ -951,6 +964,13 @@ def _doc_shingles(spark, sf_dir, max_doc: int = 60):
         .filter(F.col("nxt").isNotNull())
         .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("shingle"))
         .distinct()
+    )
+
+
+def _doc_shingles(spark, sf_dir, max_doc: int = 60):
+    """Distinct bigram shingles per doc (doc_id < max_doc)."""
+    return doc_shingles_df(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
     )
 
 
@@ -1249,20 +1269,18 @@ SQL_ANN_LSH = _sql_ann_lsh()
 
 
 
-def q_near_dup_pairs(spark, sf_dir):
-    """Composed near-dup detector (the full dedup recipe): MinHash-LSH
-    candidate generation → n-gram Jaccard verification ≥ τ →
-    (keep, drop) decision by min doc_id. Candidates bound the
-    verification cost FOR REAL: the shingle table is semi-joined down
-    to candidate doc ids, and shingle-sharing pairs are semi-joined to
-    candidate pairs BEFORE the intersection groupBy — Jaccard work is
-    proportional to the LSH candidate set, never the quadratic pair
-    space. τ=0.05 tuned to the synthetic corpus's similarity spectrum
-    (random docs sit ~0.03)."""
-    cands = q_lsh_candidate_pairs(spark, sf_dir).filter(
-        (F.col("d1") < 60) & (F.col("d2") < 60)
-    )
-    sh = _doc_shingles(spark, sf_dir)
+def near_dup_pairs_df(
+    docs: DataFrame, cands: DataFrame, tau: float
+) -> DataFrame:
+    """DataFrame core of q_near_dup_pairs: verify LSH candidate pairs
+    with bigram-shingle Jaccard ≥ τ, emit (keep, drop) by min doc_id.
+    Candidates bound the verification cost FOR REAL: the shingle table
+    is semi-joined down to candidate doc ids, and shingle-sharing
+    pairs are semi-joined to candidate pairs BEFORE the intersection
+    groupBy — Jaccard work is proportional to the LSH candidate set,
+    never the quadratic pair space. Also composed by the cleaning
+    plan."""
+    sh = doc_shingles_df(docs)
     cand_docs = (
         cands.select(F.col("d1").alias("doc_id"))
         .union(cands.select(F.col("d2").alias("doc_id")))
@@ -1294,13 +1312,26 @@ def q_near_dup_pairs(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= 0.05).select(
+    return jac.filter(F.col("jaccard") >= tau).select(
         "d1",
         "d2",
         "jaccard",
         F.least("d1", "d2").alias("keep_id"),
         F.greatest("d1", "d2").alias("drop_id"),
     )
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """Composed near-dup detector (the full dedup recipe): MinHash-LSH
+    candidate generation → n-gram Jaccard verification ≥ τ →
+    (keep, drop) decision by min doc_id. τ=0.05 tuned to the synthetic
+    corpus's similarity spectrum (random docs sit ~0.03); demo-bounded
+    to doc_id < 60 to keep the oracle's quadratic CTE cheap."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    cands = q_lsh_candidate_pairs(spark, sf_dir).filter(
+        (F.col("d1") < 60) & (F.col("d2") < 60)
+    )
+    return near_dup_pairs_df(docs, cands, tau=0.05)
 
 
 SQL_NEAR_DUP_PAIRS = f"""
@@ -1806,17 +1837,12 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 
-def q_repetition_filter(spark, sf_dir):
-    """Gopher-style repetition quality signals per document: the
-    duplicate-word-trigram fraction (1 − distinct/total) and the
-    most-frequent-bigram mass fraction, with a keep flag at the
-    thresholds both engines compute on ROUNDED values (the repo's
-    float-before-predicate convention). All JVM-side: transform over
-    sequence builds the n-grams, two hash aggregations — the shape
-    that survives 100 TB (per-doc grouping, no global state)."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
+def repetition_filter_df(
+    docs: DataFrame, dup_tri_max: float = 0.02, top_bi_max: float = 0.08
+) -> DataFrame:
+    """DataFrame core of q_repetition_filter — also composed by the
+    cleaning plan."""
+    d = docs.select("doc_id", F.split("text", " ").alias("t"))
     tri = d.filter(F.size("t") >= 3).select(
         "doc_id",
         F.explode(
@@ -1849,9 +1875,21 @@ def q_repetition_filter(spark, sf_dir):
         "dup_tri_frac",
         "top_bi_frac",
         (
-            (F.col("dup_tri_frac") <= 0.02) & (F.col("top_bi_frac") <= 0.08)
+            (F.col("dup_tri_frac") <= dup_tri_max)
+            & (F.col("top_bi_frac") <= top_bi_max)
         ).alias("keep"),
     )
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: the
+    duplicate-word-trigram fraction (1 − distinct/total) and the
+    most-frequent-bigram mass fraction, with a keep flag at the
+    thresholds both engines compute on ROUNDED values (the repo's
+    float-before-predicate convention). All JVM-side: transform over
+    sequence builds the n-grams, two hash aggregations — the shape
+    that survives 100 TB (per-doc grouping, no global state)."""
+    return repetition_filter_df(_t(spark, sf_dir, "documents"))
 
 
 SQL_REPETITION_FILTER = """
@@ -1879,16 +1917,11 @@ FROM trid JOIN bid USING (doc_id)
 """
 
 
-def q_decontaminate(spark, sf_dir):
-    """Benchmark decontamination: flag training documents that share
-    any word 4-gram with the held-out eval slice (doc_id % 17 = 0 —
-    the stand-in benchmark). The scale shape: the benchmark gram set
-    is small by construction, so it BROADCASTS to every executor and
-    the 100 TB training side streams through a map-side hash join —
-    no shuffle of the big side, no all-pairs comparison."""
+def decontaminate_df(docs: DataFrame, benchmark_mod: int = 17) -> DataFrame:
+    """DataFrame core of q_decontaminate — also composed by the
+    cleaning plan."""
     toks = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("t"))
+        docs.select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 4)
     )
     grams = toks.select(
@@ -1901,14 +1934,26 @@ def q_decontaminate(spark, sf_dir):
         ).alias("g"),
     ).distinct()
     ev = (
-        grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+        grams.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select("g")
+        .distinct()
     )
-    tr = grams.filter(F.col("doc_id") % 17 != 0)
+    tr = grams.filter(F.col("doc_id") % benchmark_mod != 0)
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share
+    any word 4-gram with the held-out eval slice (doc_id % 17 = 0 —
+    the stand-in benchmark). The scale shape: the benchmark gram set
+    is small by construction, so it BROADCASTS to every executor and
+    the 100 TB training side streams through a map-side hash join —
+    no shuffle of the big side, no all-pairs comparison."""
+    return decontaminate_df(_t(spark, sf_dir, "documents"))
 
 
 SQL_DECONTAMINATE = """

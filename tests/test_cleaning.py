@@ -1,0 +1,133 @@
+"""Corpus-cleaning plan (plans/cleaning.py): component cross-checks
+against the DuckDB-verified query twins, a python union-find oracle
+for the transitive near-dup closure, resume semantics, and partition
+invariance."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark import queries as Q
+from noise_mitigation_spark.plans import cleaning
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs):
+    return cleaning.run_cleaning(spark, docs)
+
+
+@pytest.fixture(scope="module")
+def flags_pdf(result):
+    return result.flags.toPandas().set_index("doc_id").sort_index()
+
+
+def test_every_doc_flagged_exactly_once(docs, result, flags_pdf):
+    assert len(flags_pdf) == docs.count()
+    assert result.stats["kept"] == int(flags_pdf["keep"].sum())
+    # reasons array consistent with the boolean columns
+    for r in cleaning.REASONS:
+        got = {i for i, v in flags_pdf[r].items() if v}
+        via_reasons = {
+            i for i, rs in flags_pdf["reasons"].items() if r in list(rs)
+        }
+        assert got == via_reasons, r
+
+
+def test_exact_dup_flags_match_hash_groups(docs, flags_pdf):
+    pdf = docs.select("doc_id", F.md5("text").alias("h")).toPandas()
+    keep = pdf.groupby("h")["doc_id"].min()
+    want = set(pdf["doc_id"]) - set(keep)
+    got = {i for i, v in flags_pdf["exact_dup"].items() if v}
+    assert got == want
+
+
+def test_repetitive_flag_matches_query_twin(spark, flags_pdf):
+    rep = Q.q_repetition_filter(spark, SF).toPandas()
+    want = set(rep.loc[~rep["keep"], "doc_id"])
+    got = {i for i, v in flags_pdf["repetitive"].items() if v}
+    assert got == want
+
+
+def test_contaminated_flag_matches_query_twin(spark, flags_pdf):
+    want = set(Q.q_decontaminate(spark, SF).toPandas()["doc_id"])
+    got = {i for i, v in flags_pdf["contaminated"].items() if v}
+    assert got == want
+
+
+def test_near_dup_closure_matches_unionfind_oracle(spark, docs, flags_pdf):
+    """The distributed CC drop set must equal a driver-side union-find
+    over the same verified pairs (the pairs themselves are DuckDB-
+    gated at the query level)."""
+    survivors = docs  # sf0.01 has no exact dups (see exact test)
+    pairs = Q.near_dup_pairs_df(
+        survivors,
+        Q.lsh_candidate_pairs_df(Q.minhash_signatures_df(survivors)),
+        tau=0.5,
+    ).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["d1"], pairs["d2"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = {x for x in parent if find(x) != x}
+    got = {i for i, v in flags_pdf["near_dup"].items() if v}
+    assert got == want
+    assert len(want) > 0  # the corpus genuinely contains near-dups
+
+
+def test_clean_docs_are_the_keep_set(docs, result, flags_pdf):
+    kept_ids = set(
+        r["doc_id"] for r in result.clean_docs.select("doc_id").collect()
+    )
+    assert kept_ids == {i for i, v in flags_pdf["keep"].items() if v}
+    assert result.clean_docs.columns == docs.columns
+
+
+def test_resume_and_param_invalidation(spark, docs, tmp_path):
+    out = str(tmp_path / "clean")
+    cleaning.run_cleaning(spark, docs, out_dir=out)
+    manifests = {
+        s: os.path.getmtime(os.path.join(out, s, "_manifest.json"))
+        for s in ("doc_flags", "clean_docs")
+    }
+    # identical params → both stages resume (manifests untouched)
+    r2 = cleaning.run_cleaning(spark, docs, out_dir=out)
+    for s, mt in manifests.items():
+        assert os.path.getmtime(os.path.join(out, s, "_manifest.json")) == mt
+    assert r2.stats["kept"] > 0
+    # changed threshold → fingerprints change → stages recompute
+    cleaning.run_cleaning(spark, docs, out_dir=out, rep_dup_tri_max=0.001)
+    with open(os.path.join(out, "doc_flags", "_manifest.json")) as f:
+        fp = json.load(f)["input_fingerprint"]
+    assert "tri:0.001" in fp
+
+
+def test_flags_invariant_under_partitioning(spark, docs, flags_pdf):
+    res = cleaning.run_cleaning(spark, docs.repartition(7))
+    got = (
+        res.flags.select("doc_id", "keep")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got["keep"] == flags_pdf["keep"]).all()
