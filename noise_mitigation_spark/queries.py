@@ -1881,6 +1881,60 @@ def repetition_filter_df(
     )
 
 
+def repetition_flags_rowlocal(
+    docs: DataFrame,
+    text_col: str = "text",
+    dup_tri_max: float = 0.02,
+    top_bi_max: float = 0.08,
+) -> DataFrame:
+    """Row-local twin of repetition_filter_df: the same metrics
+    computed entirely inside one row with higher-order array functions
+    (no explode, no groupBy, no shuffle, no state) — which makes it
+    legal in a streaming append-mode plan and free of exchange cost in
+    batch. The per-doc work is O(n²) in tokens for the top-bigram scan
+    (vs O(n) for the aggregated twin), the right trade below ~10³
+    tokens/doc; tests pin both plans to identical output. Appends
+    dup_tri_frac / top_bi_frac / keep to the input rows (docs with
+    fewer than 3 tokens are dropped, matching the twin's inner join)."""
+    d = docs.withColumn("_t", F.split(F.col(text_col), " ")).filter(
+        F.size("_t") >= 3
+    )
+    d = d.withColumn(
+        "_tri",
+        F.expr(
+            "transform(sequence(1, size(_t)-2),"
+            " i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1]))"
+        ),
+    ).withColumn(
+        "_bi",
+        F.expr(
+            "transform(sequence(1, size(_t)-1),"
+            " i -> concat_ws(' ', _t[i-1], _t[i]))"
+        ),
+    )
+    d = d.withColumn(
+        "dup_tri_frac",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_tri")) / F.size("_tri"), 4
+        ),
+    ).withColumn(
+        "top_bi_frac",
+        F.round(
+            F.expr(
+                "aggregate(array_distinct(_bi), 0,"
+                " (acc, x) -> greatest(acc, size(filter(_bi, y -> y = x))))"
+            )
+            / F.size("_bi"),
+            4,
+        ),
+    )
+    return d.withColumn(
+        "keep",
+        (F.col("dup_tri_frac") <= dup_tri_max)
+        & (F.col("top_bi_frac") <= top_bi_max),
+    ).drop("_t", "_tri", "_bi")
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition quality signals per document: the
     duplicate-word-trigram fraction (1 − distinct/total) and the

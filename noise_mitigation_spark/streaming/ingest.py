@@ -99,6 +99,51 @@ def streaming_exact_dedup(docs: DataFrame, horizon: str = "10 minutes") -> DataF
     )
 
 
+def streaming_repetition_flags(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the cleaning plan's repetition filter: the
+    row-local array-function formulation (queries.repetition_flags_
+    rowlocal — no explode, no groupBy, no state) is append-mode legal
+    as-is, so the SAME expression tree runs over the stream. Tests pin
+    the row-local plan to the aggregated batch twin bit-for-bit."""
+    from ..queries import repetition_flags_rowlocal
+
+    return repetition_flags_rowlocal(docs, text_col="content")
+
+
+def streaming_contaminated_docs(
+    docs: DataFrame, benchmark_grams: DataFrame, horizon: str = "10 minutes"
+) -> DataFrame:
+    """Streaming benchmark decontamination: explode word 4-grams,
+    stream-static equi-join against the (small, broadcast) benchmark
+    gram table, then collapse back to one row per document with
+    dropDuplicatesWithinWatermark — bounded state (one row per
+    contaminated doc within the horizon), no aggregation, append-mode
+    legal. Emits the contaminated doc keys."""
+    grams = (
+        docs.withColumn("_t", F.split("content", " "))
+        .filter(F.size("_t") >= 4)
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "sha256",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t)-3), i ->"
+                    " concat_ws(' ', _t[i-1], _t[i], _t[i+1], _t[i+2]))"
+                )
+            ).alias("g"),
+        )
+    )
+    hit = grams.join(F.broadcast(benchmark_grams.select("g")), "g")
+    stamped = hit.withColumn("ingest_ts", F.current_timestamp())
+    return (
+        stamped.withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["sha256"])
+        .select("repo", "path", "commit", "sha256")
+    )
+
+
 def streaming_entity_scores(scored_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: incremental MIML-ATT over a mention
     stream (applyInPandasWithState).

@@ -198,3 +198,88 @@ def test_streaming_kg_typing_end_to_end(spark, corpus, oracle, tmp_path):
     got = np.stack(final["score_att"].to_numpy())
     exp = np.stack(want.loc[final.index, "score_att"].to_numpy())
     np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_streaming_repetition_flags_match_batch_twin(spark, corpus, docs_dir):
+    """The row-local repetition plan runs verbatim over the stream and
+    must equal the aggregated batch twin (different plan, same
+    semantics) on every doc."""
+    from noise_mitigation_spark import queries as Q
+    from pyspark.sql import functions as F
+
+    stream = ingest.stream_documents(spark, docs_dir)
+    q = (
+        ingest.streaming_repetition_flags(stream)
+        .select("sha256", "dup_tri_frac", "top_bi_frac", "keep")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rep_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM rep_stream")
+        .toPandas()
+        .set_index("sha256")
+        .sort_index()
+    )
+    batch_docs = spark.createDataFrame(corpus.documents).select(
+        F.col("sha256").alias("doc_id"), F.col("content").alias("text")
+    )
+    want = (
+        Q.repetition_filter_df(batch_docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    for c in ("dup_tri_frac", "top_bi_frac", "keep"):
+        assert (got[c] == want[c]).all(), c
+
+
+def test_streaming_contamination_matches_batch(spark, corpus, docs_dir):
+    """Stream-static gram join + watermarked doc collapse: the
+    contaminated doc set equals a batch computation of docs sharing a
+    4-gram with the benchmark grams."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(corpus.documents)
+    grams = (
+        docs.withColumn("_t", F.split("content", " "))
+        .filter(F.size("_t") >= 4)
+        .select(
+            "sha256",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t)-3), i ->"
+                    " concat_ws(' ', _t[i-1], _t[i], _t[i+1], _t[i+2]))"
+                )
+            ).alias("g"),
+        )
+    )
+    # benchmark = grams of the first 10 docs (by repo/path order)
+    bench_keys = [
+        r["sha256"]
+        for r in docs.orderBy("repo", "path").limit(10).select("sha256").collect()
+    ]
+    bench = grams.filter(F.col("sha256").isin(bench_keys)).select("g").distinct()
+    want = {
+        r["sha256"]
+        for r in grams.join(bench, "g").select("sha256").distinct().collect()
+    }
+    stream = ingest.stream_documents(spark, docs_dir)
+    q = (
+        ingest.streaming_contaminated_docs(stream, bench)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cont_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = set(
+        spark.sql("SELECT sha256 FROM cont_stream").toPandas()["sha256"]
+    )
+    assert got == want
+    assert len(want) >= 10  # benchmark docs self-match at minimum
