@@ -2185,6 +2185,150 @@ GROUP BY w.doc_id
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority) adapted to the driver tables:
+    3-way join customer ⋈ orders ⋈ lineitem with selective date/
+    segment predicates, revenue aggregation, top-10. The optimizer
+    shape that matters at scale: both filters push to the scans,
+    the customer side broadcasts, and the top-10 is a rank on the
+    ROUNDED revenue with an orderkey tiebreak (cross-engine-stable),
+    taken without a global sort of the aggregate."""
+    cutoff = "1998-06-01"
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+            "rnk",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+WITH rev AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l.l_orderkey, o.o_orderdate
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       revenue, rnk
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rnk
+      FROM rev)
+WHERE rnk <= 10
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) adapted: aggregate lineitem
+    per order, HAVING over the aggregate, join back to orders and
+    customer. The scale shape: the HAVING filter runs on the grouped
+    side BEFORE the joins (classic pre-aggregation pushdown — the big
+    table is reduced to qualifying orders first), and both dimension
+    joins stay equi-joins."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 4) > 300
+)
+SELECT c.c_custkey, c.c_name, b.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 4) AS totalprice, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, fully relational: a frozen
+    hashed-feature linear classifier (the fasttext-style shape used
+    for corpus quality scoring) — each token hashes to a deterministic
+    pseudo-weight in [-1, 1], the doc score is the mean token weight
+    through a sigmoid, label = score ≥ 0.5. At 100 TB this is a pure
+    map-side pass per document (one groupBy doc — no model serving, no
+    UDF); swapping in real learned weights = replacing the hash-derived
+    weight with a broadcast-joined weight table, same plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    weighted = toks.withColumn(
+        "w", (_tokhash_spark() % 2001 - 1000) / F.lit(1000.0)
+    )
+    return (
+        weighted.groupBy("doc_id")
+        .agg((F.sum("w") / F.count("*")).alias("mean_w"))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("mean_w") * 10)), 4
+            ).alias("quality"),
+        )
+        .withColumn("label", F.col("quality") >= 0.5)
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), weighted AS (
+  SELECT doc_id, ({_tokhash_sql("token")} % 2001 - 1000) / 1000.0 AS w
+  FROM toks WHERE token <> ''
+), agg AS (
+  SELECT doc_id, sum(w) / count(*) AS mean_w FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-mean_w * 10)), 4) AS quality,
+       round(1.0 / (1.0 + exp(-mean_w * 10)), 4) >= 0.5 AS label
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2242,6 +2386,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "ivf_ann": q_ivf_ann,
     "substring_dup_spans": q_substring_dup_spans,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q18": q_tpch_q18,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -2297,4 +2444,7 @@ ORACLES: dict[str, str] = {
     "hash_sample": SQL_HASH_SAMPLE,
     "ivf_ann": SQL_IVF_ANN,
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q18": SQL_TPCH_Q18,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }
