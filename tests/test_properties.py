@@ -280,3 +280,47 @@ def test_kernels_bit_identical_across_blas_thread_envs(corpus, tmp_path):
     got = np.load(out)
     assert np.array_equal(rep, got["rep"]), "rep drifts across processes"
     assert np.array_equal(probs, got["probs"]), "probs drift across processes"
+
+
+def test_rowlocal_repetition_equals_aggregated_twin(spark):
+    """The zero-shuffle row-local repetition plan and the explode+
+    groupBy twin must agree bit-for-bit on adversarial texts (all-same
+    tokens, minimal lengths, runs, multi-space) and seeded random
+    docs."""
+    import random
+
+    from noise_mitigation_spark import queries as Q
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "eee", "f0"]
+    texts = [
+        "x y z",               # exactly one trigram
+        "a a a a a a",         # fully repetitive
+        "a b a b a b a b",     # alternating (top bigram mass high)
+        "q w e r t y u i o p", # all distinct
+        "a  b  c  d",          # double spaces → empty tokens
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for _ in range(30)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = (
+        Q.repetition_flags_rowlocal(docs)
+        .select("doc_id", "dup_tri_frac", "top_bi_frac", "keep")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    b = (
+        Q.repetition_filter_df(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(a.index) == list(b.index)
+    for c in ("dup_tri_frac", "top_bi_frac", "keep"):
+        assert (a[c] == b[c]).all(), c
+    # fully-repetitive doc must be flagged
+    assert not a.loc[1, "keep"]
