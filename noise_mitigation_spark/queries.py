@@ -2178,7 +2178,7 @@ WITH wins AS (
   SELECT h, 1 AS dup FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
 )
 SELECT w.doc_id, count(*) AS n_win,
-       sum(coalesce(s.dup, 0)) AS n_dup,
+       CAST(sum(coalesce(s.dup, 0)) AS BIGINT) AS n_dup,
        round(sum(coalesce(s.dup, 0)) * 1.0 / count(*), 4) AS dup_frac
 FROM wins w LEFT JOIN shared s USING (h)
 GROUP BY w.doc_id
