@@ -1,0 +1,56 @@
+"""Driver-contract strict gate: run every queries() entry against its
+oracle_sql() twin at sf0.01 and require BIT equality (no tolerance) —
+the emulation of the per-round CORRECTNESS hash check. Expect
+MISMATCHES: [] for all queries.
+
+    python scripts/strict_gate.py
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+import duckdb, numpy as np, pandas as pd
+from noise_mitigation_spark.session import get_spark
+import importlib.util
+spec = importlib.util.spec_from_file_location("entry", "/root/repo/__spark_entry__.py")
+entry = importlib.util.module_from_spec(spec); spec.loader.exec_module(entry)
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+spark = get_spark("strict", cores=8, shuffle_partitions=16)
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(6)
+        elif df[c].dtype == object:
+            try: df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError): pass
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+qs, orc = entry.queries(), entry.oracle_sql()
+mismatches = []
+e = entry.entry(spark)
+assert e.count() >= 0
+for name in sorted(qs):
+    try:
+        got = canon(qs[name](spark, SF).toPandas())
+        want = canon(con.execute(orc[name]).df())
+        if list(got.columns) != list(want.columns):
+            mismatches.append((name, "cols", list(got.columns), list(want.columns))); continue
+        if len(got) != len(want):
+            mismatches.append((name, "rows", len(got), len(want))); continue
+        for c in got.columns:
+            g, w = got[c].to_numpy(), want[c].to_numpy()
+            if not (pd.Series(g).astype(str).values == pd.Series(w).astype(str).values).all():
+                bad = int((pd.Series(g).astype(str).values != pd.Series(w).astype(str).values).sum())
+                mismatches.append((name, f"values:{c}:{bad}")); break
+    except Exception as ex:
+        mismatches.append((name, "error", repr(ex)[:200]))
+print("N_QUERIES:", len(qs))
+print("MISMATCHES:", mismatches)
+spark.stop()
