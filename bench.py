@@ -65,7 +65,7 @@ HEADLINE = [
     "simhash", "cosine_topk", "sessionize", "cube_rollup",
     "near_dup_pairs", "langid", "token_stats", "ann_multiprobe",
     "repetition_filter", "decontaminate", "substring_dup_spans", "ivf_ann",
-    "tpch_q3", "tpch_q18", "quality_classifier",
+    "tpch_q3", "tpch_q18", "quality_classifier", "kmeans_assign",
 ]  # fmt: skip
 
 

@@ -2329,6 +2329,128 @@ FROM agg
 """
 
 
+_KMEANS_ITERS = 2  # Lloyd updates (assign → update, twice, then final assign)
+
+
+def _sqdist(a, b):
+    """Σ (aᵢ−bᵢ)² over two double-array columns (JVM fold, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign_df(e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table — the
+    trainer for the IVF coarse quantizer (q_ivf_ann): deterministic
+    init (lowest k vec_ids), then per iteration (a) assign every
+    vector to its nearest centroid via a BROADCAST of the k centroids
+    (map-side — the big table never shuffles for assignment) and (b)
+    recompute centroids as elementwise means via posexplode →
+    groupBy(cluster, pos) (shuffle volume k·d-bounded after the
+    partial agg, NOT corpus-bounded). Distances and means are rounded
+    (6 dp) before every comparison so the iteration trajectory is
+    bit-identical across engines — which is what lets a DuckDB oracle
+    verify an ITERATIVE algorithm exactly. Returns the final
+    assignment (vec_id, cluster): integer-only output, hash-stable."""
+    e = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv")
+    )
+
+    def assign(cents):
+        a = e.crossJoin(F.broadcast(cents)).withColumn(
+            "d", F.round(_sqdist(F.col("ev"), F.col("cv")), 6)
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cent_id"))
+        return (
+            a.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cluster"), "ev")
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cent)
+        cent = (
+            assigned.select(
+                "cluster", F.posexplode("ev").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("s")
+            )
+            .select(
+                F.col("cluster").alias("cent_id"),
+                F.expr("transform(s, x -> x.m)").alias("cv"),
+            )
+        )
+    return assign(cent).select("vec_id", "cluster")
+
+
+def q_kmeans_assign(spark, sf_dir):
+    return kmeans_assign_df(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_kmeans(k: int = 8, n_iter: int = _KMEANS_ITERS) -> str:
+    """Unrolled DuckDB twin of kmeans_assign_df: one assign+update CTE
+    pair per iteration, same rounding, same tiebreaks."""
+
+    def unnested(src):
+        return (
+            f"(SELECT cent_id, generate_subscripts(cv,1) AS pos,"
+            f" unnest(cv)::DOUBLE AS v FROM {src})"
+        )
+
+    def assign_cte(cents, out):
+        return f"""
+{out}_d AS (
+  SELECT ev.vec_id, cv.cent_id,
+         round(sum((ev.v - cv.v)*(ev.v - cv.v)), 6) AS d
+  FROM ev JOIN {unnested(cents)} cv USING (pos)
+  GROUP BY ev.vec_id, cv.cent_id
+), {out} AS (
+  SELECT vec_id, cent_id AS cluster FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cent_id) AS rn
+    FROM {out}_d) WHERE rn = 1
+)"""
+
+    def update_cte(assign, out):
+        return f"""
+{out} AS (
+  SELECT cluster AS cent_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cluster, e.pos, round(avg(e.v), 6) AS m
+    FROM {assign} a JOIN ev e USING (vec_id)
+    GROUP BY a.cluster, e.pos
+  ) GROUP BY cluster
+)"""
+
+    ctes = [
+        "ev AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,"
+        " unnest(embedding)::DOUBLE AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, list(v ORDER BY pos) AS cv"
+        f" FROM ev WHERE vec_id < {k} GROUP BY vec_id)",
+    ]
+    for i in range(n_iter):
+        ctes.append(assign_cte(f"c{i}", f"a{i + 1}").strip())
+        ctes.append(update_cte(f"a{i + 1}", f"c{i + 1}").strip())
+    ctes.append(assign_cte(f"c{n_iter}", "afinal").strip())
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cluster FROM afinal"
+    )
+
+
+SQL_KMEANS_ASSIGN = _sql_kmeans()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2389,6 +2511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q18": q_tpch_q18,
     "quality_classifier": q_quality_classifier,
+    "kmeans_assign": q_kmeans_assign,
 }
 
 ORACLES: dict[str, str] = {
@@ -2447,4 +2570,5 @@ ORACLES: dict[str, str] = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q18": SQL_TPCH_Q18,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
 }
