@@ -40,8 +40,9 @@ from pyspark.sql import functions as F
 
 from ..operators.linking import connected_components
 from ..queries import (
+    _minhash_params,
     decontaminate_df,
-    lsh_candidate_pairs_df,
+    lsh_candidate_hybrid_df,
     minhash_signatures_df,
     near_dup_pairs_df,
     repetition_filter_df,
@@ -49,6 +50,40 @@ from ..queries import (
 from . import lineage
 
 REASONS = ("exact_dup", "near_dup", "repetitive", "contaminated")
+
+# Selective banding for the near-dup stage: 32 permutations in 8-row
+# bands. The demo queries' 2×4 banding is fine for their bounded
+# inputs, but on a template-heavy corpus it makes low-similarity pairs
+# (s ≈ 0.5 → s⁴ ≈ 6%) collide en masse — measured 4.5M candidate
+# pairs from 5k docs at sf0.1. With s⁸ per band that corpus produces
+# ~10³ candidates, all high-similarity, and the Jaccard verify cost is
+# proportional to REAL near-dups instead of template noise.
+_NEARDUP_PARAMS = _minhash_params(32)
+_NEARDUP_ROWS_PER_BAND = 8
+
+
+def near_dup_pairs_for(docs: DataFrame, tau: float) -> DataFrame:
+    """Verified near-dup pairs the cleaning plan uses (also the
+    contract the union-find test oracle re-derives). HYBRID
+    candidates: all-pairs inside small buckets (exact recall), star
+    edges through the bucket min for giant buckets.
+
+    Measured trade (sf0.1, 5k docs, τ=0.5): all-pairs candidates are
+    3.4M pairs (one 1801-doc template-collision bucket) and find ~230
+    transitive drops in 80s+; the hybrid generates ~41k candidates and
+    finds ~135 drops in ~25s. The residual links are borderline-τ
+    pairs reachable only by quadratic enumeration INSIDE the giant
+    collision bucket — at 10^12 docs that enumeration does not exist,
+    so the linear generator is the design point, exact-duplicate
+    cliques are always recovered (hub jaccard = 1), and recall on
+    borderline pairs is the documented cost (raise bands/probes to buy
+    it back incrementally: K-hub stars and sorted-neighborhood windows
+    measured +5–20%)."""
+    sig = minhash_signatures_df(docs, params=_NEARDUP_PARAMS)
+    cands = lsh_candidate_hybrid_df(
+        sig, rows_per_band=_NEARDUP_ROWS_PER_BAND
+    )
+    return near_dup_pairs_df(docs, cands, tau)
 
 
 @dataclass
@@ -73,9 +108,7 @@ def _near_dup_flags(docs: DataFrame, tau: float) -> DataFrame:
     Jaccard ≥ τ pairs → connected components → drop all but the
     component min. Transitive: chains of near-dups collapse to one
     survivor even when the endpoints never shared an LSH band."""
-    pairs = near_dup_pairs_df(
-        docs, lsh_candidate_pairs_df(minhash_signatures_df(docs)), tau
-    )
+    pairs = near_dup_pairs_for(docs, tau)
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
@@ -159,6 +192,9 @@ def run_cleaning(
             spark, clean, out_dir, "clean_docs", f"{fp_docs}:{params}"
         )
     else:
+        # three downstream actions (stats counts + the clean semi-join)
+        # would otherwise recompute the whole flags DAG each time
+        flags = flags.cache()
         clean = docs.join(
             flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
         )

@@ -636,6 +636,27 @@ _MINHASH_PARAMS = [
 _MH_PRIME = 2147483647
 
 
+def _minhash_params(n: int) -> list[tuple[int, int, int]]:
+    """Deterministic (k, a, b) permutation constants: the first 8 are
+    the frozen oracle-gated set; further rows extend it with a fixed
+    LCG draw. The cleaning plan uses 32 permutations in 8-row bands
+    (selective banding) — on template-heavy corpora the demo 2×4
+    banding puts half the corpus in one bucket and the candidate set
+    goes quadratic; 8-row bands keep P(candidate) ≈ s⁸ per band, so
+    low-similarity template pairs never become candidates while
+    near-identical docs (s ≳ 0.8) still collide with high probability,
+    and the CC closure recovers chains."""
+    out = [list(p) for p in _MINHASH_PARAMS[:n]]
+    x = 88172645463325252
+    while len(out) < n:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_MH_PRIME - 2)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MH_PRIME
+        out.append([len(out) + 1, a, b])
+    return [tuple(p) for p in out]
+
+
 def _tokhash_spark(col: str = "token"):
     """Stateless token id: first 8 hex chars of md5 mod the Mersenne
     prime. Replaces the round-1 dense vocab (row_number OVER (ORDER BY
@@ -660,16 +681,18 @@ def _tokhash_sql(col: str = "token") -> str:
     return f"(({terms}) % {_MH_PRIME})"
 
 
-def minhash_signatures_df(d: DataFrame) -> DataFrame:
+def minhash_signatures_df(
+    d: DataFrame, params: list[tuple[int, int, int]] | None = None
+) -> DataFrame:
     """DataFrame core of q_minhash_signatures — also composed by the
-    cleaning plan (plans/cleaning.py)."""
+    cleaning plan (plans/cleaning.py, with a wider permutation set)."""
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
     )
     params = d.sparkSession.createDataFrame(
-        _MINHASH_PARAMS, "k int, a long, b long"
+        params or _MINHASH_PARAMS, "k int, a long, b long"
     )
     return (
         toks.withColumn("tid", _tokhash_spark())
@@ -908,17 +931,14 @@ FROM events GROUP BY 1
 """
 
 
-def lsh_candidate_pairs_df(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs_df(
+    sig: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
     """DataFrame core of q_lsh_candidate_pairs over a signature table
-    (doc_id, k, minhash) — also composed by the cleaning plan."""
-    sig = sig.withColumn(
-        "band", F.floor((F.col("k") - 1) / 4).cast("int")
-    )
-    keyed = sig.withColumn(
-        "term",
-        F.col("minhash")
-        * F.pow(F.lit(31.0), ((F.col("k") - 1) % 4).cast("double")).cast("long"),
-    ).groupBy("doc_id", "band").agg(F.sum("term").alias("band_key"))
+    (doc_id, k, minhash): ALL pairs per bucket (the oracle-gated demo
+    semantics — quadratic in bucket size; the cleaning plan uses
+    lsh_candidate_hybrid_df instead)."""
+    keyed = _lsh_band_keys(sig, rows_per_band)
     a = keyed.select(
         F.col("doc_id").alias("d1"), "band", "band_key"
     )
@@ -929,6 +949,62 @@ def lsh_candidate_pairs_df(sig: DataFrame) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
+
+
+def _lsh_band_keys(sig: DataFrame, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, band_key) from a signature table. The 4-row band
+    keeps the oracle-gated polynomial combine bit-for-bit; wider bands
+    use an xxhash64 per-slot mix (31^7·minhash would overflow long
+    under ANSI) — still an order-independent sum, Spark-side only."""
+    sig = sig.withColumn(
+        "band", F.floor((F.col("k") - 1) / rows_per_band).cast("int")
+    )
+    if rows_per_band == 4:
+        term = F.col("minhash") * F.pow(
+            F.lit(31.0), ((F.col("k") - 1) % 4).cast("double")
+        ).cast("long")
+    else:
+        term = F.xxhash64(
+            F.col("minhash"), ((F.col("k") - 1) % rows_per_band)
+        )
+    return sig.withColumn("term", term).groupBy("doc_id", "band").agg(
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("band_key")
+    )
+
+
+def lsh_candidate_hybrid_df(
+    sig: DataFrame, rows_per_band: int = 4, max_bucket: int = 64
+) -> DataFrame:
+    """Bucket-size-aware LSH candidates: ALL pairs inside buckets of
+    ≤ max_bucket members (exact recall where pair counts are cheap),
+    STAR edges — every member paired with the bucket MIN only — for
+    giant buckets. On web-scale corpora giant buckets ARE the
+    boilerplate duplicate clusters (measured here: one 1801-doc bucket
+    at sf0.1 → 5.4M all-pairs, vs 33k small-bucket pairs + 11k star
+    edges); m−1 star edges keep them linear, members connect through
+    the hub, and the CC closure downstream recovers the clique. Same
+    trick the alias-blocking canonicalizer uses (|edges| = |rows|,
+    never quadratic)."""
+    keyed = _lsh_band_keys(sig, rows_per_band)
+    stats = keyed.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("hub"), F.count("*").alias("m")
+    ).filter(F.col("m") >= 2)
+    sized = keyed.join(stats, ["band", "band_key"])
+    small = sized.filter(F.col("m") <= max_bucket)
+    small_pairs = (
+        small.select("band", "band_key", F.col("doc_id").alias("d1"))
+        .join(
+            small.select("band", "band_key", F.col("doc_id").alias("d2")),
+            ["band", "band_key"],
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+    )
+    giant_star = (
+        sized.filter((F.col("m") > max_bucket) & (F.col("doc_id") != F.col("hub")))
+        .select(F.col("hub").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    return small_pairs.union(giant_star).distinct()
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):

@@ -71,11 +71,7 @@ def test_near_dup_closure_matches_unionfind_oracle(spark, docs, flags_pdf):
     over the same verified pairs (the pairs themselves are DuckDB-
     gated at the query level)."""
     survivors = docs  # sf0.01 has no exact dups (see exact test)
-    pairs = Q.near_dup_pairs_df(
-        survivors,
-        Q.lsh_candidate_pairs_df(Q.minhash_signatures_df(survivors)),
-        tau=0.5,
-    ).toPandas()
+    pairs = cleaning.near_dup_pairs_for(survivors, tau=0.5).toPandas()
     parent: dict[int, int] = {}
 
     def find(x):
