@@ -2417,39 +2417,40 @@ def _sqdist(a, b):
     )
 
 
-def kmeans_assign_df(e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS) -> DataFrame:
-    """Distributed Lloyd's k-means over the embeddings table — the
-    trainer for the IVF coarse quantizer (q_ivf_ann): deterministic
-    init (lowest k vec_ids), then per iteration (a) assign every
-    vector to its nearest centroid via a BROADCAST of the k centroids
-    (map-side — the big table never shuffles for assignment) and (b)
-    recompute centroids as elementwise means via posexplode →
-    groupBy(cluster, pos) (shuffle volume k·d-bounded after the
-    partial agg, NOT corpus-bounded). Distances and means are rounded
-    (6 dp) before every comparison so the iteration trajectory is
-    bit-identical across engines — which is what lets a DuckDB oracle
-    verify an ITERATIVE algorithm exactly. Returns the final
-    assignment (vec_id, cluster): integer-only output, hash-stable."""
-    e = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+def _kmeans_rank(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, ev, rn): every vector ranked against the
+    broadcast centroids by ROUNDED squared distance, cent_id
+    tiebreak."""
+    a = e.crossJoin(F.broadcast(cents)).withColumn(
+        "d", F.round(_sqdist(F.col("ev"), F.col("cv")), 6)
     )
+    w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cent_id"))
+    return a.withColumn("rn", F.row_number().over(w))
+
+
+def kmeans_centroids_df(
+    e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Distributed Lloyd's k-means trainer: deterministic init (lowest
+    k vec_ids), then per iteration (a) assign every vector to its
+    nearest centroid via a BROADCAST of the k centroids (map-side —
+    the big table never shuffles for assignment) and (b) recompute
+    centroids as elementwise means via posexplode → groupBy(cluster,
+    pos) (shuffle volume k·d-bounded after the partial agg, NOT
+    corpus-bounded). Distances and means are rounded (6 dp) before
+    every comparison so the iteration trajectory is bit-identical
+    across engines — which is what lets a DuckDB oracle verify an
+    ITERATIVE algorithm exactly. `e` carries (vec_id, ev:array<double>);
+    returns (cent_id, cv)."""
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv")
     )
-
-    def assign(cents):
-        a = e.crossJoin(F.broadcast(cents)).withColumn(
-            "d", F.round(_sqdist(F.col("ev"), F.col("cv")), 6)
-        )
-        w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cent_id"))
-        return (
-            a.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cent_id").alias("cluster"), "ev")
-        )
-
     for _ in range(n_iter):
-        assigned = assign(cent)
+        assigned = (
+            _kmeans_rank(e, cent)
+            .filter(F.col("rn") == 1)
+            .select(F.col("cent_id").alias("cluster"), "ev")
+        )
         cent = (
             assigned.select(
                 "cluster", F.posexplode("ev").alias("pos", "v")
@@ -2467,7 +2468,27 @@ def kmeans_assign_df(e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS) -> D
                 F.expr("transform(s, x -> x.m)").alias("cv"),
             )
         )
-    return assign(cent).select("vec_id", "cluster")
+    return cent
+
+
+def _emb_as_double(e: DataFrame) -> DataFrame:
+    return e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+
+
+def kmeans_assign_df(
+    e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Final k-means assignment (vec_id, cluster): integer-only
+    output, hash-stable. See kmeans_centroids_df."""
+    e = _emb_as_double(e)
+    cent = kmeans_centroids_df(e, k, n_iter)
+    return (
+        _kmeans_rank(e, cent)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
 
 
 def q_kmeans_assign(spark, sf_dir):
@@ -2519,12 +2540,77 @@ def _sql_kmeans(k: int = 8, n_iter: int = _KMEANS_ITERS) -> str:
         ctes.append(assign_cte(f"c{i}", f"a{i + 1}").strip())
         ctes.append(update_cte(f"a{i + 1}", f"c{i + 1}").strip())
     ctes.append(assign_cte(f"c{n_iter}", "afinal").strip())
+    return "WITH " + ",\n".join(ctes)
+
+
+SQL_KMEANS_ASSIGN = _sql_kmeans() + "\nSELECT vec_id, cluster FROM afinal"
+
+
+def q_ivf_ann_trained(spark, sf_dir):
+    """The full IVF loop, trainer included: k-means centroids
+    (kmeans_assign_df's trajectory, bit-shared with its oracle)
+    replace q_ivf_ann's frozen seed vectors — assign the corpus to
+    the TRAINED cells, probe each query's 2 nearest cells, cosine
+    top-3 within the probed cells. Same scale shape as q_ivf_ann:
+    centroids broadcast, per-cell search is an equi-join on the
+    cluster id; the corpus-side table never shuffles for assignment."""
+    e = _emb_as_double(_t(spark, sf_dir, "embeddings"))
+    cent = kmeans_centroids_df(e)
+    ranked = _kmeans_rank(e, cent)
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cluster"), "ev"
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("rn") <= 2)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cent_id").alias("cluster"),
+        F.col("ev").alias("qv"),
+    )
+    scored = (
+        probes.join(assign, "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", _cosine(F.col("qv"), F.col("ev")))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cluster FROM afinal"
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round("cos", 4).alias("cos"),
+            "rnk",
+        )
     )
 
 
-SQL_KMEANS_ASSIGN = _sql_kmeans()
+SQL_IVF_ANN_TRAINED = _sql_kmeans() + """
+, probes AS (
+  SELECT vec_id AS qid, cent_id AS cluster FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cent_id) AS rn
+    FROM afinal_d) WHERE vec_id % 50 = 0 AND rn <= 2
+), scored AS (
+  SELECT p.qid, s.vec_id AS cid,
+         list_dot_product(qe.embedding::DOUBLE[], se.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                  qe.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(se.embedding::DOUBLE[],
+                                  se.embedding::DOUBLE[]))) AS cos
+  FROM probes p
+  JOIN afinal s USING (cluster)
+  JOIN embeddings qe ON qe.vec_id = p.qid
+  JOIN embeddings se ON se.vec_id = s.vec_id
+  WHERE s.vec_id <> p.qid
+)
+SELECT qid, cid, round(cos, 4) AS cos, rnk FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2588,6 +2674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": q_tpch_q18,
     "quality_classifier": q_quality_classifier,
     "kmeans_assign": q_kmeans_assign,
+    "ivf_ann_trained": q_ivf_ann_trained,
 }
 
 ORACLES: dict[str, str] = {
@@ -2647,4 +2734,5 @@ ORACLES: dict[str, str] = {
     "tpch_q18": SQL_TPCH_Q18,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "ivf_ann_trained": SQL_IVF_ANN_TRAINED,
 }
