@@ -1,0 +1,147 @@
+"""Frozen-model training losses (N10) and the joint cost (N11).
+
+The reference minimizes these during training; a frozen inference
+engine still needs them as *diagnostics* — the loss of the shipped
+weights on a corpus is the quantity a retraining decision is made
+from. Kernels here are the single source of truth shared by the
+numpy oracle (oracle_ref.training_costs) and the pytest twins of the
+Spark aggregations in operators/evaluation.joint_training_costs —
+per CLAUDE.md the two paths must never fork kernel math.
+
+Reference semantics realized:
+
+- ``bce_loss`` — mean elementwise binary cross-entropy,
+  src/typing/model.py:341-342 (``cross_entropy_loss``); used as the
+  typing cost by src/joint/train.py:686-697 (``compute_cost``).
+- ``ranking_loss_rows`` — the WARP-style hinge of
+  src/typing/model.py:313-338 (``ranking_loss``): the reference
+  samples 1 positive and 50 negatives per row with a seeded Theano
+  RandomStream and sums ``max(0, 1 - s_pos + s_neg)``. A distributed
+  engine cannot share a sequential RNG across executors without
+  serializing, so this kernel computes the estimator's EXACT
+  expectation instead: ``n_neg * mean_pos mean_neg hinge`` — the
+  quantity the sampler converges to, deterministic at any
+  parallelism. Rows with no positive or no negative labels
+  contribute 0 (the reference's sampler is undefined there).
+- ``miml_nll`` — the multi-instance NLL of
+  src/joint/logistic_sgd_MIML.py:88-119
+  (``negative_log_likelihood``): per bag, pick the instance whose
+  per-instance argmax CLASS INDEX is largest (``argmax(argmax(p,
+  axis=1))``, first instance on ties — numpy/Theano argmax), then
+  ``-log p[i*, y_bag]``. The quirky instance pick is the reference's
+  exact rule, kept verbatim.
+- ``miml_nll_max`` — the at-least-one variant of
+  logistic_sgd_MIML.py:81-86 (``negative_log_likelihood_maxBatch``):
+  ``-log(max_i p[i, y_bag])``.
+- ``miml_nll_mean`` — logistic_sgd_MIML.py:78-79
+  (``negative_log_likelihood_meanBatch``).
+- ``l2_norm`` / ``joint_cost`` — src/joint/train.py:864-890: ``cost
+  = (cost_type1 + cost_type2)/2 + wrel * cost_rel + l2 *
+  l2_norm(weights)`` with blocks' ``l2_norm`` = sqrt of the summed
+  squares over all WEIGHT-role (ndim >= 2) tensors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-7  # sigmoid outputs can saturate to exactly 0/1 in float32
+
+
+def bce_loss(y_hat: np.ndarray, y: np.ndarray) -> float:
+    """Mean elementwise binary cross-entropy (model.py:341-342)."""
+    p = np.clip(np.asarray(y_hat, dtype=np.float64), EPS, 1.0 - EPS)
+    t = np.asarray(y, dtype=np.float64)
+    return float(-np.mean(t * np.log(p) + (1.0 - t) * np.log(1.0 - p)))
+
+
+def ranking_loss_rows(
+    y_hat: np.ndarray, y: np.ndarray, n_neg: int = 50
+) -> np.ndarray:
+    """Per-row expected hinge ranking cost (model.py:313-338).
+
+    cost_i = n_neg * mean_{p in pos(i)} mean_{n in neg(i)}
+             max(0, 1 - s_ip + s_in); 0 if pos(i) or neg(i) empty.
+    Vectorized over the [n, T] matrix — no per-row Python loop.
+    """
+    S = np.asarray(y_hat, dtype=np.float64)
+    t = np.asarray(y, dtype=np.float64)
+    pos, neg = t > 0.5, t <= 0.5
+    n_pos = pos.sum(axis=1)
+    n_negs = neg.sum(axis=1)
+    # hinge(i, p, n) = max(0, 1 - S_ip + S_in); sum over pairs via the
+    # per-row outer structure: sum_p sum_n relu(1 - S_ip + S_in)
+    out = np.zeros(len(S), dtype=np.float64)
+    ok = (n_pos > 0) & (n_negs > 0)
+    for i in np.nonzero(ok)[0]:  # rows are independent; T is small
+        h = np.maximum(0.0, 1.0 - S[i, pos[i]][:, None] + S[i, neg[i]][None, :])
+        out[i] = n_neg * h.mean()
+    return out
+
+
+def ranking_loss(y_hat: np.ndarray, y: np.ndarray, n_neg: int = 50) -> float:
+    """Mean over rows of ranking_loss_rows (the reference's T.mean)."""
+    return float(ranking_loss_rows(y_hat, y, n_neg).mean())
+
+
+def _bag_nll(p: np.ndarray, y_ref: int, i_star: int) -> float:
+    q = min(max(float(p[i_star, y_ref]), EPS), 1.0 - EPS)
+    return float(-np.log(q))
+
+
+def miml_nll(bag_probs: np.ndarray, y_ref: int) -> float:
+    """argmax-of-argmax instance pick (logistic_sgd_MIML.py:116-119)."""
+    p = np.asarray(bag_probs, dtype=np.float64)
+    max_per_instance = p.argmax(axis=1)  # class index per instance
+    i_star = int(max_per_instance.argmax())  # first max — numpy & Theano
+    return _bag_nll(p, y_ref, i_star)
+
+
+def miml_nll_max(bag_probs: np.ndarray, y_ref: int) -> float:
+    """At-least-one: -log(max_i p[i, y]) (logistic_sgd_MIML.py:81-86)."""
+    p = np.asarray(bag_probs, dtype=np.float64)
+    return _bag_nll(p, y_ref, int(p[:, y_ref].argmax()))
+
+
+def miml_nll_mean(bag_probs: np.ndarray, y: np.ndarray) -> float:
+    """-mean_i log p[i, y_i] (logistic_sgd_MIML.py:78-79)."""
+    p = np.asarray(bag_probs, dtype=np.float64)
+    q = np.clip(p[np.arange(len(p)), np.asarray(y)], EPS, 1.0 - EPS)
+    return float(-np.mean(np.log(q)))
+
+
+def l2_norm(weights) -> float:
+    """blocks.theano_expressions.l2_norm over WEIGHT-role tensors:
+    sqrt(sum of squares), one sqrt over the grand total."""
+    total = 0.0
+    for w in weights:
+        w = np.asarray(w, dtype=np.float64)
+        total += float((w * w).sum())
+    return float(np.sqrt(total))
+
+
+def frozen_weight_l2() -> float:
+    """l2_norm of every frozen scorer weight matrix (ndim >= 2 —
+    blocks' WEIGHT role excludes biases), matching the
+    ComputationGraph weight filter of train.py:885-888."""
+    from . import scorer
+
+    ws = []
+    for d in (scorer.typing_weights(), scorer.relation_weights()):
+        ws.extend(v for v in d.values() if np.ndim(v) >= 2)
+    A, M, _c = scorer.attention_weights()
+    ws.extend([A, M])
+    return l2_norm(ws)
+
+
+def joint_cost(
+    cost_type: float, cost_rel: float, wrel: float = 1.0, l2: float = 1e-4
+) -> dict:
+    """cost_type + wrel*cost_rel + l2*||W|| (train.py:864-890)."""
+    l2_term = l2 * frozen_weight_l2()
+    return {
+        "cost_type": float(cost_type),
+        "cost_rel": float(cost_rel),
+        "l2_term": float(l2_term),
+        "joint": float(cost_type + wrel * cost_rel + l2_term),
+    }

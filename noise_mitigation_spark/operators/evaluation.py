@@ -321,3 +321,191 @@ def freq_bucket_report(
         ).alias("micro_f1"),
         F.countDistinct("entity_id").alias("n_entities"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N10/N11: frozen-model training losses + joint cost composition
+# ---------------------------------------------------------------------------
+
+
+def _clamp01(c):
+    from ..functions import losses
+
+    return F.least(
+        F.greatest(c, F.lit(losses.EPS)), F.lit(1.0 - losses.EPS)
+    )
+
+
+def gold_type_table(entities: DataFrame, ontology: DataFrame) -> DataFrame:
+    """(entity_id, type_id) gold memberships: explode entities.types
+    (names) against the ontology dimension (broadcast — it is 102
+    rows at any corpus scale)."""
+    names = entities.select(
+        "entity_id", F.explode("types").alias("type")
+    )
+    dim = ontology.select("type", "type_id")
+    return names.join(F.broadcast(dim), "type").select("entity_id", "type_id")
+
+
+def gold_relation_table(gold_pairs: DataFrame) -> DataFrame:
+    """(subj, obj, rel_id) with ids in pipeline ``/m/`` form and
+    rel_id = 1-based index into RELATION_NAMES (class 0 = NA),
+    matching relations.bag_triples' class layout. Duplicate
+    (subj, obj) gold rows keep the LOWEST rel_id (deterministic —
+    'every ranking has a total tiebreak')."""
+    from ..corpus import RELATION_NAMES
+
+    spark = gold_pairs.sparkSession
+    dim = spark.createDataFrame(
+        [(r, i + 1) for i, r in enumerate(RELATION_NAMES)],
+        "pred string, rel_id int",
+    )
+    dotted = lambda c: F.when(  # noqa: E731 — m.xxx → /m/xxx (P16)
+        F.col(c).startswith("m."),
+        F.concat(F.lit("/m/"), F.expr(f"substr({c}, 3)")),
+    ).otherwise(F.col(c))
+    return (
+        gold_pairs.join(F.broadcast(dim), "pred")
+        .select(dotted("subj").alias("subj"), dotted("obj").alias("obj"), "rel_id")
+        .groupBy("subj", "obj")
+        .agg(F.min("rel_id").alias("rel_id"))
+    )
+
+
+def _tower_bce(pairs_with_types: DataFrame, side: str, gold_types: DataFrame):
+    """Mean elementwise BCE of one entity tower's type probabilities
+    against gold memberships (cross_entropy_loss, model.py:341-342;
+    compute_cost, joint/train.py:686-697). Pure aggregation: explode
+    the [T] vector, left-join gold (broadcast-sized per type), one
+    map-side-combined avg — no kernel needed, the formula IS the plan."""
+    p = pairs_with_types.select(
+        F.col(side).alias("eid"),
+        F.posexplode(F.col(f"{side}_types").cast("array<double>")).alias(
+            "type_id", "p"
+        ),
+    )
+    g = gold_types.select(
+        F.col("entity_id").alias("eid"), "type_id", F.lit(1.0).alias("t")
+    )
+    pc = _clamp01(F.col("p"))
+    return (
+        p.join(g, ["eid", "type_id"], "left")
+        .withColumn("t", F.coalesce("t", F.lit(0.0)))
+        .select(
+            (
+                -(
+                    F.col("t") * F.log(pc)
+                    + (1.0 - F.col("t")) * F.log(1.0 - pc)
+                )
+            ).alias("e")
+        )
+        .agg(F.avg("e"))
+    )
+
+
+def relation_miml_nll(
+    scored_pairs: DataFrame, gold_rel: DataFrame
+) -> DataFrame:
+    """One-row (cost_rel, n_bags): the MIML NLL of
+    logistic_sgd_MIML.py:88-119 over (subj, obj) bags — per instance
+    the argmax class (array_position = FIRST max, numpy argmax
+    parity), per bag the instance with the largest argmax index
+    (earliest provenance keys on ties), then -log p[i*, y_bag] with
+    y_bag = gold relation or 0 (NA) under distant supervision. Window
+    is partitioned by bag — no global sort."""
+    inst = scored_pairs.withColumn(
+        "pdv", F.col("probs").cast("array<double>")
+    ).withColumn("amax", F.array_position(F.col("pdv"), F.array_max("pdv")))
+    w = W.partitionBy("subj", "obj").orderBy(
+        F.desc("amax"), "repo", "path", "commit", "sent_id"
+    )
+    istar = (
+        inst.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("subj", "obj", "pdv")
+    )
+    with_y = istar.join(gold_rel, ["subj", "obj"], "left").withColumn(
+        "y", F.coalesce("rel_id", F.lit(0))
+    )
+    loss = -F.log(_clamp01(F.element_at("pdv", F.col("y") + 1)))
+    return with_y.select(loss.alias("l")).agg(
+        F.avg("l").alias("cost_rel"), F.count("*").alias("n_bags")
+    )
+
+
+def typing_ranking_cost(
+    scored_mentions: DataFrame, gold_type_lists: DataFrame
+) -> DataFrame:
+    """One-row mean expected hinge ranking cost of the typing tower
+    (ranking_loss, model.py:313-338) — per-row costs computed by the
+    SHARED kernel losses.ranking_loss_rows inside an Arrow batch (the
+    pos×neg hinge is not separable, so it stays on the scorer's
+    pandas-UDF surface); the mean is a JVM aggregation."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import losses
+
+    joined = scored_mentions.select("entity_id", "probs").join(
+        gold_type_lists, "entity_id", "left"
+    ).withColumn("tids", F.coalesce("tids", F.array().cast("array<int>")))
+
+    def _rank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            S = np.stack(pdf["probs"].to_numpy()).astype(np.float64)
+            Y = np.zeros_like(S)
+            for i, tids in enumerate(pdf["tids"]):
+                Y[i, np.asarray(tids, dtype=int)] = 1.0
+            yield pd.DataFrame({"c": losses.ranking_loss_rows(S, Y)})
+
+    costs = joined.mapInPandas(_rank, schema="c double")
+    return costs.agg(F.avg("c").alias("ranking_type"))
+
+
+def joint_training_costs(
+    scored_mentions: DataFrame,
+    pairs_with_types: DataFrame,
+    scored_pairs: DataFrame,
+    gold_types: DataFrame,
+    gold_rel: DataFrame,
+    wrel: float = 1.0,
+    l2: float = 1e-4,
+) -> DataFrame:
+    """One-row joint training-cost report for the frozen model
+    (N10+N11): cost_type = (BCE_e1 + BCE_e2)/2 over the pair stream's
+    two typing towers, cost_rel = MIML NLL over relation bags,
+    ranking_type = the typing ranking-loss alternative, and joint =
+    cost_type + wrel*cost_rel + l2*||W|| exactly as composed by
+    src/joint/train.py:864-890 (l2_norm over WEIGHT-role tensors of
+    the frozen scorer). Every component is a one-row aggregate;
+    the combine is a crossJoin of scalars (no data-sized shuffle)."""
+    from ..functions import losses
+
+    c1 = _tower_bce(pairs_with_types, "subj", gold_types).toDF("bce1")
+    c2 = _tower_bce(pairs_with_types, "obj", gold_types).toDF("bce2")
+    cr = relation_miml_nll(scored_pairs, gold_rel)
+    rk = typing_ranking_cost(
+        scored_mentions,
+        gold_types.groupBy("entity_id").agg(
+            F.collect_list("type_id").alias("tids")
+        ),
+    )
+    l2_term = l2 * losses.frozen_weight_l2()
+    cost_type = (F.col("bce1") + F.col("bce2")) / 2.0
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(cr)
+        .crossJoin(rk)
+        .select(
+            F.round(cost_type, 6).alias("cost_type"),
+            F.round("cost_rel", 6).alias("cost_rel"),
+            F.round("ranking_type", 6).alias("ranking_type"),
+            F.round(F.lit(l2_term), 6).alias("l2_term"),
+            F.round(
+                cost_type + wrel * F.col("cost_rel") + F.lit(l2_term), 6
+            ).alias("joint"),
+            "n_bags",
+        )
+    )

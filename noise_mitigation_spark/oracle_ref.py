@@ -217,3 +217,85 @@ def run_pipeline(corpus: Corpus, encoder: str = "cnn") -> dict:
         "canon": canon,
         "triples_canon": triples_canon,
     }
+
+
+def training_costs(
+    corpus: Corpus,
+    encoder: str = "cnn",
+    type_mode: str = "weighted",
+    wrel: float = 1.0,
+    l2: float = 1e-4,
+) -> dict:
+    """Numpy twin of evaluation.joint_training_costs (N10/N11): the
+    frozen model's training losses on a corpus, composed per
+    src/joint/train.py:864-890. Shares every loss kernel with the
+    Spark path (functions/losses.py)."""
+    from .functions import losses
+
+    mentions, pairs = parse_all(corpus)
+    scored = score_mentions(mentions, corpus.emb, encoder=encoder)
+    ent_scores = miml_aggregate(scored, encoder=encoder)
+
+    tid = dict(zip(corpus.ontology["type"], corpus.ontology["type_id"]))
+    gold_vec = {}
+    for eid, types in zip(corpus.entities["entity_id"], corpus.entities["types"]):
+        v = np.zeros(N_TYPES, dtype=np.float64)
+        v[[tid[t] for t in types]] = 1.0
+        gold_vec[eid] = v
+    zeros_t = np.zeros(N_TYPES, dtype=np.float64)
+
+    # --- cost_type: BCE of the two pair-stream typing towers ---------
+    type_vec = {
+        e: np.asarray(s, dtype=np.float64)
+        for e, s in zip(ent_scores["entity_id"], ent_scores["score_att"])
+    }
+    E1 = np.stack([type_vec.get(s, zeros_t) for s in pairs["subj"]])
+    E2 = np.stack([type_vec.get(o, zeros_t) for o in pairs["obj"]])
+    Y1 = np.stack([gold_vec.get(s, zeros_t) for s in pairs["subj"]])
+    Y2 = np.stack([gold_vec.get(o, zeros_t) for o in pairs["obj"]])
+    cost_type = (losses.bce_loss(E1, Y1) + losses.bce_loss(E2, Y2)) / 2.0
+
+    # --- cost_rel: MIML NLL over (subj, obj) bags --------------------
+    L = np.stack(pairs["left_ids"].to_numpy())
+    M = np.stack(pairs["middle_ids"].to_numpy())
+    Rt = np.stack(pairs["right_ids"].to_numpy())
+    cL = np.stack(pairs["caps_left"].to_numpy())
+    cM = np.stack(pairs["caps_middle"].to_numpy())
+    cR = np.stack(pairs["caps_right"].to_numpy())
+    e1f = np.stack(
+        [type_vec.get(s, zeros_t) for s in pairs["subj"]]
+    ).astype(np.float32)
+    e2f = np.stack(
+        [type_vec.get(o, zeros_t) for o in pairs["obj"]]
+    ).astype(np.float32)
+    probs = scorer.relation_probs(
+        L, M, Rt, cL, cM, cR, e1f, e2f, corpus.emb, type_mode
+    ).astype(np.float64)
+    gold_rel = {}
+    for p, s, o in zip(
+        corpus.gold_pairs["pred"],
+        corpus.gold_pairs["subj"],
+        corpus.gold_pairs["obj"],
+    ):
+        key = (s.replace("m.", "/m/", 1), o.replace("m.", "/m/", 1))
+        rid = RELATION_NAMES.index(p) + 1
+        gold_rel[key] = min(gold_rel.get(key, rid), rid)
+    df = pairs[["subj", "obj"]].copy()
+    df["i"] = np.arange(len(df))
+    bag_losses = []
+    for (s, o), g in df.groupby(["subj", "obj"], sort=True):
+        P = probs[g["i"].to_numpy()]  # bag rows in provenance order
+        bag_losses.append(losses.miml_nll(P, gold_rel.get((s, o), 0)))
+    cost_rel = float(np.mean(bag_losses)) if bag_losses else 0.0
+
+    # --- ranking-loss alternative over the mention typing stream -----
+    S = np.stack(scored["probs"].to_numpy()).astype(np.float64)
+    Ym = np.stack(
+        [gold_vec.get(e, zeros_t) for e in scored["entity_id"]]
+    )
+    ranking_type = losses.ranking_loss(S, Ym)
+
+    out = losses.joint_cost(cost_type, cost_rel, wrel=wrel, l2=l2)
+    out["ranking_type"] = ranking_type
+    out["n_bags"] = len(bag_losses)
+    return out

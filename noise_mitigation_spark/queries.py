@@ -2614,6 +2614,244 @@ SELECT qid, cid, round(cos, 4) AS cos, rnk FROM (
 
 
 # --------------------------------------------------------------------------
+# N10/N11 training losses — the relational loss algebra on gate tables.
+# The pipeline-integrated versions (real scorer outputs + gold tables)
+# live in operators/evaluation.joint_training_costs and are
+# golden-tested; these gate twins prove the same algebra DuckDB-exact.
+# --------------------------------------------------------------------------
+
+_LOSS_EPS = 1e-7  # functions/losses.EPS — clamp before ln on both sides
+
+
+def _l2_term_const() -> float:
+    """l2 * ||W|| over the frozen scorer weights (train.py:885-888) —
+    a driver-side constant, identical in the Spark plan and the SQL
+    text (the weights are seeded, engine-independent)."""
+    from .functions import losses
+
+    return 1e-4 * losses.frozen_weight_l2()
+
+
+def _bce_events(spark, sf_dir) -> DataFrame:
+    """One row (n, bce_raw): mean elementwise binary cross-entropy of
+    a sigmoid score against a binary label derived from events
+    (cross_entropy_loss, src/typing/model.py:341-342)."""
+    e = _t(spark, sf_dir, "events")
+    p0 = 1.0 / (1.0 + F.exp(-F.col("value") / 25.0))
+    p = F.least(F.greatest(p0, F.lit(_LOSS_EPS)), F.lit(1.0 - _LOSS_EPS))
+    y = F.when(
+        F.col("event_type").isin("click", "purchase"), 1.0
+    ).otherwise(0.0)
+    elem = -(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))
+    return e.select(elem.alias("e")).agg(
+        F.count("*").alias("n"), F.avg("e").alias("bce_raw")
+    )
+
+
+_SQL_BCE_CTE = """
+bce AS (
+  SELECT count(*) AS n, avg(-(y*ln(p) + (1-y)*ln(1-p))) AS bce_raw
+  FROM (SELECT least(greatest(1.0/(1.0+exp(-value/25.0)), 1e-7), 1.0-1e-7) AS p,
+               CASE WHEN event_type IN ('click','purchase')
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM events)
+)
+"""
+
+
+def q_bce_loss(spark, sf_dir):
+    """N10 BCE (model.py:341-342): one-row mean binary cross-entropy.
+    Pure two-phase aggregation — partial sums map-side, one scalar to
+    the driver; no shuffle of the fact table."""
+    return _bce_events(spark, sf_dir).select(
+        "n", F.round("bce_raw", 6).alias("bce")
+    )
+
+
+SQL_BCE_LOSS = f"WITH {_SQL_BCE_CTE} SELECT n, round(bce_raw, 6) AS bce FROM bce"
+
+
+def _miml_nll_emb(spark, sf_dir) -> DataFrame:
+    """One row (n_bags, nll_raw): the MIML NLL of
+    src/joint/logistic_sgd_MIML.py:88-119 over synthetic bags — the
+    first 8 embedding dims are class scores, bag = vec_id//10, y_bag
+    = bag % 8. Instance pick = argmax-of-argmax with FIRST-instance
+    tiebreak, exactly the reference's quirky rule; softmax log-prob
+    of the chosen instance. Argmax comparisons run on raw parquet
+    floats (exact cross-engine); transcendentals only in the final
+    aggregate. Windows are partitioned (vec_id / bag) — no global
+    sort anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    inst = e.select(
+        "vec_id",
+        F.expr("vec_id DIV 10").alias("bag"),
+        F.posexplode(F.expr("slice(embedding, 1, 8)")).alias("cls", "s"),
+    ).withColumn("s", F.col("s").cast("double"))
+    wc = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cls"))
+    top = (
+        inst.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "bag", F.col("cls").alias("amax"))
+    )
+    wb = W.partitionBy("bag").orderBy(F.desc("amax"), F.asc("vec_id"))
+    istar = (
+        top.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") == 1)
+        .select(F.col("vec_id").alias("star_id"), "bag")
+    )
+    chosen = istar.join(inst, istar.star_id == inst.vec_id).select(
+        istar.bag, "cls", "s"
+    )
+    per_bag = chosen.groupBy("bag").agg(
+        F.sum(F.exp("s")).alias("z"),
+        F.max(
+            F.when(F.col("cls") == F.col("bag") % 8, F.col("s"))
+        ).alias("sy"),
+    )
+    loss = -(F.col("sy") - F.log("z"))
+    return per_bag.select(loss.alias("l")).agg(
+        F.count("*").alias("n_bags"), F.avg("l").alias("nll_raw")
+    )
+
+
+_SQL_MIML_NLL_CTE = """
+inst AS (
+  SELECT e.vec_id, e.vec_id // 10 AS bag, r.range AS cls,
+         e.embedding[r.range + 1]::DOUBLE AS s
+  FROM embeddings e, range(8) r
+), top AS (
+  SELECT vec_id, bag, cls AS amax FROM (
+    SELECT vec_id, bag, cls,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cls) AS rn
+    FROM inst) WHERE rn = 1
+), istar AS (
+  SELECT vec_id AS star_id, bag FROM (
+    SELECT vec_id, bag,
+           row_number() OVER (PARTITION BY bag
+                              ORDER BY amax DESC, vec_id) AS rb
+    FROM top) WHERE rb = 1
+), per_bag AS (
+  SELECT i2.bag, sum(exp(inst.s)) AS z,
+         max(CASE WHEN inst.cls = i2.bag % 8 THEN inst.s END) AS sy
+  FROM istar i2 JOIN inst ON inst.vec_id = i2.star_id
+  GROUP BY i2.bag
+), nll AS (
+  SELECT count(*) AS n_bags, avg(-(sy - ln(z))) AS nll_raw FROM per_bag
+)
+"""
+
+
+def q_miml_nll(spark, sf_dir):
+    """N10 MI-NLL (logistic_sgd_MIML.py:88-119): one-row bag NLL."""
+    return _miml_nll_emb(spark, sf_dir).select(
+        "n_bags", F.round("nll_raw", 6).alias("nll")
+    )
+
+
+SQL_MIML_NLL = (
+    f"WITH {_SQL_MIML_NLL_CTE}"
+    " SELECT n_bags, round(nll_raw, 6) AS nll FROM nll"
+)
+
+
+def q_ranking_loss(spark, sf_dir):
+    """N10 hinge ranking loss (model.py:313-338) as its exact
+    expectation: per user, 50 * mean over (pos, neg) score pairs of
+    max(0, 1 - p_pos + p_neg); users lacking a class contribute 0
+    (the reference's sampler is undefined there — documented
+    deviation: seeded sampling replaced by the deterministic
+    expectation it estimates). The pos×neg pair join is per-user
+    (equi-join on user_id, never global) and the event stream is
+    strided (event_id % 5) to bound pair fan-out. No transcendentals
+    — the only cross-engine drift is summation order, absorbed by
+    round 6."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    s = e.select(
+        "user_id",
+        (F.col("value") / 100.0).alias("p"),
+        F.col("event_type").isin("click", "purchase").alias("is_pos"),
+    )
+    pos = s.filter("is_pos").select("user_id", F.col("p").alias("pp"))
+    neg = s.filter(~F.col("is_pos")).select("user_id", F.col("p").alias("pn"))
+    per_user = (
+        pos.join(neg, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                50.0
+                * F.avg(
+                    F.greatest(
+                        F.lit(0.0), 1.0 - F.col("pp") + F.col("pn")
+                    )
+                )
+            ).alias("c")
+        )
+    )
+    allu = (
+        s.select("user_id")
+        .distinct()
+        .join(per_user, "user_id", "left")
+        .withColumn("c", F.coalesce("c", F.lit(0.0)))
+    )
+    return allu.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("c"), 6).alias("ranking_loss"),
+    )
+
+
+SQL_RANKING_LOSS = """
+WITH s AS (
+  SELECT user_id, value/100.0 AS p,
+         event_type IN ('click','purchase') AS is_pos
+  FROM events WHERE event_id % 5 = 0
+), per_user AS (
+  SELECT pos.user_id,
+         50.0 * avg(greatest(0.0, 1.0 - pos.p + neg.p)) AS c
+  FROM s pos JOIN s neg
+    ON pos.user_id = neg.user_id AND pos.is_pos AND NOT neg.is_pos
+  GROUP BY pos.user_id
+)
+SELECT count(*) AS n_users, round(avg(coalesce(c, 0.0)), 6) AS ranking_loss
+FROM (SELECT DISTINCT user_id FROM s) u LEFT JOIN per_user USING (user_id)
+"""
+
+
+def q_joint_cost(spark, sf_dir):
+    """N11 joint cost composition (src/joint/train.py:864-890):
+    cost_type + wrel*cost_rel + l2*||W||, with cost_type = the BCE
+    aggregate, cost_rel = the MIML NLL aggregate, wrel = 1, and the
+    l2 term a constant of the frozen seeded weights embedded
+    identically in both engines. The combine is a crossJoin of two
+    one-row aggregates — scalar-sized, no data shuffle."""
+    l2c = _l2_term_const()
+    ct = _bce_events(spark, sf_dir).select("bce_raw")
+    cr = _miml_nll_emb(spark, sf_dir).select("nll_raw")
+    return ct.crossJoin(cr).select(
+        F.round("bce_raw", 6).alias("cost_type"),
+        F.round("nll_raw", 6).alias("cost_rel"),
+        F.round(F.lit(l2c), 6).alias("l2_term"),
+        F.round(
+            F.col("bce_raw") + F.col("nll_raw") + F.lit(l2c), 6
+        ).alias("joint"),
+    )
+
+
+def _sql_joint_cost() -> str:
+    l2c = _l2_term_const()
+    return f"""
+WITH {_SQL_BCE_CTE.strip().rstrip()}, {_SQL_MIML_NLL_CTE.strip().lstrip()}
+SELECT round(bce_raw, 6) AS cost_type,
+       round(nll_raw, 6) AS cost_rel,
+       round({l2c!r}, 6) AS l2_term,
+       round(bce_raw + nll_raw + {l2c!r}, 6) AS joint
+FROM bce, nll
+"""
+
+
+SQL_JOINT_COST = _sql_joint_cost()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2675,6 +2913,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "kmeans_assign": q_kmeans_assign,
     "ivf_ann_trained": q_ivf_ann_trained,
+    "bce_loss": q_bce_loss,
+    "miml_nll": q_miml_nll,
+    "ranking_loss": q_ranking_loss,
+    "joint_cost": q_joint_cost,
 }
 
 ORACLES: dict[str, str] = {
@@ -2735,4 +2977,8 @@ ORACLES: dict[str, str] = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "ivf_ann_trained": SQL_IVF_ANN_TRAINED,
+    "bce_loss": SQL_BCE_LOSS,
+    "miml_nll": SQL_MIML_NLL,
+    "ranking_loss": SQL_RANKING_LOSS,
+    "joint_cost": SQL_JOINT_COST,
 }

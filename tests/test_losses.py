@@ -1,0 +1,134 @@
+"""N10/N11: frozen-model training losses + joint cost.
+
+Two layers of checking, per repo convention:
+- kernel unit tests against hand-computed values (the loss math);
+- a golden test: the Spark aggregation plan (evaluation.
+  joint_training_costs) vs the numpy oracle (oracle_ref.
+  training_costs) on the shared seed-42 corpus — both sides share
+  the kernels in functions/losses.py, so this checks the
+  DISTRIBUTED plan (joins, windows, aggregation order), not
+  reimplemented math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from noise_mitigation_spark import oracle_ref
+from noise_mitigation_spark.functions import losses
+from noise_mitigation_spark.operators import evaluation, mentions, relations, scoring
+
+
+# --------------------------- kernel units ---------------------------
+
+
+def test_bce_loss_hand():
+    y_hat = np.array([[0.9, 0.1], [0.5, 0.8]])
+    y = np.array([[1.0, 0.0], [0.0, 1.0]])
+    want = -np.mean(
+        [np.log(0.9), np.log(0.9), np.log(0.5), np.log(0.8)]
+    )
+    assert np.isclose(losses.bce_loss(y_hat, y), want, rtol=1e-12)
+
+
+def test_bce_loss_clamps_saturated():
+    val = losses.bce_loss(np.array([[1.0, 0.0]]), np.array([[0.0, 1.0]]))
+    assert np.isfinite(val)
+    assert np.isclose(val, -np.log(losses.EPS), rtol=1e-6)
+
+
+def test_ranking_loss_hand():
+    # one row: pos score 0.2, negs 0.6 and 0.1 →
+    # hinges: max(0, 1-0.2+0.6)=1.4, max(0, 1-0.2+0.1)=0.9
+    # expectation: 50 * mean([1.4, 0.9]) = 57.5
+    y_hat = np.array([[0.2, 0.6, 0.1]])
+    y = np.array([[1.0, 0.0, 0.0]])
+    assert np.isclose(losses.ranking_loss(y_hat, y), 57.5, rtol=1e-12)
+
+
+def test_ranking_loss_degenerate_rows_zero():
+    # all-positive and all-negative rows contribute 0
+    y_hat = np.array([[0.2, 0.6], [0.3, 0.4]])
+    y = np.array([[1.0, 1.0], [0.0, 0.0]])
+    assert losses.ranking_loss(y_hat, y) == 0.0
+
+
+def test_miml_nll_argmax_of_argmax():
+    # instance argmax classes: [2, 1, 2] → first instance with class
+    # index 2 is instance 0 → loss = -log p[0, y]
+    p = np.array(
+        [[0.1, 0.2, 0.7], [0.2, 0.5, 0.3], [0.05, 0.05, 0.9]]
+    )
+    assert np.isclose(losses.miml_nll(p, 1), -np.log(0.2), rtol=1e-12)
+    # at-least-one variant: max over instances of p[:, 1] = 0.5
+    assert np.isclose(losses.miml_nll_max(p, 1), -np.log(0.5), rtol=1e-12)
+    # mean variant
+    want = -np.mean(np.log([0.2, 0.5, 0.05]))
+    assert np.isclose(
+        losses.miml_nll_mean(p, np.array([1, 1, 1])), want, rtol=1e-12
+    )
+
+
+def test_l2_norm_is_blocks_style_single_sqrt():
+    ws = [np.array([[3.0]]), np.array([[4.0]])]
+    assert np.isclose(losses.l2_norm(ws), 5.0, rtol=1e-12)
+
+
+def test_joint_cost_composition():
+    out = losses.joint_cost(0.5, 0.25, wrel=2.0, l2=1e-4)
+    assert np.isclose(
+        out["joint"], 0.5 + 2.0 * 0.25 + out["l2_term"], rtol=1e-12
+    )
+    assert out["l2_term"] == pytest.approx(
+        1e-4 * losses.frozen_weight_l2(), rel=1e-12
+    )
+
+
+# --------------------------- golden plan ----------------------------
+
+
+@pytest.fixture(scope="module")
+def spark_costs(spark, corpus):
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(corpus.vocab)
+    emb_b = sc.broadcast(corpus.emb)
+    docs = spark.createDataFrame(corpus.documents).repartition(8)
+    parsed = mentions.parse_documents(docs, vocab_b).cache()
+    ment = mentions.mentions_view(parsed)
+    prs = mentions.pairs_view(parsed)
+    scored = scoring.score_mentions(ment, emb_b)
+    from noise_mitigation_spark.operators import miml
+
+    ent_att = miml.miml_attention(scoring.score_mentions(ment, emb_b))
+    with_types = relations.attach_type_vectors(prs, ent_att)
+    scored_pairs = relations.score_pairs(with_types, emb_b)
+    gold_types = evaluation.gold_type_table(
+        spark.createDataFrame(corpus.entities),
+        spark.createDataFrame(corpus.ontology),
+    )
+    gold_rel = evaluation.gold_relation_table(
+        spark.createDataFrame(corpus.gold_pairs)
+    )
+    row = evaluation.joint_training_costs(
+        scored, with_types, scored_pairs, gold_types, gold_rel
+    ).collect()[0]
+    parsed.unpersist()
+    return row
+
+
+def test_joint_costs_match_oracle(spark_costs, corpus):
+    want = oracle_ref.training_costs(corpus)
+    got = spark_costs
+    assert got["n_bags"] == want["n_bags"]
+    for k in ("cost_type", "cost_rel", "ranking_type", "l2_term", "joint"):
+        assert got[k] == pytest.approx(round(want[k], 6), abs=2e-6), k
+
+
+def test_joint_costs_are_load_bearing(spark_costs):
+    # the losses must reflect actual model/gold structure, not collapse
+    # to a degenerate constant
+    assert 0.0 < spark_costs["cost_type"] < 20.0
+    assert 0.0 < spark_costs["cost_rel"] < 20.0
+    assert spark_costs["l2_term"] > 0.0
+    assert spark_costs["joint"] > spark_costs["cost_type"]

@@ -220,3 +220,13 @@ def test_new_pipeline_queries_plan_shapes(spark):
     ):
         plan = _plan(Q.QUERIES[name](spark, SF))
         assert "], true, 0" not in plan, name  # no global sort anywhere
+
+
+def test_loss_queries_have_no_global_sort(spark):
+    """N10/N11 loss aggregates: every window is partitioned (vec_id /
+    bag / user) and every reduction is a two-phase scalar agg — a
+    global single-task Sort would mean the loss couldn't be computed
+    at corpus scale."""
+    for name in ("bce_loss", "miml_nll", "ranking_loss", "joint_cost"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "], true, 0" not in plan, name
