@@ -2760,11 +2760,21 @@ def q_ranking_loss(spark, sf_dir):
     max(0, 1 - p_pos + p_neg); users lacking a class contribute 0
     (the reference's sampler is undefined there — documented
     deviation: seeded sampling replaced by the deterministic
-    expectation it estimates). The pos×neg pair join is per-user
-    (equi-join on user_id, never global) and the event stream is
-    strided (event_id % 5) to bound pair fan-out. No transcendentals
-    — the only cross-engine drift is summation order, absorbed by
-    round 6."""
+    expectation it estimates).
+
+    SCALE SHAPE: the naive realization is a per-user pos×neg join —
+    quadratic in events-per-user, a blowup for any heavy user at
+    corpus scale. This plan is O(n log n): the pairwise hinge sum
+    Σ_pos Σ_neg max(0, 1-pp+pn) decomposes per positive into
+    cnt·(1-pp) + Σ pn over negatives with pn > pp-1, so it reduces to
+    ordered prefix sums — union the negatives with one PROBE row per
+    positive at threshold pp-1, sort per user descending, and read
+    the running (count, sum) of negatives at each probe. Ties at
+    pn == pp-1 contribute exactly 0 to the hinge, so tie order is
+    immaterial. Every window is partitioned by user — no global
+    sort; no transcendentals — the only cross-engine drift is
+    summation order, absorbed by round 6. (The DuckDB oracle keeps
+    the quadratic pair-join form: it IS the spec.)"""
     e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
     s = e.select(
         "user_id",
@@ -2773,24 +2783,52 @@ def q_ranking_loss(spark, sf_dir):
     )
     pos = s.filter("is_pos").select("user_id", F.col("p").alias("pp"))
     neg = s.filter(~F.col("is_pos")).select("user_id", F.col("p").alias("pn"))
+    rows = neg.select(
+        "user_id",
+        F.col("pn").alias("score"),
+        F.lit(0).alias("tag"),
+        F.col("pn").alias("val"),
+    ).unionByName(
+        pos.select(
+            "user_id",
+            (F.col("pp") - 1.0).alias("score"),
+            F.lit(1).alias("tag"),
+            F.col("pp").alias("val"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("score"), F.asc("tag"), F.asc("val"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_neg = F.col("tag") == 0
+    cum = rows.withColumn(
+        "cnt_neg", F.sum(F.when(is_neg, 1).otherwise(0)).over(w)
+    ).withColumn(
+        "sum_neg",
+        F.sum(F.when(is_neg, F.col("score")).otherwise(0.0)).over(w),
+    )
     per_user = (
-        pos.join(neg, "user_id")
+        cum.filter(F.col("tag") == 1)
         .groupBy("user_id")
         .agg(
-            (
-                50.0
-                * F.avg(
-                    F.greatest(
-                        F.lit(0.0), 1.0 - F.col("pp") + F.col("pn")
-                    )
-                )
-            ).alias("c")
+            F.sum(
+                F.col("cnt_neg") * (1.0 - F.col("val")) + F.col("sum_neg")
+            ).alias("hsum"),
+            F.count("*").alias("npos"),
         )
+    )
+    nn = neg.groupBy("user_id").agg(F.count("*").alias("nneg"))
+    pu = per_user.join(nn, "user_id").select(
+        "user_id",
+        (
+            50.0 * F.col("hsum") / (F.col("npos") * F.col("nneg"))
+        ).alias("c"),
     )
     allu = (
         s.select("user_id")
         .distinct()
-        .join(per_user, "user_id", "left")
+        .join(pu, "user_id", "left")
         .withColumn("c", F.coalesce("c", F.lit(0.0)))
     )
     return allu.agg(
