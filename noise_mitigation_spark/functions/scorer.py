@@ -125,6 +125,36 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+# BLAS kernels select different accumulation orders for different M
+# (batch-row) extents, so `X @ W` is NOT bit-stable across batch
+# decompositions — the same mention scored in a 212-row delta batch
+# vs a 1362-row full batch measured a 1-2 ulp float32 drift. Every
+# batch-dim matmul therefore goes through _mm: fixed 512-row chunks
+# (tail zero-padded to the same shape), so BLAS sees ONE gemm shape
+# no matter how the corpus was partitioned. This is what makes
+# incremental append (plans/incremental.py) and any repartitioning
+# BIT-equal to a from-scratch run, not merely rtol-close.
+_MM_CHUNK = 512
+
+
+def _mm(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Batch-decomposition-invariant matmul over the leading axis.
+    x: [..., K] (leading axes flattened), w: [K, N]."""
+    lead = x.shape[:-1]
+    x2 = np.ascontiguousarray(x.reshape(-1, x.shape[-1]))
+    n = x2.shape[0]
+    out = np.empty((n, w.shape[1]), dtype=np.result_type(x2, w))
+    for s in range(0, n, _MM_CHUNK):
+        c = x2[s : s + _MM_CHUNK]
+        if c.shape[0] < _MM_CHUNK:
+            pad = np.zeros((_MM_CHUNK, x2.shape[1]), dtype=x2.dtype)
+            pad[: c.shape[0]] = c
+            out[s:] = (pad @ w)[: c.shape[0]]
+        else:
+            out[s : s + _MM_CHUNK] = c @ w
+    return out.reshape(*lead, w.shape[1])
+
+
 # Precomposed embedding⊗filter lookup tables, keyed by the embedding
 # matrix object. A conv over embedded ids is linear in the embedding,
 # so T_off = emb @ filt[:, off, :].T ([V, K]) can be computed ONCE per
@@ -259,14 +289,14 @@ def typing_rep(
 def typing_scores(rep: np.ndarray) -> np.ndarray:
     """Representation [B, REP_DIM] → per-mention type probs [B, 102]."""
     w = typing_weights()
-    h = np.maximum(rep @ w["Wh"] + w["bh"], 0.0)
-    return _sigmoid(h @ w["Wo"] + w["bo"]).astype(np.float32)
+    h = np.maximum(_mm(rep, w["Wh"]) + w["bh"], 0.0)
+    return _sigmoid(_mm(h, w["Wo"]) + w["bo"]).astype(np.float32)
 
 
 def attention_logits(rep: np.ndarray) -> np.ndarray:
     """[B, REP_DIM] → [B, 102] bilinear attention logits."""
     A, _, _ = attention_weights()
-    return (rep @ A).astype(np.float32)
+    return _mm(rep, A).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -345,11 +375,11 @@ def _lstm_last(X: np.ndarray, Wx, bx, Uh) -> np.ndarray:
     (lstm_layer + create_rec fv = h[last], model.py:220-224,263-285).
     Gate order i, f, g, o; zero initial state."""
     h = Uh.shape[0]
-    pre = X @ Wx + bx  # [B, L, 4h]
+    pre = _mm(X, Wx) + bx  # [B, L, 4h]
     state = np.zeros((X.shape[0], h), dtype=np.float32)
     cell = np.zeros_like(state)
     for t in range(X.shape[1]):
-        z = pre[:, t] + state @ Uh
+        z = pre[:, t] + _mm(state, Uh)
         i = _sigmoid(z[:, :h])
         f = _sigmoid(z[:, h : 2 * h])
         g = np.tanh(z[:, 2 * h : 3 * h])
@@ -378,14 +408,14 @@ def typing_rep_encoder(
         ]
     elif name == "gru":
         X = emb[ctx_ids]  # [B, L, d]
-        inputs = X @ w["Wi"] + w["bi"]  # [B, L, h]
-        gates = X @ w["Wg"] + w["bg"]  # [B, L, 2h]
+        inputs = _mm(X, w["Wi"]) + w["bi"]  # [B, L, h]
+        gates = _mm(X, w["Wg"]) + w["bg"]  # [B, L, 2h]
         h = REC_HID
         state = np.zeros((ctx_ids.shape[0], h), dtype=np.float32)
         for t in range(ctx_ids.shape[1]):
-            z = _sigmoid(gates[:, t, :h] + state @ w["Uz"])
-            r = _sigmoid(gates[:, t, h:] + state @ w["Ur"])
-            cand = np.tanh(inputs[:, t] + (r * state) @ w["U"])
+            z = _sigmoid(gates[:, t, :h] + _mm(state, w["Uz"]))
+            r = _sigmoid(gates[:, t, h:] + _mm(state, w["Ur"]))
+            cand = np.tanh(inputs[:, t] + _mm(r * state, w["U"]))
             state = z * cand + (1.0 - z) * state
         parts = [state]
     elif name in ("lstm", "bilstm"):
@@ -409,15 +439,15 @@ def typing_scores_encoder(name: str, rep: np.ndarray) -> np.ndarray:
     if name == "cnn":
         return typing_scores(rep)
     w = encoder_weights(name)
-    h = np.maximum(rep @ w["Wh"] + w["bh"], 0.0)
-    return _sigmoid(h @ w["Wo"] + w["bo"]).astype(np.float32)
+    h = np.maximum(_mm(rep, w["Wh"]) + w["bh"], 0.0)
+    return _sigmoid(_mm(h, w["Wo"]) + w["bo"]).astype(np.float32)
 
 
 def attention_logits_encoder(name: str, rep: np.ndarray) -> np.ndarray:
     if name == "cnn":
         return attention_logits(rep)
     w = encoder_weights(name)
-    return (rep @ w["A"]).astype(np.float32)
+    return _mm(rep, w["A"]).astype(np.float32)
 
 
 def attention_bag_scores_encoder(name: str, s: np.ndarray) -> np.ndarray:
@@ -501,7 +531,7 @@ def apply_type_mode(types: np.ndarray, mode: str, w: dict | None = None) -> np.n
         return np.zeros_like(t)
     if mode in ("predicted-hidden", "binary-hidden"):
         x = t if mode == "predicted-hidden" else (t >= 0.5).astype(np.float32)
-        return np.tanh(x @ w["W_type"] + w["b_type"]).astype(np.float32)
+        return np.tanh(_mm(x, w["W_type"]) + w["b_type"]).astype(np.float32)
     raise ValueError(f"unknown type_mode {mode!r}")
 
 
@@ -530,8 +560,8 @@ def relation_probs(
         ],
         axis=1,
     )
-    h = np.tanh(feats @ w["Wh"] + w["bh"])
-    logits = h @ w["Wo"] + w["bo"]
+    h = np.tanh(_mm(feats, w["Wh"]) + w["bh"])
+    logits = _mm(h, w["Wo"]) + w["bo"]
     logits -= logits.max(axis=1, keepdims=True)
     e = np.exp(logits)
     return (e / e.sum(axis=1, keepdims=True)).astype(np.float32)

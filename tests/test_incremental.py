@@ -1,0 +1,123 @@
+"""Incremental append ≡ full recompute (plans/incremental.py).
+
+The strongest property an incremental maintenance plan can have:
+running the pipeline on corpus A, then absorbing delta B, must yield
+byte-for-byte the tables a from-scratch run on A ∪ B produces — AND
+leave the lineage manifests in the state that from-scratch run would
+recognize (so a later full resubmit resumes instead of recomputing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from noise_mitigation_spark.plans import incremental, pipeline
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def split_runs(spark, corpus, tmp_path_factory):
+    docs = corpus.documents
+    A, B = docs.iloc[:150], docs.iloc[150:]
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    inc_dir = str(tmp_path_factory.mktemp("inc"))
+
+    full = pipeline.run(
+        spark,
+        spark.createDataFrame(docs),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=full_dir,
+    )
+    pipeline.run(
+        spark,
+        spark.createDataFrame(A),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=inc_dir,
+    )
+    inc = incremental.run_incremental(
+        spark,
+        spark.createDataFrame(B),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=inc_dir,
+    )
+    return full, inc, inc_dir
+
+
+def test_triples_bit_equal(split_runs):
+    full, inc, _ = split_runs
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(inc.triples_canon, cols) == _rows(full.triples_canon, cols)
+    assert _rows(inc.triples, cols) == _rows(full.triples, cols)
+
+
+def test_assertions_and_bags_bit_equal(split_runs):
+    full, inc, _ = split_runs
+    cols = ["entity_id", "type_id", "score"]
+    assert _rows(inc.assertions, cols) == _rows(full.assertions, cols)
+    a = {r["entity_id"]: (r["n_mentions"], tuple(r["score_att"]))
+         for r in inc.ent_att.collect()}
+    b = {r["entity_id"]: (r["n_mentions"], tuple(r["score_att"]))
+         for r in full.ent_att.collect()}
+    assert a == b
+
+
+def test_manifests_advance_to_combined_lineage(split_runs, spark, corpus):
+    """After the increment, every stage manifest must carry the
+    fingerprint a full A∪B run computes — so that run RESUMES (mtimes
+    untouched) instead of recomputing."""
+    full, inc, inc_dir = split_runs
+    paths = [
+        os.path.join(inc_dir, s, "_manifest.json")
+        for s in ("parsed", "scored", "ent_att", "triples", "triples_canon")
+    ]
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    res = pipeline.run(
+        spark,
+        spark.createDataFrame(corpus.documents),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=inc_dir,
+    )
+    assert {p: os.path.getmtime(p) for p in paths} == mtimes
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(res.triples_canon, cols) == _rows(full.triples_canon, cols)
+    man = json.load(open(os.path.join(inc_dir, "parsed", "_manifest.json")))
+    assert man.get("deltas"), "delta metrics recorded without a full rescan"
+
+
+def test_param_mismatch_refuses(split_runs, spark, corpus):
+    _, _, inc_dir = split_runs
+    with pytest.raises(ValueError, match="parameters"):
+        incremental.run_incremental(
+            spark,
+            spark.createDataFrame(corpus.documents.iloc[:5]),
+            spark.createDataFrame(corpus.aliases),
+            corpus.vocab,
+            corpus.emb,
+            out_dir=inc_dir,
+            n_salt=3,
+        )
+    emb2 = corpus.emb.copy()
+    emb2[0, 0] += 1.0
+    with pytest.raises(ValueError, match="embeddings"):
+        incremental.run_incremental(
+            spark,
+            spark.createDataFrame(corpus.documents.iloc[:5]),
+            spark.createDataFrame(corpus.aliases),
+            corpus.vocab,
+            emb2,
+            out_dir=inc_dir,
+        )
