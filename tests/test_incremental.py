@@ -121,3 +121,46 @@ def test_param_mismatch_refuses(split_runs, spark, corpus):
             emb2,
             out_dir=inc_dir,
         )
+
+
+def test_streaming_kg_maintenance(spark, corpus, tmp_path):
+    """Docs arriving as a file stream maintain the KG continuously:
+    after draining, the materialized triples equal a from-scratch
+    batch run over everything that arrived — first batch bootstraps,
+    the rest absorb incrementally (ledger records the modes)."""
+    from noise_mitigation_spark.streaming import ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = corpus.documents
+    for i in range(5):  # 5 files → several microbatches
+        docs.iloc[i * 40 : (i + 1) * 40].to_parquet(
+            src / f"part-{i}.parquet", index=False
+        )
+    out_dir = str(tmp_path / "kg")
+    q = ingest.streaming_kg_maintenance(
+        spark,
+        ingest.stream_documents(spark, str(src)),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    full = pipeline.run(
+        spark,
+        spark.createDataFrame(docs),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+    )
+    got = spark.read.parquet(os.path.join(out_dir, "triples_canon", "data"))
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(got, cols) == _rows(full.triples_canon, cols)
+
+    ledger = json.load(open(os.path.join(out_dir, "_stream_applied.json")))
+    modes = [v["mode"] for _, v in sorted(ledger.items(), key=lambda kv: int(kv[0]))]
+    assert modes[0] == "bootstrap" and set(modes[1:]) == {"inc"}
+    assert sum(v["rows"] for v in ledger.values()) == len(docs)
