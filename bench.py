@@ -66,7 +66,7 @@ HEADLINE = [
     "near_dup_pairs", "langid", "token_stats", "ann_multiprobe",
     "repetition_filter", "decontaminate", "substring_dup_spans", "ivf_ann",
     "tpch_q3", "tpch_q18", "quality_classifier", "kmeans_assign",
-    "ivf_ann_trained", "joint_cost",
+    "ivf_ann_trained", "joint_cost", "pagerank", "triangle_count",
 ]  # fmt: skip
 
 

@@ -32,6 +32,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _global_topk(df: DataFrame, k: int, *order) -> DataFrame:
+    """Distributed global top-k with a rank column, WITHOUT a global
+    sort of the input: orderBy().limit(k) compiles to
+    TakeOrderedAndProject (per-partition k-heaps, one k-row merge on
+    the driver side of the exchange), and only the k survivors —
+    bounded, not data-sized — pass through the ranking window. A bare
+    ``row_number() OVER (ORDER BY …)`` would funnel the entire table
+    through one task (the round-1 pr_curve scale-killer)."""
+    top = df.orderBy(*order).limit(k)
+    w = W.orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
 # --------------------------------------------------------------------------
 # MIML bag aggregation family (A3/A4/A5) — bags = events per (user, type)
 # --------------------------------------------------------------------------
@@ -2285,10 +2298,8 @@ def q_tpch_q3(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        _global_topk(rev, 10, F.desc("revenue"), F.asc("l_orderkey"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -2890,6 +2901,193 @@ SQL_JOINT_COST = _sql_joint_cost()
 
 
 # --------------------------------------------------------------------------
+# Graph analytics over KG-shaped edge tables. The engine's output IS a
+# graph (nodes / entity_types / edges); these are the canonical
+# workloads a KG consumer runs on it, exercised on a deterministic
+# edge set derived from the gate tables. Iterative PageRank follows
+# the kmeans_assign pattern: per-iteration rounding makes the
+# trajectory engine-independent, so a DuckDB oracle can verify an
+# ITERATIVE distributed algorithm bit-exactly via an unrolled CTE
+# chain.
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_PR_N_NODES = 150  # derived edge space: user ids mod 150
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    """Deterministic directed edge set: (user_id → event_id % 150),
+    self-loops dropped, deduplicated."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.col("user_id").alias("src"),
+            (F.col("event_id") % _PR_N_NODES).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_SQL_EDGES = f"""
+edges AS (
+  SELECT DISTINCT user_id AS src, event_id % {_PR_N_NODES} AS dst
+  FROM events WHERE user_id <> event_id % {_PR_N_NODES}
+)
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the derived edge set — the per-iteration plan is
+    the 100 TB shape: contributions = edges ⋈ pr on src (shuffle
+    join keyed by vertex), two-phase sum by dst, no global sort, no
+    driver-side vertex state. {n} unrolled iterations, damping 0.85,
+    no dangling redistribution (documented variant — both engines
+    identical). Per-iteration round(·, 8) pins the trajectory
+    cross-engine; output = top-20 by rank with node-id tiebreak."""
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    base = (1.0 - _PR_DAMP) / n
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    pr = nodes.withColumn("pr", F.lit(round(1.0 / n, 8)))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outdeg, "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            F.round(
+                base + _PR_DAMP * F.coalesce("s", F.lit(0.0)), 8
+            ).alias("pr"),
+        )
+    return _global_topk(pr, 20, F.desc("pr"), F.asc("node")).select(
+        "node", F.round("pr", 6).alias("pr"), "rnk"
+    )
+
+
+def _sql_pagerank() -> str:
+    ctes = [
+        _SQL_EDGES.strip(),
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "n AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, round(1.0 / n.n, 8) AS pr FROM nodes, n)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"c{i + 1} AS (SELECT e.dst, sum(p.pr / od.deg) AS s"
+            f" FROM edges e JOIN pr{i} p ON e.src = p.node"
+            f" JOIN outdeg od ON od.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{i + 1} AS (SELECT nodes.node,"
+            f" round((1.0 - {_PR_DAMP}) / n.n"
+            f" + {_PR_DAMP} * coalesce(c.s, 0.0), 8) AS pr"
+            f" FROM nodes CROSS JOIN n"
+            f" LEFT JOIN c{i + 1} c ON c.dst = nodes.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, round(pr, 6) AS pr, rnk FROM (
+  SELECT node, pr,
+         row_number() OVER (ORDER BY pr DESC, node) AS rnk
+  FROM pr{_PR_ITERS}
+) WHERE rnk <= 20
+"""
+    )
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+def q_triangle_count(spark, sf_dir):
+    """Distributed triangle counting via the ordered-wedge algorithm:
+    orient every undirected edge low→high, build wedges by joining
+    edges on the middle vertex (a<b<c), close them against the edge
+    set. Work is Σ deg(v)² over wedge middles — the standard
+    skew-aware shape (no all-pairs, no global sort)."""
+    und = (
+        _edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .cache()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closed = wedges.join(
+        und, (wedges.x == und.a) & (wedges.z == und.b), "inner"
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_EDGES.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges
+)
+SELECT count(*) AS n_triangles
+FROM und e1
+JOIN und e2 ON e1.b = e2.a
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_degree_stats(spark, sf_dir):
+    """Degree histogram of the undirected graph — the first question
+    asked of any produced KG (skew profile drives join strategy).
+    Two chained two-phase aggregations, both map-side combined."""
+    und = _edges(spark, sf_dir).select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # no output orderBy: the driver compare is order-insensitive and a
+    # global sort — even of a histogram — is a plan smell
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+SQL_DEGREE_STATS = f"""
+WITH {_SQL_EDGES.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2955,6 +3153,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_nll": q_miml_nll,
     "ranking_loss": q_ranking_loss,
     "joint_cost": q_joint_cost,
+    "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
+    "degree_stats": q_degree_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3019,4 +3220,7 @@ ORACLES: dict[str, str] = {
     "miml_nll": SQL_MIML_NLL,
     "ranking_loss": SQL_RANKING_LOSS,
     "joint_cost": SQL_JOINT_COST,
+    "pagerank": SQL_PAGERANK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "degree_stats": SQL_DEGREE_STATS,
 }

@@ -230,3 +230,17 @@ def test_loss_queries_have_no_global_sort(spark):
     for name in ("bce_loss", "miml_nll", "ranking_loss", "joint_cost"):
         plan = _plan(Q.QUERIES[name](spark, SF))
         assert "], true, 0" not in plan, name
+
+
+def test_graph_queries_plan_shapes(spark):
+    """Graph-analytics family: PageRank's per-iteration plan is join +
+    two-phase agg keyed by vertex; top-k goes through
+    TakeOrderedAndProject (per-partition heaps), never a data-sized
+    global-sort window; triangle/degree plans contain no global sort
+    at all."""
+    for name in ("pagerank", "tpch_q3"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+    for name in ("triangle_count", "degree_stats"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "], true, 0" not in plan, name
