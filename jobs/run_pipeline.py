@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
         help="ET→RE type-integration variant (src/joint/train.py:700-824)",
     )
     ap.add_argument(
+        "--append", action="store_true",
+        help="treat --documents as a DELTA and absorb it into the "
+             "existing materialized run at --out (plans/incremental.py: "
+             "delta-only parse/score, affected-bag recompute — bit-equal "
+             "to a full recompute at delta cost)",
+    )
+    ap.add_argument(
         "--encoder", default="cnn",
         choices=["cnn", "split", "gru", "lstm", "bilstm"],
         help="typing context encoder (train2level.py:283-326, model.py:211-218)",
@@ -51,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # session: on a real cluster spark-submit provides master/conf and
     # getOrCreate() picks them up; standalone runs get the tuned local one
-    from noise_mitigation_spark.plans import pipeline
+    from noise_mitigation_spark.plans import incremental, pipeline
     from noise_mitigation_spark.session import get_spark
 
     spark = get_spark("nm-kg-pipeline")
@@ -62,13 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     vocab = dict(zip(emb_pdf["token"], emb_pdf["idx"]))
     emb = np.stack(emb_pdf["vector"].to_numpy()).astype(np.float32)
 
-    res = pipeline.run(
-        spark,
-        docs,
-        aliases,
-        vocab,
-        emb,
-        out_dir=args.out,
+    kw = dict(
         type_theta=args.type_theta,
         rel_theta=args.rel_theta,
         n_salt=args.n_salt,
@@ -76,11 +77,20 @@ def main(argv: list[str] | None = None) -> int:
         encoder=args.encoder,
         graph_root=args.graph_root,
     )
+    if args.append:
+        res = incremental.run_incremental(
+            spark, docs, aliases, vocab, emb, args.out, **kw
+        )
+    else:
+        res = pipeline.run(
+            spark, docs, aliases, vocab, emb, out_dir=args.out, **kw
+        )
     summary = {
         "triples": res.triples_canon.count(),
         "assertions": res.assertions.count(),
         "entities_scored": res.ent_att.count(),
         "out": args.out,
+        "mode": "append" if args.append else "full",
     }
     print(json.dumps(summary))
     spark.stop()
