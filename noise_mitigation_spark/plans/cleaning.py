@@ -40,9 +40,11 @@ from pyspark.sql import functions as F
 
 from ..operators.linking import connected_components
 from ..queries import (
+    _hybrid_pairs_from_keys,
+    _lsh_band_keys,
     _minhash_params,
-    decontaminate_df,
-    lsh_candidate_hybrid_df,
+    contaminated_against,
+    doc_word4grams_df,
     minhash_signatures_df,
     near_dup_pairs_df,
     repetition_filter_df,
@@ -62,6 +64,14 @@ _NEARDUP_PARAMS = _minhash_params(32)
 _NEARDUP_ROWS_PER_BAND = 8
 
 
+def band_keys_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) with the cleaning plan's banding —
+    per-doc and stateless, so any subset produces the same rows the
+    full corpus would (the property incremental absorption relies on)."""
+    sig = minhash_signatures_df(docs, params=_NEARDUP_PARAMS)
+    return _lsh_band_keys(sig, _NEARDUP_ROWS_PER_BAND)
+
+
 def near_dup_pairs_for(docs: DataFrame, tau: float) -> DataFrame:
     """Verified near-dup pairs the cleaning plan uses (also the
     contract the union-find test oracle re-derives). HYBRID
@@ -79,10 +89,7 @@ def near_dup_pairs_for(docs: DataFrame, tau: float) -> DataFrame:
     borderline pairs is the documented cost (raise bands/probes to buy
     it back incrementally: K-hub stars and sorted-neighborhood windows
     measured +5–20%)."""
-    sig = minhash_signatures_df(docs, params=_NEARDUP_PARAMS)
-    cands = lsh_candidate_hybrid_df(
-        sig, rows_per_band=_NEARDUP_ROWS_PER_BAND
-    )
+    cands = _hybrid_pairs_from_keys(band_keys_for(docs))
     return near_dup_pairs_df(docs, cands, tau)
 
 
@@ -103,17 +110,30 @@ def _exact_dup_flags(docs: DataFrame) -> DataFrame:
     )
 
 
-def _near_dup_flags(docs: DataFrame, tau: float) -> DataFrame:
-    """(doc_id, near_dup) over the given docs: LSH candidates →
-    Jaccard ≥ τ pairs → connected components → drop all but the
-    component min. Transitive: chains of near-dups collapse to one
-    survivor even when the endpoints never shared an LSH band."""
-    pairs = near_dup_pairs_for(docs, tau)
+def _near_dup_state(
+    docs: DataFrame, tau: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(band_keys, verified pairs, components) over the given docs:
+    LSH candidates → Jaccard ≥ τ pairs → connected components. The
+    three tables ARE the state an incremental absorption needs: band
+    keys to bucket new docs against history without rescanning it,
+    pairs to rebuild only the components a delta touches, components
+    to find which those are."""
+    band = band_keys_for(docs)
+    cands = _hybrid_pairs_from_keys(band)
+    pairs = near_dup_pairs_df(docs, cands, tau)
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     comp = connected_components(nodes, edges)
+    return band, pairs, comp
+
+
+def _near_flags_from_components(comp: DataFrame) -> DataFrame:
+    """(doc_id, near_dup): drop all but the component min — chains of
+    near-dups collapse to one survivor even when the endpoints never
+    shared an LSH band."""
     return comp.select(
         F.col("node").alias("doc_id"),
         (F.col("node") != F.col("component")).alias("near_dup"),
@@ -139,13 +159,48 @@ def run_cleaning(
         "doc_id",
         "left_semi",
     )
-    near = _near_dup_flags(survivors, near_dup_tau)
+    band, pairs, comp = _near_dup_state(survivors, near_dup_tau)
+    grams = doc_word4grams_df(docs)
+    bench_grams = (
+        grams.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select("g")
+        .distinct()
+    )
+    params = (
+        f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
+        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}"
+    )
+    if out_dir is not None:
+        fp_docs = lineage.fingerprint_df(
+            docs.select("doc_id", F.md5("text").alias("h"))
+        )
+        # dedup + decontamination state (hashes, band keys, verified
+        # pairs, components, benchmark grams): what an incremental
+        # absorption buckets/joins new docs against instead of
+        # rescanning the historical corpus
+        lineage.materialize(
+            spark,
+            docs.select("doc_id", F.md5("text").alias("h")),
+            out_dir, "doc_hashes", fp_docs,
+        )
+        band = lineage.materialize(spark, band, out_dir, "band_keys", fp_docs)
+        pairs = lineage.materialize(
+            spark, pairs, out_dir, "near_pairs", f"{fp_docs}:tau:{near_dup_tau}"
+        )
+        comp = lineage.materialize(
+            spark, comp, out_dir, "components", f"{fp_docs}:tau:{near_dup_tau}"
+        )
+        bench_grams = lineage.materialize(
+            spark, bench_grams, out_dir, "bench_grams",
+            f"{fp_docs}:mod:{benchmark_mod}",
+        )
+    near = _near_flags_from_components(comp)
     rep = repetition_filter_df(
         docs, dup_tri_max=rep_dup_tri_max, top_bi_max=rep_top_bi_max
     ).select("doc_id", (~F.col("keep")).alias("repetitive"))
-    cont = decontaminate_df(docs, benchmark_mod=benchmark_mod).select(
-        "doc_id", F.lit(True).alias("contaminated")
-    )
+    cont = contaminated_against(
+        grams.filter(F.col("doc_id") % benchmark_mod != 0), bench_grams
+    ).select("doc_id", F.lit(True).alias("contaminated"))
 
     flags = (
         docs.select("doc_id")
@@ -175,13 +230,6 @@ def run_cleaning(
     ).withColumn("keep", F.size("reasons") == 0)
 
     if out_dir is not None:
-        params = (
-            f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
-            f":bi:{rep_top_bi_max}:mod:{benchmark_mod}"
-        )
-        fp_docs = lineage.fingerprint_df(
-            docs.select("doc_id", F.md5("text").alias("h"))
-        )
         flags = lineage.materialize(
             spark, flags, out_dir, "doc_flags", f"{fp_docs}:{params}"
         )
@@ -211,4 +259,325 @@ def run_cleaning(
     total = docs.count()
     kept = flags.filter(F.col("keep")).count()
     stats = {"total": total, "kept": kept, **{r: counts.get(r, 0) for r in REASONS}}
+    return CleaningResult(flags=flags, clean_docs=clean, stats=stats)
+
+
+def _read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, stage, "data"))
+
+
+def _stage_fp(out_dir: str, stage: str) -> str:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, stage, "_manifest.json")) as f:
+        return json.load(f)["input_fingerprint"]
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """SNAPSHOT a table before its source stage is appended/overwritten,
+    and cut the lazy DAG so downstream actions stop re-executing it.
+
+    NOT cache(): writing to a stage path calls refreshByPath, which
+    invalidates every cache entry referencing it — a cached read of
+    doc_hashes would silently re-resolve against the POST-append files
+    (measured: every delta doc became an "exact dup" of its own
+    just-appended hash). NOT localCheckpoint(): Spark 4's AQE trips a
+    PartitioningCollection numPartitions mismatch when checkpointed
+    RDD scans of differing widths meet in a join. A spill to a private
+    temp parquet path is immune to both — plain FileScan, a path
+    nothing else ever writes."""
+    import tempfile
+
+    spark = df.sparkSession
+    d = tempfile.mkdtemp(prefix="nm_pin_")
+    df.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
+
+
+def run_cleaning_incremental(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    historical_docs: DataFrame,
+    out_dir: str,
+    *,
+    near_dup_tau: float = 0.5,
+    rep_dup_tri_max: float = 0.02,
+    rep_top_bi_max: float = 0.08,
+    benchmark_mod: int = 17,
+) -> CleaningResult:
+    """Absorb a document delta into a materialized cleaning run at
+    delta cost, batch-equivalently.
+
+    Contract: doc_ids are arrival-ordered (every delta id > every
+    historical id) — then batch semantics ("keep the min id of a
+    duplicate group/component") coincide with first-seen-wins, and:
+
+    - exact dedup: a delta doc is a dup iff its hash exists in the
+      historical hash table (broadcast-small) or earlier in the delta;
+    - near-dup: the delta's band keys are bucketed against the STORED
+      band-key table (no rescan of historical text); the same hybrid
+      bucket rule emits only pairs with a delta member; Jaccard
+      verification reads exactly the historical partner docs
+      (semi-join); connected components are re-solved ONLY for the
+      components the new edges touch — including the retroactive
+      case where a delta doc BRIDGES two historical components and
+      the higher-id historical keeper flips to a drop;
+    - repetition / contamination are row-local → delta only.
+
+    Caveat (documented, benign): if a delta pushes an LSH bucket
+    across the giant-bucket cap, history already holds that bucket's
+    all-pairs verified edges while a from-scratch run would generate
+    star edges only — the incremental result can then merge MORE true
+    near-dups than the batch run, never fewer.
+
+    State stages doc_hashes / band_keys / near_pairs append; the
+    components / doc_flags / clean_docs stages rewrite (narrow
+    id-width tables except clean_docs — on an Iceberg/Delta catalog
+    the keeper flips would be row-level deletes instead). Every
+    manifest advances to the combined additive fingerprint, so a full
+    batch re-run over history ∪ delta RESUMES instead of recomputing.
+    """
+    params = (
+        f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
+        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}"
+    )
+    old_fp = _stage_fp(out_dir, "doc_flags")
+    old_docs_fp = _stage_fp(out_dir, "doc_hashes")
+    if old_fp != f"{old_docs_fp}:{params}":
+        raise ValueError(
+            "cleaning parameters differ from the materialized run — "
+            "incremental absorption is undefined; re-run the full plan"
+        )
+    dh = delta_docs.select("doc_id", F.md5("text").alias("h"))
+    d_fp = lineage.fingerprint_df(dh)
+    n_old, h_old = old_docs_fp.split(":")
+    n_d, h_d = d_fp.split(":")
+    fp_docs = f"{int(n_old) + int(n_d)}:{int(h_old) + int(h_d)}"
+
+    hist_hashes = _pin(_read_stage(spark, out_dir, "doc_hashes"))
+    bounds = hist_hashes.agg(F.max("doc_id").alias("mx")).collect()[0]
+    dmin_all = delta_docs.agg(F.min("doc_id").alias("mn")).collect()[0]
+    if bounds["mx"] is not None and dmin_all["mn"] <= bounds["mx"]:
+        raise ValueError(
+            "doc_ids must be arrival-ordered: delta ids must exceed "
+            "all historical ids"
+        )
+
+    from .incremental import append_stage
+
+    # --- exact dedup vs history + within-delta ------------------------
+    dmin = dh.groupBy("h").agg(F.min("doc_id").alias("dmin"))
+    in_hist = hist_hashes.select("h").distinct().withColumn(
+        "in_hist", F.lit(True)
+    )
+    exact_delta = (
+        dh.join(dmin, "h")
+        .join(in_hist, "h", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("in_hist", F.lit(False))
+                | (F.col("doc_id") != F.col("dmin"))
+            ).alias("exact_dup"),
+        )
+    )
+    exact_delta = _pin(exact_delta)
+    delta_surv = _pin(
+        delta_docs.join(
+            exact_delta.filter(~F.col("exact_dup")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+
+    # --- near-dup: bucket delta against stored band keys --------------
+    hist_band = _pin(_read_stage(spark, out_dir, "band_keys"))
+    delta_band = _pin(band_keys_for(delta_surv))
+    delta_buckets = delta_band.select("band", "band_key").distinct()
+    keyed_touched = (
+        hist_band.unionByName(delta_band)
+        .join(delta_buckets, ["band", "band_key"], "left_semi")
+    )
+    delta_ids = delta_surv.select("doc_id")
+    cands = _hybrid_pairs_from_keys(keyed_touched).join(
+        delta_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
+    )
+    partner_ids = (
+        cands.select(F.col("d1").alias("doc_id"))
+        .union(cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    docs_v = delta_surv.select("doc_id", "text").unionByName(
+        historical_docs.join(partner_ids, "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
+    )
+    # eager checkpoint: the candidate→verify DAG runs ONCE; without it
+    # every downstream action (component pull, subgraph CC, the state
+    # append) re-executes the whole minhash/Jaccard chain
+    new_pairs = _pin(near_dup_pairs_df(docs_v, cands, near_dup_tau))
+
+    # --- re-solve ONLY the touched components -------------------------
+    hist_comp = _pin(_read_stage(spark, out_dir, "components"))
+    hist_pairs = _pin(_read_stage(spark, out_dir, "near_pairs"))
+    new_edges = new_pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    touched_comps = (
+        hist_comp.join(
+            new_edges.select(F.col("src").alias("node"))
+            .union(new_edges.select(F.col("dst").alias("node")))
+            .distinct(),
+            "node",
+            "left_semi",
+        )
+        .select("component")
+        .distinct()
+    )
+    touched_comps = _pin(touched_comps)
+    sub_hist_nodes = _pin(
+        hist_comp.join(touched_comps, "component", "left_semi").select(
+            "node"
+        )
+    )
+    sub_nodes = sub_hist_nodes.union(
+        delta_ids.select(F.col("doc_id").alias("node"))
+    ).distinct()
+    sub_edges = (
+        hist_pairs.join(
+            sub_hist_nodes.withColumnRenamed("node", "d1"),
+            "d1",
+            "left_semi",
+        )
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(new_edges)
+    )
+    comp_sub = connected_components(sub_nodes, sub_edges)
+    comp_new = hist_comp.join(
+        touched_comps, "component", "left_anti"
+    ).unionByName(comp_sub)
+
+    # --- contamination: frozen + growing benchmark gram set -----------
+    # delta training docs check against stored ∪ delta benchmark
+    # grams; NEW benchmark grams (a delta doc with id % mod == 0)
+    # retroactively re-check the historical training docs — a
+    # broadcast map-side scan of history with no shuffle, SKIPPED
+    # entirely when the delta carries no benchmark docs (the common
+    # case); a persisted gram inverted index would turn it into a
+    # lookup.
+    stored_ev = _pin(_read_stage(spark, out_dir, "bench_grams"))
+    delta_grams = _pin(doc_word4grams_df(delta_docs))
+    delta_ev = (
+        delta_grams.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select("g")
+        .distinct()
+    )
+    new_ev = _pin(delta_ev.join(stored_ev, "g", "left_anti"))
+    ev_all = stored_ev.unionByName(new_ev)
+    cont_delta = contaminated_against(
+        delta_grams.filter(F.col("doc_id") % benchmark_mod != 0), ev_all
+    ).select("doc_id", F.lit(True).alias("contaminated"))
+    if new_ev.count() > 0:
+        hist_train_grams = doc_word4grams_df(
+            historical_docs.filter(F.col("doc_id") % benchmark_mod != 0)
+        )
+        retro = contaminated_against(hist_train_grams, new_ev).select(
+            "doc_id", F.lit(True).alias("retro_cont")
+        )
+    else:
+        retro = None
+
+    # --- row-local delta flags + flag rebuild -------------------------
+    rep_delta = repetition_filter_df(
+        delta_docs, dup_tri_max=rep_dup_tri_max, top_bi_max=rep_top_bi_max
+    ).select("doc_id", (~F.col("keep")).alias("repetitive"))
+    hist_flags = _pin(_read_stage(spark, out_dir, "doc_flags"))
+    hist_base = hist_flags.select(
+        "doc_id", "exact_dup", "repetitive", "contaminated"
+    )
+    if retro is not None:
+        hist_base = hist_base.join(retro, "doc_id", "left").select(
+            "doc_id",
+            "exact_dup",
+            "repetitive",
+            (
+                F.col("contaminated")
+                | F.coalesce("retro_cont", F.lit(False))
+            ).alias("contaminated"),
+        )
+    base = hist_base.unionByName(
+        delta_docs.select("doc_id")
+        .join(exact_delta, "doc_id", "left")
+        .join(rep_delta, "doc_id", "left")
+        .join(cont_delta, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("repetitive", F.lit(False)).alias("repetitive"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+    flags = (
+        base.join(_near_flags_from_components(comp_new), "doc_id", "left")
+        .select(
+            "doc_id",
+            *[F.coalesce(F.col(r), F.lit(False)).alias(r) for r in REASONS],
+        )
+    )
+    flags = flags.select(
+        "*",
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.col(r), F.lit(r)).otherwise(F.lit(None))
+                    for r in REASONS
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("reasons"),
+    ).withColumn("keep", F.size("reasons") == 0)
+
+    # --- advance the materialized state -------------------------------
+    append_stage(spark, dh, out_dir, "doc_hashes", fp_docs)
+    append_stage(spark, delta_band, out_dir, "band_keys", fp_docs)
+    append_stage(
+        spark, new_pairs, out_dir, "near_pairs",
+        f"{fp_docs}:tau:{near_dup_tau}",
+    )
+    append_stage(
+        spark, new_ev, out_dir, "bench_grams",
+        f"{fp_docs}:mod:{benchmark_mod}",
+    )
+    comp_new = lineage.materialize(
+        spark, comp_new, out_dir, "components",
+        f"{fp_docs}:tau:{near_dup_tau}",
+    )
+    flags = lineage.materialize(
+        spark, flags, out_dir, "doc_flags", f"{fp_docs}:{params}"
+    )
+    docs_all = historical_docs.unionByName(delta_docs)
+    clean = docs_all.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    clean = lineage.materialize(
+        spark, clean, out_dir, "clean_docs", f"{fp_docs}:{params}"
+    )
+
+    counts = {
+        r["reason"]: r["n"]
+        for r in flags.select(F.explode("reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = docs_all.count()
+    kept = flags.filter(F.col("keep")).count()
+    stats = {
+        "total": total,
+        "kept": kept,
+        **{r: counts.get(r, 0) for r in REASONS},
+    }
     return CleaningResult(flags=flags, clean_docs=clean, stats=stats)

@@ -100,11 +100,19 @@ def append_stage(
 
 
 def _pin(df: DataFrame) -> DataFrame:
-    """Cache + force: the old stage table must be fully read BEFORE
-    its directory is overwritten (self-overwrite hazard)."""
-    df = df.cache()
-    df.count()
-    return df
+    """SNAPSHOT the old stage table before its directory is appended
+    to or overwritten, via a private temp-parquet spill. NOT cache():
+    a write to the source path triggers refreshByPath, invalidating
+    dependent cache entries, which then silently re-read the
+    post-write files. NOT localCheckpoint(): Spark 4 AQE trips a
+    PartitioningCollection mismatch when checkpointed RDD scans of
+    differing widths meet in a join (see plans/cleaning._pin)."""
+    import tempfile
+
+    spark = df.sparkSession
+    d = tempfile.mkdtemp(prefix="nm_pin_")
+    df.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
 
 
 def run_incremental(

@@ -998,7 +998,17 @@ def lsh_candidate_hybrid_df(
     the hub, and the CC closure downstream recovers the clique. Same
     trick the alias-blocking canonicalizer uses (|edges| = |rows|,
     never quadratic)."""
-    keyed = _lsh_band_keys(sig, rows_per_band)
+    return _hybrid_pairs_from_keys(
+        _lsh_band_keys(sig, rows_per_band), max_bucket
+    )
+
+
+def _hybrid_pairs_from_keys(
+    keyed: DataFrame, max_bucket: int = 64
+) -> DataFrame:
+    """Hybrid candidate pairs from a (doc_id, band, band_key) table —
+    split out so the incremental cleaning plan can apply the SAME
+    bucket rule to stored-history ∪ delta band keys."""
     stats = keyed.groupBy("band", "band_key").agg(
         F.min("doc_id").alias("hub"), F.count("*").alias("m")
     ).filter(F.col("m") >= 2)
@@ -2060,14 +2070,14 @@ FROM trid JOIN bid USING (doc_id)
 """
 
 
-def decontaminate_df(docs: DataFrame, benchmark_mod: int = 17) -> DataFrame:
-    """DataFrame core of q_decontaminate — also composed by the
-    cleaning plan."""
+def doc_word4grams_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): distinct word 4-grams per doc — shared by the
+    decontamination query and the incremental cleaning plan."""
     toks = (
         docs.select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 4)
     )
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2076,17 +2086,29 @@ def decontaminate_df(docs: DataFrame, benchmark_mod: int = 17) -> DataFrame:
             )
         ).alias("g"),
     ).distinct()
+
+
+def contaminated_against(train_grams: DataFrame, ev: DataFrame) -> DataFrame:
+    """(doc_id, n_shared) for training docs sharing any gram with the
+    broadcast benchmark gram set."""
+    return (
+        train_grams.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate_df(docs: DataFrame, benchmark_mod: int = 17) -> DataFrame:
+    """DataFrame core of q_decontaminate — also composed by the
+    cleaning plan."""
+    grams = doc_word4grams_df(docs)
     ev = (
         grams.filter(F.col("doc_id") % benchmark_mod == 0)
         .select("g")
         .distinct()
     )
     tr = grams.filter(F.col("doc_id") % benchmark_mod != 0)
-    return (
-        tr.join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    return contaminated_against(tr, ev)
 
 
 def q_decontaminate(spark, sf_dir):

@@ -1,0 +1,159 @@
+"""Incremental cleaning absorption ≡ batch recompute
+(plans/cleaning.run_cleaning_incremental).
+
+The corpus models document VERSIONING — the realistic way near-dup
+components merge retroactively: history holds version V1 (cluster
+{2,5}) and version V4 (cluster {7,9}) of the same file, too far apart
+to be near-dups of each other; the delta delivers the missing V2/V3
+steps, chaining the two components into one. Batch semantics then
+drop the second cluster's keeper (doc 7) in favor of the global min
+(doc 2) — the incremental plan must reproduce that flip while
+re-solving ONLY the touched components.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.plans import cleaning
+
+TAU = 0.8
+_WORDS = [f"w{i:03d}" for i in range(130)]
+
+
+def _version(n_mut: int, salt: str) -> str:
+    toks = list(_WORDS)
+    for j in range(n_mut):
+        toks[(7 + 11 * j) % len(toks)] = f"m_{salt}_{j}"
+    return " ".join(toks)
+
+
+def _mk_docs() -> pd.DataFrame:
+    v1, v2 = _version(0, "a"), _version(3, "a")
+    v3, v4 = _version(6, "a"), _version(9, "a")
+    rows = {}
+    for i in range(30):
+        rows[i] = " ".join(f"u{i}_{k}" for k in range(40))  # singletons
+    rows[2] = v1
+    rows[5] = v1 + " tail5"                    # cluster {2, 5}
+    rows[7] = v4
+    rows[9] = v4 + " tail9"                    # cluster {7, 9}
+    rows[3] = " ".join(f"b{k}" for k in range(40))
+    # delta (ids 30+, arrival-ordered)
+    rows[30] = " ".join(f"u30_{k}" for k in range(40))
+    rows[31] = v2                              # chain step V2
+    rows[32] = v3                              # chain step V3
+    rows[33] = rows[3]                         # exact dup of history
+    rows[34] = " ".join(f"dup_{k}" for k in range(40))
+    rows[35] = rows[34]                        # exact dup within delta
+    rows[36] = " ".join(["rep rep rep"] * 30)  # repetitive
+    return pd.DataFrame(
+        {"doc_id": sorted(rows), "text": [rows[k] for k in sorted(rows)]}
+    )
+
+
+@pytest.fixture(scope="module")
+def clean_runs(spark, tmp_path_factory):
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    B = docs[docs.doc_id >= 30]
+    full_dir = str(tmp_path_factory.mktemp("cfull"))
+    inc_dir = str(tmp_path_factory.mktemp("cinc"))
+    full = cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), full_dir, near_dup_tau=TAU
+    )
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(A), inc_dir, near_dup_tau=TAU
+    )
+    inc = cleaning.run_cleaning_incremental(
+        spark,
+        spark.createDataFrame(B),
+        spark.createDataFrame(A),
+        inc_dir,
+        near_dup_tau=TAU,
+    )
+    return full, inc, inc_dir, docs
+
+
+def _flag_rows(res):
+    return sorted(
+        (
+            r["doc_id"], r["exact_dup"], r["near_dup"], r["repetitive"],
+            r["contaminated"], tuple(r["reasons"]), r["keep"],
+        )
+        for r in res.flags.collect()
+    )
+
+
+def test_flags_identical_to_batch(clean_runs):
+    full, inc, _, _ = clean_runs
+    assert _flag_rows(inc) == _flag_rows(full)
+    assert inc.stats == full.stats
+
+
+def test_versioning_chain_merges_and_flips_the_keeper(clean_runs):
+    """The scenario is actually exercised: after the delta, V1..V4
+    form ONE component keyed by doc 2, so the old keeper of {7, 9}
+    (doc 7) is retroactively dropped."""
+    full, inc, _, _ = clean_runs
+    f = {r[0]: r for r in _flag_rows(inc)}
+    assert f[5][2] and f[7][2] and f[9][2] and f[31][2] and f[32][2], (
+        "version chain must collapse to one keeper"
+    )
+    assert not f[2][2], "global min keeps"
+    assert f[33][1], "cross-history exact dup"
+    assert f[35][1] and not f[34][1], "within-delta exact dup keeps min"
+    assert f[36][3], "repetitive delta doc flagged"
+
+
+def test_clean_docs_match_batch(clean_runs):
+    full, inc, _, _ = clean_runs
+    a = sorted(r["doc_id"] for r in inc.clean_docs.collect())
+    b = sorted(r["doc_id"] for r in full.clean_docs.collect())
+    assert a == b
+
+
+def test_manifests_advance_to_batch_lineage(clean_runs, spark):
+    """Every stage manifest carries the fingerprint the batch run over
+    history ∪ delta computes — a batch resubmit RESUMES."""
+    full, inc, inc_dir, docs = clean_runs
+    stages = [
+        "doc_hashes", "band_keys", "near_pairs", "components",
+        "bench_grams", "doc_flags", "clean_docs",
+    ]
+    paths = [os.path.join(inc_dir, s, "_manifest.json") for s in stages]
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    res = cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), inc_dir, near_dup_tau=TAU
+    )
+    assert {p: os.path.getmtime(p) for p in paths} == mtimes
+    assert _flag_rows(res) == _flag_rows(full)
+
+
+def test_param_mismatch_refuses(clean_runs, spark):
+    _, _, inc_dir, docs = clean_runs
+    with pytest.raises(ValueError, match="parameters"):
+        cleaning.run_cleaning_incremental(
+            spark,
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [99], "text": ["x y z w"]})
+            ),
+            spark.createDataFrame(docs),
+            inc_dir,
+            near_dup_tau=0.4,
+        )
+    with pytest.raises(ValueError, match="arrival-ordered"):
+        cleaning.run_cleaning_incremental(
+            spark,
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1], "text": ["x y z w"]})
+            ),
+            spark.createDataFrame(docs),
+            inc_dir,
+            near_dup_tau=TAU,
+        )
