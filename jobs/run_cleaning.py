@@ -24,6 +24,13 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="corpus-cleaning pipeline")
     ap.add_argument("--documents", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--append-from", default=None, metavar="HISTORICAL_DOCS",
+        help="absorb --documents as a DELTA into the materialized run "
+             "at --out (plans/cleaning.run_cleaning_incremental); the "
+             "value is the historical documents parquet (read only for "
+             "near-dup partner texts and benchmark-gram retro checks)",
+    )
     ap.add_argument("--near-dup-tau", type=float, default=0.5)
     ap.add_argument("--rep-dup-tri-max", type=float, default=0.02)
     ap.add_argument("--rep-top-bi-max", type=float, default=0.08)
@@ -35,16 +42,21 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("nm-cleaning")
     docs = spark.read.parquet(args.documents)
-    res = cleaning.run_cleaning(
-        spark,
-        docs,
-        out_dir=args.out,
+    kw = dict(
         near_dup_tau=args.near_dup_tau,
         rep_dup_tri_max=args.rep_dup_tri_max,
         rep_top_bi_max=args.rep_top_bi_max,
         benchmark_mod=args.benchmark_mod,
     )
-    print(json.dumps({**res.stats, "out": args.out}))
+    if args.append_from:
+        res = cleaning.run_cleaning_incremental(
+            spark, docs, spark.read.parquet(args.append_from), args.out, **kw
+        )
+        mode = "append"
+    else:
+        res = cleaning.run_cleaning(spark, docs, out_dir=args.out, **kw)
+        mode = "full"
+    print(json.dumps({**res.stats, "out": args.out, "mode": mode}))
     spark.stop()
     return 0
 
