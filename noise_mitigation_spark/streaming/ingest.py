@@ -313,3 +313,73 @@ def streaming_kg_maintenance(
         )
         .start()
     )
+
+
+def streaming_cleaning_maintenance(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    history_path: str,
+    **cleaning_params,
+):
+    """CONTINUOUS corpus hygiene: every microbatch of arriving
+    documents is absorbed into the materialized cleaning state at
+    delta cost (plans/cleaning.run_cleaning_incremental) — the stream
+    maintains doc_flags / clean_docs batch-bit-equal to a from-scratch
+    run over everything seen so far, including retroactive keeper
+    flips when a delta bridges historical near-dup clusters.
+
+    ``history_path`` is a parquet directory the sink also APPENDS each
+    absorbed batch to — it is read back only for near-dup partner
+    texts and benchmark retro-checks (semi-joined, never scanned in
+    the common path). Batch-id ledger for crash-replay idempotence,
+    same pattern as streaming_kg_maintenance."""
+    import json as _json
+    import os as _os
+
+    from ..plans import cleaning as _cleaning
+
+    ledger_path = _os.path.join(out_dir, "_stream_applied.json")
+
+    def _applied() -> dict:
+        if _os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                return _json.load(f)
+        return {}
+
+    def _absorb(batch_df: DataFrame, batch_id: int) -> None:
+        ledger = _applied()
+        if str(batch_id) in ledger:
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n = batch_df.count()
+        if n == 0:
+            return
+        bootstrapped = _os.path.exists(
+            _os.path.join(out_dir, "doc_flags", "_manifest.json")
+        )
+        if bootstrapped:
+            hist = spark.read.parquet(history_path)
+            _cleaning.run_cleaning_incremental(
+                spark, batch_df, hist, out_dir, **cleaning_params
+            )
+        else:
+            _cleaning.run_cleaning(
+                spark, batch_df, out_dir=out_dir, **cleaning_params
+            )
+        batch_df.write.mode("append").parquet(history_path)
+        ledger[str(batch_id)] = {
+            "rows": n, "mode": "inc" if bootstrapped else "bootstrap",
+        }
+        with open(ledger_path, "w") as f:
+            _json.dump(ledger, f, indent=1)
+
+    _os.makedirs(out_dir, exist_ok=True)
+    return (
+        docs_stream.writeStream.foreachBatch(_absorb)
+        .option(
+            "checkpointLocation",
+            _os.path.join(out_dir, "_stream_checkpoint"),
+        )
+        .start()
+    )

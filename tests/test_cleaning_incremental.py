@@ -157,3 +157,56 @@ def test_param_mismatch_refuses(clean_runs, spark):
             inc_dir,
             near_dup_tau=TAU,
         )
+
+
+def test_streaming_cleaning_maintenance(spark, tmp_path):
+    """Docs arriving as a file stream maintain the cleaning state
+    continuously: after draining, doc_flags equals a from-scratch
+    batch run over everything that arrived (bootstrap first batch,
+    incremental absorption after)."""
+    from noise_mitigation_spark.streaming import ingest
+
+    docs = _mk_docs()
+    src = tmp_path / "src"
+    src.mkdir()
+    hist = str(tmp_path / "history")
+    chunks = [docs.iloc[:20], docs.iloc[20:30], docs.iloc[30:]]
+    for i, c in enumerate(chunks):
+        p = src / f"part-{i}.parquet"
+        c.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    out_dir = str(tmp_path / "clean")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = ingest.streaming_cleaning_maintenance(
+        spark, stream, out_dir, hist, near_dup_tau=TAU
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    full = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(docs),
+        str(tmp_path / "batch"),
+        near_dup_tau=TAU,
+    )
+    got = sorted(
+        (r["doc_id"], tuple(r["reasons"]), r["keep"])
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "doc_flags", "data")
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["reasons"]), r["keep"])
+        for r in full.flags.collect()
+    )
+    assert got == want
+    ledger = json.load(open(os.path.join(out_dir, "_stream_applied.json")))
+    modes = [
+        v["mode"]
+        for _, v in sorted(ledger.items(), key=lambda kv: int(kv[0]))
+    ]
+    assert modes[0] == "bootstrap" and set(modes[1:]) == {"inc"}
