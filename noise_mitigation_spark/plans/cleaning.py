@@ -288,7 +288,10 @@ def _pin(df: DataFrame) -> DataFrame:
     PartitioningCollection numPartitions mismatch when checkpointed
     RDD scans of differing widths meet in a join. A spill to a private
     temp parquet path is immune to both — plain FileScan, a path
-    nothing else ever writes."""
+    nothing else ever writes. (On an Iceberg/Delta catalog this
+    isolation is free — a reader pins a table SNAPSHOT — so the spill
+    is the plain-parquet emulation of snapshot isolation, and at
+    catalog scale it disappears.)"""
     import tempfile
 
     spark = df.sparkSession

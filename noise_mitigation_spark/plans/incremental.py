@@ -106,7 +106,9 @@ def _pin(df: DataFrame) -> DataFrame:
     dependent cache entries, which then silently re-read the
     post-write files. NOT localCheckpoint(): Spark 4 AQE trips a
     PartitioningCollection mismatch when checkpointed RDD scans of
-    differing widths meet in a join (see plans/cleaning._pin)."""
+    differing widths meet in a join (see plans/cleaning._pin —
+    including the note that Iceberg/Delta snapshot isolation replaces
+    this spill at catalog scale)."""
     import tempfile
 
     spark = df.sparkSession

@@ -44,6 +44,11 @@ def _mk_docs() -> pd.DataFrame:
     rows[7] = v4
     rows[9] = v4 + " tail9"                    # cluster {7, 9}
     rows[3] = " ".join(f"b{k}" for k in range(40))
+    # shares a word 4-gram with DELTA benchmark doc 34 (34 % 17 == 0):
+    # the retroactive contamination pass must flip this HISTORICAL doc
+    rows[8] = "dup_0 dup_1 dup_2 dup_3 " + " ".join(
+        f"u8x_{k}" for k in range(36)
+    )
     # delta (ids 30+, arrival-ordered)
     rows[30] = " ".join(f"u30_{k}" for k in range(40))
     rows[31] = v2                              # chain step V2
@@ -109,6 +114,10 @@ def test_versioning_chain_merges_and_flips_the_keeper(clean_runs):
     assert f[33][1], "cross-history exact dup"
     assert f[35][1] and not f[34][1], "within-delta exact dup keeps min"
     assert f[36][3], "repetitive delta doc flagged"
+    assert f[8][4] and not f[8][6], (
+        "historical doc sharing a 4-gram with the delta's new "
+        "benchmark doc must flip to contaminated retroactively"
+    )
 
 
 def test_clean_docs_match_batch(clean_runs):
@@ -210,3 +219,32 @@ def test_streaming_cleaning_maintenance(spark, tmp_path):
         for _, v in sorted(ledger.items(), key=lambda kv: int(kv[0]))
     ]
     assert modes[0] == "bootstrap" and set(modes[1:]) == {"inc"}
+
+
+def test_two_sequential_increments(spark, tmp_path):
+    """State must stay absorbable: A, then B, then C ≡ batch(A∪B∪C) —
+    the second increment reads state the first one wrote (appended
+    hashes/band keys/pairs, rewritten components/flags)."""
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    B = docs[(docs.doc_id >= 30) & (docs.doc_id < 33)]  # the V2/V3 chain
+    C = docs[docs.doc_id >= 33]
+    d = str(tmp_path / "seq")
+    cleaning.run_cleaning(spark, spark.createDataFrame(A), d, near_dup_tau=TAU)
+    cleaning.run_cleaning_incremental(
+        spark, spark.createDataFrame(B), spark.createDataFrame(A), d,
+        near_dup_tau=TAU,
+    )
+    inc = cleaning.run_cleaning_incremental(
+        spark,
+        spark.createDataFrame(C),
+        spark.createDataFrame(docs[docs.doc_id < 33]),
+        d,
+        near_dup_tau=TAU,
+    )
+    full = cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), str(tmp_path / "b"),
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(inc) == _flag_rows(full)
+    assert inc.stats == full.stats
