@@ -297,6 +297,7 @@ def _pin(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     d = tempfile.mkdtemp(prefix="nm_pin_")
     df.write.mode("overwrite").parquet(d)
+    lineage.register_pin(d)
     return spark.read.parquet(d)
 
 

@@ -105,3 +105,24 @@ def fingerprint_df(df: DataFrame, cols: list[str] | None = None) -> str:
         F.count("*").alias("n"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
+
+
+# ---------------------------------------------------------------------------
+# Temp-parquet pin registry. The incremental plans snapshot stage
+# tables to private temp dirs (see plans/cleaning._pin); a
+# long-running maintenance stream would leak one set per microbatch,
+# so the sinks call cleanup_pins() once the batch's outputs are
+# materialized (nothing returned to callers references a pin — flags /
+# triples / clean_docs are all stage read-backs).
+_PIN_DIRS: list[str] = []
+
+
+def register_pin(path: str) -> None:
+    _PIN_DIRS.append(path)
+
+
+def cleanup_pins() -> None:
+    import shutil
+
+    while _PIN_DIRS:
+        shutil.rmtree(_PIN_DIRS.pop(), ignore_errors=True)

@@ -270,6 +270,7 @@ def streaming_kg_maintenance(
     import os as _os
 
     from ..plans import incremental as _inc
+    from ..plans import lineage as _lineage
     from ..plans import pipeline as _pipeline
 
     ledger_path = _os.path.join(out_dir, "_stream_applied.json")
@@ -304,6 +305,7 @@ def streaming_kg_maintenance(
         ledger[str(batch_id)] = {"rows": n, "mode": "inc" if bootstrapped else "bootstrap"}
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
+        _lineage.cleanup_pins()  # drop the batch's temp-parquet snapshots
 
     _os.makedirs(out_dir, exist_ok=True)
     return (
@@ -338,6 +340,7 @@ def streaming_cleaning_maintenance(
     import os as _os
 
     from ..plans import cleaning as _cleaning
+    from ..plans import lineage as _lineage
 
     ledger_path = _os.path.join(out_dir, "_stream_applied.json")
 
@@ -373,6 +376,7 @@ def streaming_cleaning_maintenance(
         }
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
+        _lineage.cleanup_pins()  # drop the batch's temp-parquet snapshots
 
     _os.makedirs(out_dir, exist_ok=True)
     return (
