@@ -3075,6 +3075,42 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def q_two_hop_reach(spark, sf_dir):
+    """Per-source count of distinct nodes reachable in ≤2 directed
+    hops — the basic KG reachability question. One self-join on the
+    middle vertex (work Σ out·in per mid, skew-profiled by
+    q_degree_stats) + a union + a distinct-count; all equi-joins
+    keyed by vertex, no global sort."""
+    edges = _edges(spark, sf_dir).cache()
+    e1 = edges.select(F.col("src"), F.col("dst").alias("mid"))
+    e2 = edges.select(F.col("src").alias("mid"), F.col("dst"))
+    two = e1.join(e2, "mid").select("src", "dst")
+    reach = (
+        edges.select("src", "dst")
+        .union(two)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return reach.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("n_reach")
+    )
+
+
+SQL_TWO_HOP_REACH = f"""
+WITH {_SQL_EDGES.strip()},
+two AS (
+  SELECT e1.src, e2.dst
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+),
+reach AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM two
+  ) WHERE src <> dst
+)
+SELECT src AS node, count(*) AS n_reach FROM reach GROUP BY src
+"""
+
+
 def q_degree_stats(spark, sf_dir):
     """Degree histogram of the undirected graph — the first question
     asked of any produced KG (skew profile drives join strategy).
@@ -3178,6 +3214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "degree_stats": q_degree_stats,
+    "two_hop_reach": q_two_hop_reach,
 }
 
 ORACLES: dict[str, str] = {
@@ -3245,4 +3282,5 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "degree_stats": SQL_DEGREE_STATS,
+    "two_hop_reach": SQL_TWO_HOP_REACH,
 }
