@@ -2,20 +2,23 @@
 
 Images / audio / video ride as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The decode kernels here are
-DETERMINISTIC FAKES (this container ships no image/audio codecs): they
-derive features from the raw bytes with fixed arithmetic, so the
-Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is fully real and testable, and swapping in PIL/librosa later changes
-one function body, not the plan.
+Arrow-batched ``mapInPandas`` stages.
 
-A real decoder drops in via ``set_decoder``; the default fake is
-clearly marked.
+Decoding is magic-byte dispatched. Formats decodable WITHOUT codec
+libraries are decoded FOR REAL: binary PPM (``P6``) images via a pure
+numpy header/pixel parse, and RIFF/WAVE audio via the stdlib ``wave``
+module. Compressed formats (JPEG/PNG/MP3/...) fall back to a
+DETERMINISTIC FAKE (byte-histogram features, clearly marked) since
+this container ships no codecs — swapping in PIL/ffmpeg later changes
+one dispatch entry, not the plan. Either way the Spark-side plumbing
+— schema, batching, partitioning, UDF signatures, feature-first
+ordering (payload bytes never leave the executor) — is fully real.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -37,9 +40,9 @@ _FRAME_SCHEMA = "media_id long, frame_idx int, frame_digest string"
 
 
 def _fake_decode_features(payload: bytes) -> np.ndarray:
-    """DETERMINISTIC FAKE decoder (no codec libs in this container):
-    byte-histogram moments folded to FEATURE_DIM floats. Replace via
-    set_decoder() when a real codec is available."""
+    """DETERMINISTIC FAKE decoder (for formats this container has no
+    codec for): byte-histogram moments folded to FEATURE_DIM floats.
+    Replace via set_decoder() when a real codec is available."""
     if len(payload) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -47,7 +50,129 @@ def _fake_decode_features(payload: bytes) -> np.ndarray:
     return (hist / hist.sum()).astype(np.float32)
 
 
-_DECODER = _fake_decode_features
+def parse_ppm(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """REAL decode of binary PPM (``P6``): header parse + pixel array
+    [h, w, 3] uint8. Returns None if not a well-formed P6."""
+    if not payload.startswith(b"P6"):
+        return None
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    try:
+        w, h, maxval = (int(x) for x in fields)
+    except ValueError:
+        return None
+    pos += 1  # single whitespace after maxval
+    need = w * h * 3
+    if maxval <= 0 or maxval > 255 or len(payload) < pos + need:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return px.reshape(h, w, 3), w, h
+
+
+def _decode_ppm_features(payload: bytes) -> np.ndarray | None:
+    """PPM → FEATURE_DIM floats: per-channel mean+std (6) a 2×2
+    spatial-grid luminance mean (4), luminance min/max (2), and a
+    4-bin luminance histogram (4). Everything is plain numpy over the
+    REAL pixel array."""
+    parsed = parse_ppm(payload)
+    if parsed is None:
+        return None
+    px, w, h = parsed
+    f = px.astype(np.float64) / 255.0
+    lum = f.mean(axis=2)
+    halves_h = max(1, h // 2)
+    halves_w = max(1, w // 2)
+    grid = [
+        lum[:halves_h, :halves_w].mean(),
+        lum[:halves_h, halves_w:].mean() if w > 1 else lum.mean(),
+        lum[halves_h:, :halves_w].mean() if h > 1 else lum.mean(),
+        lum[halves_h:, halves_w:].mean() if h > 1 and w > 1 else lum.mean(),
+    ]
+    hist = np.histogram(lum, bins=4, range=(0.0, 1.0))[0] / lum.size
+    out = np.concatenate(
+        [
+            f.reshape(-1, 3).mean(axis=0),
+            f.reshape(-1, 3).std(axis=0),
+            np.asarray(grid),
+            [lum.min(), lum.max()],
+            hist,
+        ]
+    )
+    return out.astype(np.float32)
+
+
+def _decode_wav_features(payload: bytes) -> np.ndarray | None:
+    """REAL decode of RIFF/WAVE via the stdlib ``wave`` module →
+    FEATURE_DIM floats: rms, mean |x|, peak, zero-crossing rate,
+    n_channels, sample_rate (kHz), duration (s), dc offset, and an
+    8-bin coarse spectrum magnitude profile (rfft of the first
+    4096 mono samples, L1-normalized)."""
+    import wave
+
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            nch, sw, sr = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    if len(x) == 0:
+        x = np.zeros(1)
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x[:4096]))
+    bins = np.array_split(spec, 8)
+    prof = np.array([b.mean() if len(b) else 0.0 for b in bins])
+    prof = prof / max(prof.sum(), 1e-12)
+    out = np.concatenate(
+        [
+            [
+                float(np.sqrt(np.mean(x * x))),
+                float(np.mean(np.abs(x))),
+                float(np.max(np.abs(x))),
+                zc,
+                float(nch),
+                sr / 1000.0,
+                len(x) / max(sr, 1),
+                float(np.mean(x)),
+            ],
+            prof,
+        ]
+    )
+    return out.astype(np.float32)
+
+
+def _auto_decode(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch: REAL decoders for codec-free formats
+    (P6 PPM, RIFF/WAVE), deterministic fake otherwise."""
+    for dec in (_decode_ppm_features, _decode_wav_features):
+        feats = dec(payload)
+        if feats is not None:
+            return feats
+    return _fake_decode_features(payload)
+
+
+_DECODER = _auto_decode
 
 
 def set_decoder(fn) -> None:
@@ -121,3 +246,65 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.select(
         "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
     ).mapInPandas(_sample, schema=_FRAME_SCHEMA)
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a binary PPM, re-emitted as P6
+    bytes. None if the payload is not a well-formed P6."""
+    parsed = parse_ppm(payload)
+    if parsed is None:
+        return None
+    px, w, h = parsed
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    out = px[yi][:, xi]
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + out.tobytes()
+
+
+_RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary,"
+    " width int, height int, resized boolean"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize as a narrow Arrow stage: P6 payloads are ACTUALLY
+    resized (nearest-neighbor, pure numpy); payloads in formats this
+    container can't decode pass through with resized=false — the plan
+    (per-row fan, no shuffle, binary in/binary out) is what a real
+    codec-backed executor would run unchanged."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs, ws, hs, ok = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                r = resize_ppm(b, width, height)
+                if r is None:
+                    outs.append(b)
+                    parsed = parse_ppm(b)
+                    ws.append(parsed[1] if parsed else -1)
+                    hs.append(parsed[2] if parsed else -1)
+                    ok.append(False)
+                else:
+                    outs.append(r)
+                    ws.append(width)
+                    hs.append(height)
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": outs,
+                    "width": ws,
+                    "height": hs,
+                    "resized": ok,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _resize, schema=_RESIZED_SCHEMA
+    )

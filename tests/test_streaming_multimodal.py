@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -283,3 +285,87 @@ def test_streaming_contamination_matches_batch(spark, corpus, docs_dir):
     )
     assert got == want
     assert len(want) >= 10  # benchmark docs self-match at minimum
+
+
+def _ppm(w, h, seed=3):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes(), px
+
+
+def _wav(sr=8000, n=2000, freq=440.0, amp=0.5):
+    import io
+    import wave
+
+    x = (amp * np.sin(2 * np.pi * freq * np.arange(n) / sr) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue(), x.astype(np.float64) / 32768.0
+
+
+def test_real_ppm_decode(spark):
+    payload, px = _ppm(6, 4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (6, 4, 0, 0))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media).collect()[0]
+    f = np.array(row["features"])
+    want_mean = px.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    np.testing.assert_allclose(f[:3], want_mean, rtol=1e-6)
+    lum = (px.astype(np.float64) / 255.0).mean(axis=2)
+    assert f[10] == pytest.approx(lum.min(), rel=1e-6)
+    assert f[11] == pytest.approx(lum.max(), rel=1e-6)
+
+
+def test_real_wav_decode(spark):
+    payload, x = _wav()
+    media = spark.createDataFrame(
+        [(2, "audio", bytearray(payload), (0, 0, 8000, 0))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media).collect()[0]
+    f = np.array(row["features"])
+    assert f[0] == pytest.approx(np.sqrt(np.mean(x * x)), rel=1e-4)  # rms
+    assert f[4] == 1.0 and f[5] == pytest.approx(8.0)  # mono, 8 kHz
+    assert f[6] == pytest.approx(len(x) / 8000, rel=1e-6)  # duration
+    # 440 Hz in the first 4096 samples at 8 kHz lands in spectrum bin 0
+    # of 8 (0-500 Hz): the profile must concentrate there
+    assert f[8] == max(f[8:16])
+
+
+def test_undecodable_payload_uses_fake(spark):
+    blob = b"\xff\xd8\xff JPEG-ish garbage" * 10
+    media = spark.createDataFrame(
+        [(3, "image", bytearray(blob), (0, 0, 0, 0))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media).collect()[0]
+    want = multimodal._fake_decode_features(blob)
+    np.testing.assert_array_equal(np.array(row["features"], dtype=np.float32), want)
+
+
+def test_resize_ppm_real(spark):
+    payload, px = _ppm(8, 8)
+    media = spark.createDataFrame(
+        [
+            (4, "image", bytearray(payload), (8, 8, 0, 0)),
+            (5, "blob", bytearray(b"not an image"), (0, 0, 0, 0)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(media, 4, 4).collect()
+    }
+    assert rows[4]["resized"] and rows[4]["width"] == 4
+    out_px, w, h = multimodal.parse_ppm(bytes(rows[4]["payload"]))
+    assert (w, h) == (4, 4)
+    yi = (np.arange(4) * 8 // 4).clip(0, 7)
+    np.testing.assert_array_equal(out_px, px[yi][:, yi])
+    assert not rows[5]["resized"]
+    assert bytes(rows[5]["payload"]) == b"not an image"
