@@ -356,7 +356,33 @@ def run_cleaning_incremental(
             "incremental absorption is undefined; re-run the full plan"
         )
     dh = delta_docs.select("doc_id", F.md5("text").alias("h"))
-    d_fp = lineage.fingerprint_df(dh)
+    d_fp = lineage.fingerprint_df(dh)  # doc_id + hash → increment identity
+    from .incremental import append_stage, delta_already_absorbed
+
+    if delta_already_absorbed(out_dir, "doc_hashes", d_fp):
+        # pure resume: this exact delta is already absorbed (must be
+        # checked BEFORE the monotone-id guard, which the absorbed
+        # delta's own ids would now trip)
+        flags = _read_stage(spark, out_dir, "doc_flags")
+        clean = _read_stage(spark, out_dir, "clean_docs")
+        counts = {
+            r["reason"]: r["n"]
+            for r in flags.select(F.explode("reasons").alias("reason"))
+            .groupBy("reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        total = flags.count()
+        kept = flags.filter(F.col("keep")).count()
+        return CleaningResult(
+            flags=flags,
+            clean_docs=clean,
+            stats={
+                "total": total,
+                "kept": kept,
+                **{r: counts.get(r, 0) for r in REASONS},
+            },
+        )
     n_old, h_old = old_docs_fp.split(":")
     n_d, h_d = d_fp.split(":")
     fp_docs = f"{int(n_old) + int(n_d)}:{int(h_old) + int(h_d)}"
@@ -369,8 +395,13 @@ def run_cleaning_incremental(
             "doc_ids must be arrival-ordered: delta ids must exceed "
             "all historical ids"
         )
-
-    from .incremental import append_stage
+    n_hist = historical_docs.count()
+    if n_hist != int(n_old):
+        raise ValueError(
+            f"historical_docs ({n_hist} rows) does not match the "
+            f"materialized state ({n_old} rows) — partner-text reads "
+            "and retro checks would be wrong"
+        )
 
     # --- exact dedup vs history + within-delta ------------------------
     dmin = dh.groupBy("h").agg(F.min("doc_id").alias("dmin"))
@@ -545,15 +576,15 @@ def run_cleaning_incremental(
     ).withColumn("keep", F.size("reasons") == 0)
 
     # --- advance the materialized state -------------------------------
-    append_stage(spark, dh, out_dir, "doc_hashes", fp_docs)
-    append_stage(spark, delta_band, out_dir, "band_keys", fp_docs)
+    append_stage(spark, dh, out_dir, "doc_hashes", fp_docs, d_fp)
+    append_stage(spark, delta_band, out_dir, "band_keys", fp_docs, d_fp)
     append_stage(
         spark, new_pairs, out_dir, "near_pairs",
-        f"{fp_docs}:tau:{near_dup_tau}",
+        f"{fp_docs}:tau:{near_dup_tau}", d_fp,
     )
     append_stage(
         spark, new_ev, out_dir, "bench_grams",
-        f"{fp_docs}:mod:{benchmark_mod}",
+        f"{fp_docs}:mod:{benchmark_mod}", d_fp,
     )
     comp_new = lineage.materialize(
         spark, comp_new, out_dir, "components",

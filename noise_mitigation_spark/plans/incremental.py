@@ -67,20 +67,45 @@ def _combine_doc_fp(old_fp: str, delta_fp: str) -> str:
     return combined + sep + rest
 
 
+def delta_already_absorbed(out_dir: str, stage: str, delta_id: str) -> bool:
+    """True iff an increment with this identity fingerprint was fully
+    absorbed into the stage (its manifest entry is written AFTER the
+    data, so presence implies completion)."""
+    manifest = _read_manifest(out_dir, stage)
+    return any(
+        d.get("delta_id") == delta_id for d in manifest.get("deltas", [])
+    )
+
+
 def append_stage(
     spark: SparkSession,
     delta_df: DataFrame,
     out_dir: str,
     stage: str,
     combined_fingerprint: str,
+    delta_id: str,
 ) -> DataFrame:
     """Append a delta to a materialized stage and advance its manifest
     to the combined fingerprint. Per-partition metrics for the delta
-    are recorded under ``deltas`` — the historical data is NOT
-    rescanned (corpus-sized at scale)."""
+    are recorded under ``deltas`` keyed by the increment's IDENTITY
+    fingerprint — the historical data is NOT rescanned (corpus-sized
+    at scale).
+
+    Idempotent per increment: a delta_id already in the ledger means
+    this exact delta was fully absorbed (manifest written AFTER the
+    data), so the call is a resume no-op — re-running a crashed
+    increment skips completed stages exactly like
+    lineage.materialize. Remaining crash window: files appended but
+    manifest unwritten would duplicate on retry — the plain-parquet
+    cost of not having Iceberg's atomic snapshot commit, which closes
+    it for free."""
     stage_dir = os.path.join(out_dir, stage)
     data_dir = os.path.join(stage_dir, "data")
     manifest = _read_manifest(out_dir, stage)
+    if any(
+        d.get("delta_id") == delta_id for d in manifest.get("deltas", [])
+    ):
+        return spark.read.parquet(data_dir)
     t0 = time.time()
     delta_df.write.mode("append").parquet(data_dir)
     parts = lineage.partition_metrics(delta_df)
@@ -89,6 +114,7 @@ def append_stage(
     manifest["rows"] = int(manifest["rows"]) + delta_rows
     manifest.setdefault("deltas", []).append(
         {
+            "delta_id": delta_id,
             "rows": delta_rows,
             "wall_sec": round(time.time() - t0, 3),
             "partitions": parts,
@@ -156,6 +182,37 @@ def run_incremental(
         )
 
     delta_doc_fp = lineage.fingerprint_documents(new_documents)
+    # identity of THIS increment (content fp alone would alias a
+    # second batch that re-ships identical content under new
+    # provenance): provenance keys + content hash
+    delta_id = lineage.fingerprint_df(
+        new_documents.select("repo", "path", "commit", "sha256")
+    )
+    if delta_already_absorbed(out_dir, "parsed", delta_id):
+        # pure resume: every stage of this increment is materialized
+        parsed_full = spark.read.parquet(
+            os.path.join(out_dir, "parsed", "data")
+        )
+        scored_full = spark.read.parquet(
+            os.path.join(out_dir, "scored", "data")
+        )
+        ent_att = spark.read.parquet(
+            os.path.join(out_dir, "ent_att", "data")
+        )
+        triples = spark.read.parquet(
+            os.path.join(out_dir, "triples", "data")
+        )
+        canon = linking.canonical_map(aliases)
+        return PipelineResult(
+            mentions=mentions.mentions_view(parsed_full),
+            pairs=mentions.pairs_view(parsed_full),
+            ent_max_avg=miml.miml_max_avg(scored_full),
+            ent_att=ent_att,
+            assertions=miml.type_assertions(ent_att, theta=type_theta),
+            triples=triples,
+            canon=canon,
+            triples_canon=linking.canonicalize_triples(triples, canon),
+        )
     fp_parsed = _combine_doc_fp(old_fp_parsed, delta_doc_fp)
     fp_scored = f"{fp_parsed}|enc:{encoder}"
     fp_att = f"{fp_scored}|salt:{n_salt}"
@@ -175,13 +232,17 @@ def run_incremental(
 
     # 1-2. delta parse + score (narrow, delta-sized), appended
     parsed_delta = _pin(mentions.parse_documents(new_documents, vocab_b))
-    parsed_full = append_stage(spark, parsed_delta, out_dir, "parsed", fp_parsed)
+    parsed_full = append_stage(
+        spark, parsed_delta, out_dir, "parsed", fp_parsed, delta_id
+    )
     scored_delta = _pin(
         scoring.score_mentions(
             mentions.mentions_view(parsed_delta), emb_b, encoder=encoder
         )
     )
-    scored_full = append_stage(spark, scored_delta, out_dir, "scored", fp_scored)
+    scored_full = append_stage(
+        spark, scored_delta, out_dir, "scored", fp_scored, delta_id
+    )
 
     # 3. affected = entities with a new mention (delta-sized id set)
     affected = _pin(scored_delta.select("entity_id").distinct())

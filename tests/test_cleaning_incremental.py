@@ -248,3 +248,35 @@ def test_two_sequential_increments(spark, tmp_path):
     )
     assert _flag_rows(inc) == _flag_rows(full)
     assert inc.stats == full.stats
+
+
+def test_wrong_history_refuses(clean_runs, spark, tmp_path):
+    """Passing a history table that doesn't match the stored state
+    must refuse rather than compute wrong partner texts."""
+    _, _, _, docs = clean_runs
+    d = str(tmp_path / "guard")
+    A = docs[docs.doc_id < 30]
+    cleaning.run_cleaning(spark, spark.createDataFrame(A), d, near_dup_tau=TAU)
+    with pytest.raises(ValueError, match="does not match"):
+        cleaning.run_cleaning_incremental(
+            spark,
+            spark.createDataFrame(docs[docs.doc_id >= 30]),
+            spark.createDataFrame(A.iloc[:10]),  # truncated history
+            d,
+            near_dup_tau=TAU,
+        )
+
+
+def test_rerun_same_delta_is_resume_noop(clean_runs, spark):
+    """Re-absorbing the same delta (crash recovery) must short-circuit
+    to a resume — no monotone-id trip, identical flags and stats."""
+    full, inc, inc_dir, docs = clean_runs
+    again = cleaning.run_cleaning_incremental(
+        spark,
+        spark.createDataFrame(docs[docs.doc_id >= 30]),
+        spark.createDataFrame(docs[docs.doc_id < 30]),
+        inc_dir,
+        near_dup_tau=TAU,
+    )
+    assert again.stats == full.stats
+    assert _flag_rows(again) == _flag_rows(full)

@@ -164,3 +164,28 @@ def test_streaming_kg_maintenance(spark, corpus, tmp_path):
     modes = [v["mode"] for _, v in sorted(ledger.items(), key=lambda kv: int(kv[0]))]
     assert modes[0] == "bootstrap" and set(modes[1:]) == {"inc"}
     assert sum(v["rows"] for v in ledger.values()) == len(docs)
+
+
+def test_rerun_same_delta_is_resume_noop(split_runs, spark, corpus):
+    """Re-running a completed increment (the crash-recovery path) must
+    resume: append stages skip on the already-advanced fingerprint, no
+    rows duplicate, triples unchanged."""
+    full, _, inc_dir = split_runs
+    B = corpus.documents.iloc[150:]
+    rows_before = json.load(
+        open(os.path.join(inc_dir, "parsed", "_manifest.json"))
+    )["rows"]
+    res = incremental.run_incremental(
+        spark,
+        spark.createDataFrame(B),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=inc_dir,
+    )
+    rows_after = json.load(
+        open(os.path.join(inc_dir, "parsed", "_manifest.json"))
+    )["rows"]
+    assert rows_after == rows_before
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(res.triples_canon, cols) == _rows(full.triples_canon, cols)
