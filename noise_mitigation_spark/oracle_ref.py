@@ -21,7 +21,7 @@ import pandas as pd
 
 from .corpus import N_TYPES, RELATION_NAMES, Corpus
 from .functions import scorer
-from .functions.textproc import normalize_surface, parse_batch
+from .functions.textproc import normalize_mid, normalize_surface, parse_batch
 
 TYPE_THETA = 0.5  # global per-type assertion threshold (F10)
 REL_THETA = 0.095  # relation confidence threshold
@@ -277,7 +277,8 @@ def training_costs(
         corpus.gold_pairs["subj"],
         corpus.gold_pairs["obj"],
     ):
-        key = (s.replace("m.", "/m/", 1), o.replace("m.", "/m/", 1))
+        key = (normalize_mid(s), normalize_mid(o))  # shared P16 rule —
+        # prefix-only, matching evaluation.gold_relation_table exactly
         rid = RELATION_NAMES.index(p) + 1
         gold_rel[key] = min(gold_rel.get(key, rid), rid)
     df = pairs[["subj", "obj"]].copy()

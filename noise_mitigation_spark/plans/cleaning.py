@@ -268,6 +268,43 @@ def _read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, stage, "data"))
 
 
+def cleaning_delta_identity(delta_docs: DataFrame) -> str:
+    """Identity fingerprint of a cleaning increment: doc_id + content
+    hash (the same formula run_cleaning_incremental uses for its
+    resume ledger)."""
+    dh = delta_docs.select("doc_id", F.md5("text").alias("h"))
+    return lineage.fingerprint_df(dh)
+
+
+def record_bootstrap_delta(out_dir: str, delta_docs: DataFrame) -> str:
+    """Record a BOOTSTRAP batch's identity in the doc_hashes delta
+    ledger after a full run_cleaning absorbed it, so a crash-replayed
+    foreachBatch (ledger unwritten, manifests present) resumes via
+    delta_already_absorbed instead of re-absorbing — the same
+    exactly-once closure as plans/incremental.record_bootstrap_delta.
+    Idempotent."""
+    import json
+    import os
+
+    d_fp = cleaning_delta_identity(delta_docs)
+    path = os.path.join(out_dir, "doc_hashes", "_manifest.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    if not any(
+        d.get("delta_id") == d_fp for d in manifest.get("deltas", [])
+    ):
+        manifest.setdefault("deltas", []).append(
+            {
+                "delta_id": d_fp,
+                "rows": int(manifest["rows"]),
+                "bootstrap": True,
+            }
+        )
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=1)
+    return d_fp
+
+
 def _stage_fp(out_dir: str, stage: str) -> str:
     import json
     import os
@@ -615,4 +652,9 @@ def run_cleaning_incremental(
         "kept": kept,
         **{r: counts.get(r, 0) for r in REASONS},
     }
+    # everything returned is a materialized stage read-back, so the
+    # temp-parquet snapshots are dead — drop them here so direct job
+    # invocations (run_cleaning.py --append-from) don't leak one set
+    # of nm_pin_* dirs per run (streaming sinks also call this).
+    lineage.cleanup_pins()
     return CleaningResult(flags=flags, clean_docs=clean, stats=stats)

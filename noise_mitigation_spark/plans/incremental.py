@@ -77,6 +77,43 @@ def delta_already_absorbed(out_dir: str, stage: str, delta_id: str) -> bool:
     )
 
 
+def delta_identity(documents: DataFrame) -> str:
+    """Identity fingerprint of a document increment: provenance keys +
+    content hash (content fp alone would alias a second batch that
+    re-ships identical content under new provenance)."""
+    return lineage.fingerprint_df(
+        documents.select("repo", "path", "commit", "sha256")
+    )
+
+
+def record_bootstrap_delta(out_dir: str, documents: DataFrame) -> str:
+    """Record a BOOTSTRAP batch's identity in the parsed-stage delta
+    ledger after a full-pipeline run absorbed it.
+
+    Closes the foreachBatch crash window: if the stream dies after the
+    bootstrap ``pipeline.run`` completes but before the sink's
+    batch-id ledger is written, the replayed batch takes the
+    incremental path (manifests now exist) — without this entry
+    ``run_incremental`` would re-absorb the same documents and append
+    duplicate rows to every stage. With it, the replay hits
+    ``delta_already_absorbed`` and resumes as a no-op. Idempotent."""
+    delta_id = delta_identity(documents)
+    manifest = _read_manifest(out_dir, "parsed")
+    if not any(
+        d.get("delta_id") == delta_id for d in manifest.get("deltas", [])
+    ):
+        manifest.setdefault("deltas", []).append(
+            {
+                "delta_id": delta_id,
+                "rows": int(manifest["rows"]),
+                "bootstrap": True,
+            }
+        )
+        with open(_manifest_path(out_dir, "parsed"), "w") as f:
+            json.dump(manifest, f, indent=1)
+    return delta_id
+
+
 def append_stage(
     spark: SparkSession,
     delta_df: DataFrame,
@@ -182,12 +219,7 @@ def run_incremental(
         )
 
     delta_doc_fp = lineage.fingerprint_documents(new_documents)
-    # identity of THIS increment (content fp alone would alias a
-    # second batch that re-ships identical content under new
-    # provenance): provenance keys + content hash
-    delta_id = lineage.fingerprint_df(
-        new_documents.select("repo", "path", "commit", "sha256")
-    )
+    delta_id = delta_identity(new_documents)
     if delta_already_absorbed(out_dir, "parsed", delta_id):
         # pure resume: every stage of this increment is materialized
         parsed_full = spark.read.parquet(
@@ -308,6 +340,11 @@ def run_incremental(
 
         catalog.materialize_graph(canon, assertions, triples_canon, graph_root)
 
+    # every returned DataFrame is a stage read-back (materialize /
+    # append_stage return reads of the written data), so the pin
+    # snapshots are dead — drop them so direct job invocations
+    # (run_pipeline.py --append) don't leak nm_pin_* temp dirs.
+    lineage.cleanup_pins()
     return PipelineResult(
         mentions=mentions.mentions_view(parsed_full),
         pairs=pairs_full,

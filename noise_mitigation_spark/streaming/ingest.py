@@ -302,6 +302,13 @@ def streaming_kg_maintenance(
                 spark, batch_df, aliases, vocab, emb, out_dir=out_dir,
                 **pipeline_params,
             )
+            # record the bootstrap batch's identity in the stage delta
+            # ledger: a crash between here and the batch-id ledger
+            # write replays the batch down the INCREMENTAL path (the
+            # manifests now exist) — this entry makes that replay a
+            # delta_already_absorbed resume no-op instead of a silent
+            # double-absorption.
+            _inc.record_bootstrap_delta(out_dir, batch_df)
         ledger[str(batch_id)] = {"rows": n, "mode": "inc" if bootstrapped else "bootstrap"}
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
@@ -314,6 +321,15 @@ def streaming_kg_maintenance(
             "checkpointLocation", _os.path.join(out_dir, "_stream_checkpoint")
         )
         .start()
+    )
+
+
+def _read_history(spark: SparkSession, history_path: str) -> DataFrame:
+    """Read the maintenance history written as one subdirectory per
+    absorbed batch (recursive lookup — no partition-column inference,
+    the subdir names are commit units, not data)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(history_path)
     )
 
 
@@ -362,7 +378,7 @@ def streaming_cleaning_maintenance(
             _os.path.join(out_dir, "doc_flags", "_manifest.json")
         )
         if bootstrapped:
-            hist = spark.read.parquet(history_path)
+            hist = _read_history(spark, history_path)
             _cleaning.run_cleaning_incremental(
                 spark, batch_df, hist, out_dir, **cleaning_params
             )
@@ -370,7 +386,16 @@ def streaming_cleaning_maintenance(
             _cleaning.run_cleaning(
                 spark, batch_df, out_dir=out_dir, **cleaning_params
             )
-        batch_df.write.mode("append").parquet(history_path)
+            # same bootstrap-replay closure as streaming_kg_maintenance
+            _cleaning.record_bootstrap_delta(out_dir, batch_df)
+        # history append is IDEMPOTENT: each batch overwrites its own
+        # batch-id-named subdirectory, so a crash-replay after this
+        # write (ledger unwritten) rewrites the same rows instead of
+        # appending them twice — which would desync history from the
+        # materialized state and permanently wedge the n_hist guard.
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(history_path, f"batch-{batch_id}")
+        )
         ledger[str(batch_id)] = {
             "rows": n, "mode": "inc" if bootstrapped else "bootstrap",
         }

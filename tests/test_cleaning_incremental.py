@@ -168,6 +168,52 @@ def test_param_mismatch_refuses(clean_runs, spark):
         )
 
 
+def test_bootstrap_replay_is_noop(spark, tmp_path):
+    """Crash window: bootstrap run_cleaning completes, the batch-id
+    ledger write is lost, the replayed batch takes the incremental
+    path BEFORE any history was appended. With the bootstrap delta
+    recorded in the doc_hashes ledger, run_cleaning_incremental must
+    resume (no id-monotonicity / n_hist raise — the guards would both
+    trip) and return unchanged flags."""
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    out_dir = str(tmp_path / "boot")
+    res0 = cleaning.run_cleaning(
+        spark, spark.createDataFrame(A), out_dir, near_dup_tau=TAU
+    )
+    flags0 = _flag_rows(res0)
+    cleaning.record_bootstrap_delta(out_dir, spark.createDataFrame(A))
+    empty_hist = spark.createDataFrame([], "doc_id long, text string")
+    replay = cleaning.run_cleaning_incremental(
+        spark,
+        spark.createDataFrame(A),
+        empty_hist,  # crash before the history append: nothing there
+        out_dir,
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(replay) == flags0
+
+
+def test_history_append_is_idempotent(spark, tmp_path):
+    """A replayed batch rewrites its own batch-id subdirectory instead
+    of appending a second copy — the n_hist guard stays satisfiable."""
+    from noise_mitigation_spark.streaming import ingest
+
+    docs = _mk_docs()
+    hist = str(tmp_path / "history")
+    b0, b1 = docs.iloc[:10], docs.iloc[10:25]
+    for _ in range(2):  # second write simulates the crash-replay
+        spark.createDataFrame(b0).write.mode("overwrite").parquet(
+            os.path.join(hist, "batch-0")
+        )
+    spark.createDataFrame(b1).write.mode("overwrite").parquet(
+        os.path.join(hist, "batch-1")
+    )
+    got = ingest._read_history(spark, hist)
+    assert got.count() == len(b0) + len(b1)
+    assert sorted(got.columns) == ["doc_id", "text"]
+
+
 def test_streaming_cleaning_maintenance(spark, tmp_path):
     """Docs arriving as a file stream maintain the cleaning state
     continuously: after draining, doc_flags equals a from-scratch

@@ -166,6 +166,44 @@ def test_streaming_kg_maintenance(spark, corpus, tmp_path):
     assert sum(v["rows"] for v in ledger.values()) == len(docs)
 
 
+def test_bootstrap_replay_is_noop(spark, corpus, tmp_path):
+    """The foreachBatch crash window the sink closes: bootstrap
+    pipeline.run completes, the batch-id ledger write is lost, the
+    replayed batch takes the INCREMENTAL path. With the bootstrap
+    delta recorded in the parsed ledger, run_incremental over the
+    same documents must resume as a no-op — no duplicate stage rows,
+    triples unchanged."""
+    A = corpus.documents.iloc[:120]
+    out_dir = str(tmp_path / "kg")
+    docs_df = spark.createDataFrame(A)
+    res0 = pipeline.run(
+        spark,
+        docs_df,
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out_dir,
+    )
+    triples0 = _rows(res0.triples_canon, ["subj", "pred", "obj", "conf"])
+    incremental.record_bootstrap_delta(out_dir, docs_df)
+    rows0 = json.load(
+        open(os.path.join(out_dir, "parsed", "_manifest.json"))
+    )["rows"]
+    replay = incremental.run_incremental(
+        spark,
+        docs_df,
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out_dir,
+    )
+    rows1 = json.load(
+        open(os.path.join(out_dir, "parsed", "_manifest.json"))
+    )["rows"]
+    assert rows1 == rows0
+    assert _rows(replay.triples_canon, ["subj", "pred", "obj", "conf"]) == triples0
+
+
 def test_rerun_same_delta_is_resume_noop(split_runs, spark, corpus):
     """Re-running a completed increment (the crash-recovery path) must
     resume: append stages skip on the already-advanced fingerprint, no
