@@ -48,7 +48,36 @@ def star_edges(blocks: DataFrame) -> DataFrame:
     )
 
 
-SMALL_GRAPH_EDGES = 2_000_000
+#: driver-memory budget for the union-find fast path. A row-count
+#: constant would treat 2M wide string ids like 2M longs; the gate
+#: instead estimates the DRIVER-RESIDENT size of the collect
+#: (measured data widths + per-row Python object overhead).
+SMALL_GRAPH_BYTES = 256 << 20
+
+
+def _collected_bytes(df: DataFrame, n_rows: int) -> int:
+    """Estimated driver-side footprint of ``df.collect()``: fixed
+    widths for numeric fields, one cheap agg for avg string lengths,
+    plus per-row Row/tuple/object-header overhead."""
+    from pyspark.sql import types as T
+
+    if n_rows == 0:
+        return 0
+    fixed, str_cols = 0, []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            str_cols.append(f.name)
+        else:
+            fixed += 8
+    width = float(fixed)
+    if str_cols:
+        row = df.agg(
+            *[F.avg(F.length(c)).alias(c) for c in str_cols]
+        ).collect()[0]
+        # ~49 B empty-str object + the chars themselves
+        width += sum(49.0 + float(row[c] or 0.0) for c in str_cols)
+    PY_ROW_OVERHEAD = 120  # Row + per-field references
+    return int(n_rows * (width + PY_ROW_OVERHEAD))
 
 
 def _unionfind_components(
@@ -93,12 +122,13 @@ def connected_components(
     label(node) = min(label, min neighbor label), then
     label := label's label.
 
-    Adaptive execution: graphs under SMALL_GRAPH_EDGES edges take the
-    driver-side union-find fast path (same answer, no per-round
-    scheduling cost — the analog of a broadcast join's build side);
-    larger graphs run the distributed loop with partition count scaled
-    to graph size (~1M edges per partition, capped at cluster
-    parallelism).
+    Adaptive execution: graphs whose estimated DRIVER footprint
+    (edges + nodes, measured row widths — see _collected_bytes) fits
+    SMALL_GRAPH_BYTES take the driver-side union-find fast path (same
+    answer, no per-round scheduling cost — the analog of a broadcast
+    join's build side); larger graphs run the distributed loop with
+    partition count scaled to graph size (~1M edges per partition,
+    capped at cluster parallelism).
     """
     sym = (
         edges.select("src", "dst")
@@ -106,9 +136,14 @@ def connected_components(
         .localCheckpoint(eager=True)  # edge derivation runs once, not per round
     )
     n_edges = sym.count()
-    # the fast path collects BOTH edges and nodes — gate on both (a
-    # sparse graph over 10^8 nodes must stay distributed)
-    if n_edges <= SMALL_GRAPH_EDGES and nodes.count() <= SMALL_GRAPH_EDGES:
+    # the fast path collects BOTH edges and nodes — gate on their
+    # combined estimated bytes (a sparse graph over 10^8 nodes must
+    # stay distributed even if its edge list is small)
+    n_nodes = nodes.count()
+    if (
+        _collected_bytes(sym, n_edges) + _collected_bytes(nodes, n_nodes)
+        <= SMALL_GRAPH_BYTES
+    ):
         return _unionfind_components(nodes, sym)
     sc = nodes.sparkSession.sparkContext
     parts = int(max(2, min(sc.defaultParallelism, n_edges // 1_000_000 + 2)))

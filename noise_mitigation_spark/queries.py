@@ -2967,13 +2967,18 @@ def q_pagerank(spark, sf_dir):
     driver-side vertex state. {n} unrolled iterations, damping 0.85,
     no dangling redistribution (documented variant — both engines
     identical). Per-iteration round(·, 8) pins the trajectory
-    cross-engine; output = top-20 by rank with node-id tiebreak."""
-    edges = _edges(spark, sf_dir).cache()
+    cross-engine; output = top-20 by rank with node-id tiebreak.
+
+    Graph tables are eager localCheckpoints, not cache(): checkpoint
+    blocks are ContextCleaner-GC'd once the returned plan is dropped,
+    while cache entries would pin executor memory for the life of a
+    long-running session."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     base = (1.0 - _PR_DAMP) / n
@@ -3051,7 +3056,7 @@ def q_triangle_count(spark, sf_dir):
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)  # GC-cleaned, unlike cache()
     )
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -3081,7 +3086,7 @@ def q_two_hop_reach(spark, sf_dir):
     middle vertex (work Σ out·in per mid, skew-profiled by
     q_degree_stats) + a union + a distinct-count; all equi-joins
     keyed by vertex, no global sort."""
-    edges = _edges(spark, sf_dir).cache()
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)  # GC-cleaned
     e1 = edges.select(F.col("src"), F.col("dst").alias("mid"))
     e2 = edges.select(F.col("src").alias("mid"), F.col("dst"))
     two = e1.join(e2, "mid").select("src", "dst")
