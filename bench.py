@@ -67,6 +67,7 @@ HEADLINE = [
     "repetition_filter", "decontaminate", "substring_dup_spans", "ivf_ann",
     "tpch_q3", "tpch_q18", "quality_classifier", "kmeans_assign",
     "ivf_ann_trained", "joint_cost", "pagerank", "triangle_count",
+    "rolling_fingerprint", "winnow_fingerprint",
 ]  # fmt: skip
 
 
@@ -249,6 +250,30 @@ def main() -> None:
         Q.QUERIES[name](spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
 
+    # digest-cost comparison for the two fingerprint paths: the md5
+    # gate query runs one digest per char position; the Rabin-Karp
+    # winnowing kernel runs ZERO digests (O(1) uint64 ops/position)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    fstats = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.length("text") >= 16)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text") - 15).alias("wins"),
+        )
+        .collect()[0]
+    )
+    fingerprint = {
+        "md5_wall_sec": qtimes["rolling_fingerprint"],
+        "rk_winnow_wall_sec": qtimes["winnow_fingerprint"],
+        "md5_digests_per_doc": round(fstats["wins"] / fstats["n"], 1),
+        "rk_digests_per_doc": 0.0,
+        "positions_per_sec_rk": round(
+            fstats["wins"] / max(qtimes["winnow_fingerprint"], 1e-9), 1
+        ),
+    }
+
     spark.stop()
 
     # KG pipeline in a FRESH session: a query-suite session ages (heap
@@ -283,6 +308,7 @@ def main() -> None:
                     "n_triples": n_triples,
                     "files_per_sec": round(n_docs / kg_wall, 1),
                 },
+                "fingerprint": fingerprint,
                 "scaling": scaling,
             }
         )

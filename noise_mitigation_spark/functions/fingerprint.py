@@ -1,0 +1,136 @@
+"""Incremental Rabin-Karp rolling hash + winnowing fingerprints.
+
+Production kernel behind queries.q_winnow_fingerprint — the scale
+twin of q_rolling_fingerprint, whose one-md5-per-char-position shape
+(~10^13 digest calls at 100 TB) exists only because it is expressible
+identically in Spark SQL and DuckDB. This kernel computes the same
+class of sliding-window content signature with O(1) integer ops per
+position and ZERO digest calls:
+
+- window hash: degree-(k-1) polynomial over the code points,
+  ``H[i] = sum_t codes[i+t] * B^(k-1-t)  (mod 2^64)``, evaluated for
+  ALL positions at once from one modular prefix sum (the classic
+  Rabin-Karp recurrence, vectorized: numpy uint64 arithmetic is
+  exactly mod-2^64, and an ODD base B is invertible mod 2^64, so
+  ``H[i] = (S[i+k] - S[i]) * B^(i+k-1)`` with
+  ``S[j] = sum_{p<j} codes[p] * B^-p``);
+- winnowing (Schleimer, Wilkerson, Aiken, SIGMOD'03): per window of
+  ``w`` consecutive hashes keep the minimum; the DISTINCT selected
+  values are the document's fingerprint set. Sliding minima use the
+  O(n) two-pass block trick (per-block prefix/suffix minima), not an
+  O(n*w) materialized window.
+
+Shared verbatim by the Spark operator (Arrow-batched mapInPandas —
+same grain as the scorer path) and the DuckDB oracle twin
+(UHUGEINT fold over the same algebra, queries.SQL_WINNOW_FINGERPRINT)
+plus the golden pytest. Everything is per-document → the Spark plan
+is one scan + one narrow Python stage, embarrassingly parallel.
+
+Reference analog: the reference fingerprints nothing (it dedups by
+exact file identity only); this is engine-side hygiene the Spark
+realization adds, mirroring the md5 gate query's semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: polynomial base — ODD, hence invertible modulo 2^64
+RK_BASE = 1000003
+#: chars per window (k-gram width), matches the md5 gate query
+RK_K = 16
+#: winnowing window (hashes per selection window)
+RK_W = 8
+
+_M = 1 << 64
+_BINV = pow(RK_BASE, -1, _M)  # modular inverse of the odd base
+
+
+def text_codes(text: str) -> np.ndarray:
+    """Unicode code points as uint64, vectorized (no per-char loop)."""
+    return np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+
+
+def rk_window_hashes(codes: np.ndarray, k: int = RK_K) -> np.ndarray:
+    """All k-gram polynomial hashes of ``codes`` in O(n) uint64 ops.
+
+    Exact mod-2^64 algebra:
+      S[j]  = sum_{p<j} codes[p] * BINV^p
+      H[i]  = (S[i+k] - S[i]) * B^(i+k-1)
+            = sum_{t=0..k-1} codes[i+t] * B^(k-1-t)
+    """
+    n = int(len(codes))
+    m = n - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    pow_binv = np.full(n, np.uint64(_BINV))
+    pow_binv[0] = np.uint64(1)
+    np.cumprod(pow_binv, out=pow_binv)  # BINV^j, wraps mod 2^64
+    pow_b = np.full(n, np.uint64(RK_BASE))
+    pow_b[0] = np.uint64(1)
+    np.cumprod(pow_b, out=pow_b)  # B^j
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(codes * pow_binv, out=s[1:])
+    return (s[k:] - s[:m]) * pow_b[k - 1 : n]
+
+
+def sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Minima of every length-``w`` window of ``h`` (one value per
+    start position; if ``len(h) < w`` the single whole-array min).
+    O(n): per-block prefix minima + per-block suffix minima — window
+    [i, i+w-1] = min(suffix-min at i, prefix-min at i+w-1)."""
+    m = int(len(h))
+    if m == 0:
+        return h
+    if m <= w:
+        return h.min(keepdims=True)
+    nwin = m - w + 1
+    pad = (-m) % w
+    hp = np.concatenate(
+        [h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))]
+    ).reshape(-1, w)
+    pre = np.minimum.accumulate(hp, axis=1).ravel()
+    suf = np.minimum.accumulate(hp[:, ::-1], axis=1)[:, ::-1].ravel()
+    i = np.arange(nwin)
+    return np.minimum(suf[i], pre[i + w - 1])
+
+
+def winnow_text(text: str, k: int = RK_K, w: int = RK_W) -> np.ndarray:
+    """Distinct winnowing-selected window hashes of ``text``, as
+    SIGNED int64 (bit-reinterpreted — Spark/DuckDB BIGINT), sorted.
+    Empty for texts shorter than ``k``."""
+    h = rk_window_hashes(text_codes(text), k)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(sliding_min(h, w)).view(np.int64)
+
+
+def fingerprint_frame(doc_ids, texts, k: int = RK_K, w: int = RK_W):
+    """Batch kernel: (doc_id, fp) arrays over a column of texts —
+    the unit the Spark mapInPandas operator and the numpy oracle
+    share. The rolling hashes for the WHOLE batch come from one
+    modular prefix pass over the concatenated code points (a window
+    hash only reads its own k chars, so per-doc slices of the concat
+    hash array equal the per-doc hashes exactly — cross-boundary
+    windows are simply never sliced); only the cheap per-doc window
+    minima + dedup remain in the document loop."""
+    texts = list(texts)
+    if not texts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    all_h = rk_window_hashes(text_codes("".join(texts)), k)
+    out_ids: list[np.ndarray] = []
+    out_fps: list[np.ndarray] = []
+    for j, doc_id in enumerate(doc_ids):
+        m = int(lens[j]) - k + 1
+        if m <= 0:
+            continue
+        sel = np.unique(sliding_min(all_h[offs[j] : offs[j] + m], w))
+        out_ids.append(np.full(len(sel), doc_id, dtype=np.int64))
+        out_fps.append(sel.view(np.int64))
+    if not out_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_ids), np.concatenate(out_fps)

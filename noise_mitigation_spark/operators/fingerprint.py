@@ -1,0 +1,39 @@
+"""Winnowing fingerprint operator — the production-scale document
+signature path (functions/fingerprint.py holds the shared kernel).
+
+One narrow Arrow-batched Python stage over the documents scan: no
+shuffle, no digest calls, O(len) integer ops per document. The
+fingerprints feed the same downstream shapes as MinHash band keys
+(equi-join on fp → candidate pairs), so at 100 TB this replaces the
+md5-per-position gate query q_rolling_fingerprint wholesale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions import fingerprint as _fp
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = _fp.RK_K,
+    w: int = _fp.RK_W,
+) -> DataFrame:
+    """documents → (doc_id, fp) distinct winnowing-selected window
+    hashes (signed-int64 view of the mod-2^64 Rabin-Karp values).
+    Docs shorter than ``k`` emit nothing."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = _fp.fingerprint_frame(
+                pdf[id_col].to_numpy(), pdf[text_col], k, w
+            )
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "doc_id long, fp long"
+    )

@@ -1840,9 +1840,9 @@ def q_rolling_fingerprint(spark, sf_dir):
     edits, unlike whole-content hashing (q_dedup_exact). Stateless
     md5-prefix window hash, identical in both engines, no sort.
     NOTE: one md5 per character position is the cross-engine-testable
-    shape; a production 100 TB run swaps in an incremental polynomial
-    (Rabin-Karp) hash inside a pandas UDF — same algebra, O(1) per
-    position instead of O(window)."""
+    SQL shape; the production path is q_winnow_fingerprint below —
+    incremental Rabin-Karp + proper winnowing, ZERO digests, O(1)
+    uint64 ops per position (functions/fingerprint.py)."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 16)
     wins = d.select(
         "doc_id",
@@ -1866,6 +1866,57 @@ WITH wins AS (
 SELECT doc_id, min({_tokhash_sql("win")}) AS fingerprint,
        count(*) AS n_windows
 FROM wins GROUP BY doc_id
+"""
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """PRODUCTION fingerprint path (the scale fix the md5 gate query
+    above documents): incremental Rabin-Karp window hashes + proper
+    winnowing (min per w-window of hashes, distinct selected values
+    per doc — multiple fingerprints/doc, Schleimer et al. SIGMOD'03).
+    Zero digest calls, O(1) integer ops per char position, computed
+    in ONE Arrow-batched narrow stage (functions/fingerprint.py — the
+    kernel is shared with the DuckDB UHUGEINT oracle twin below and
+    the numpy golden test). The only Python in the query suite beside
+    the scorer path, and for the same reason: the per-position
+    rolling recurrence is a scan Catalyst cannot vectorize."""
+    from .operators.fingerprint import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+    return winnow_fingerprints(d)
+
+
+# Same algebra in DuckDB: fold (acc*B + code) mod 2^64 over each
+# 16-char window via UHUGEINT, window-min over 8 consecutive hashes,
+# distinct; mod-2^64 values re-interpreted as signed BIGINT on both
+# sides (numpy .view(int64) ≡ the CASE below).
+SQL_WINNOW_FINGERPRINT = """
+WITH d AS (
+  SELECT doc_id, length(text) - 15 AS m,
+    list_transform(generate_series(1, length(text)),
+                   p -> unicode(text[p])::UHUGEINT) AS codes
+  FROM documents WHERE length(text) >= 16
+),
+pos AS (SELECT doc_id, m, unnest(generate_series(1, m)) AS i, codes FROM d),
+h AS (
+  SELECT doc_id, m, i,
+    list_reduce(list_prepend(0::UHUGEINT, codes[i : i + 15]),
+      (acc, c) -> (acc * 1000003::UHUGEINT + c)
+                  % 18446744073709551616::UHUGEINT) AS hv
+  FROM pos
+),
+wm AS (
+  SELECT doc_id, m, i,
+    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+  FROM h
+)
+SELECT DISTINCT doc_id,
+  CASE WHEN sel >= 9223372036854775808::UHUGEINT
+       THEN ((sel - 9223372036854775808::UHUGEINT)::BIGINT
+             + (-9223372036854775807 - 1))
+       ELSE sel::BIGINT END AS fp
+FROM wm WHERE i <= greatest(1, m - 7)
 """
 
 
@@ -3220,6 +3271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "degree_stats": q_degree_stats,
     "two_hop_reach": q_two_hop_reach,
+    "winnow_fingerprint": q_winnow_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -3288,4 +3340,5 @@ ORACLES: dict[str, str] = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "degree_stats": SQL_DEGREE_STATS,
     "two_hop_reach": SQL_TWO_HOP_REACH,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
 }

@@ -1,0 +1,98 @@
+"""Rabin-Karp + winnowing fingerprint kernel (functions/fingerprint):
+incremental algebra ≡ brute-force definition, Spark operator ≡ numpy
+kernel, and the digest-free claim the bench records."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.functions import fingerprint as fp
+from noise_mitigation_spark.operators.fingerprint import winnow_fingerprints
+
+SF = "/root/testdata/sf0.01"
+
+
+def _brute_hashes(codes: np.ndarray, k: int) -> np.ndarray:
+    B = np.uint64(fp.RK_BASE)
+    m = len(codes) - k + 1
+    out = []
+    with np.errstate(over="ignore"):
+        for i in range(max(0, m)):
+            acc = np.uint64(0)
+            for t in range(k):
+                acc = acc * B + codes[i + t]
+            out.append(acc)
+    return np.array(out, dtype=np.uint64)
+
+
+def test_incremental_hash_equals_brute_force():
+    rng = np.random.Generator(np.random.PCG64(3))
+    for _ in range(40):
+        n = int(rng.integers(1, 300))
+        k = int(rng.integers(2, 24))
+        codes = rng.integers(32, 0x110000, size=n).astype(np.uint64)
+        got = fp.rk_window_hashes(codes, k)
+        want = _brute_hashes(codes, k)
+        assert np.array_equal(got, want), (n, k)
+
+
+def test_sliding_min_equals_brute_force():
+    rng = np.random.Generator(np.random.PCG64(7))
+    for _ in range(60):
+        m = int(rng.integers(1, 400))
+        w = int(rng.integers(1, 24))
+        h = rng.integers(0, 2**64, size=m, dtype=np.uint64)
+        got = fp.sliding_min(h, w)
+        if m <= w:
+            want = np.array([h.min()])
+        else:
+            want = np.array([h[i : i + w].min() for i in range(m - w + 1)])
+        assert np.array_equal(got, want), (m, w)
+
+
+def test_short_and_unicode_edge_cases():
+    assert len(fp.winnow_text("x" * 15)) == 0  # shorter than k
+    one = fp.winnow_text("x" * 16)
+    assert len(one) == 1  # exactly one window → one fingerprint
+    uni = fp.winnow_text("héllo wörld ünïcode — ample length here")
+    assert len(uni) > 0
+    # winnowing selects a subset of the full hash set
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    all_h = set(
+        fp.rk_window_hashes(fp.text_codes(text), fp.RK_K).view(np.int64).tolist()
+    )
+    sel = set(fp.winnow_text(text).tolist())
+    assert sel and sel <= all_h and len(sel) < len(all_h)
+
+
+def test_spark_operator_matches_kernel(spark):
+    """Golden: the mapInPandas operator over sf0.01 documents emits
+    exactly the kernel's (doc_id, fp) set."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = set(
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(
+            docs.filter(F.length("text") >= 16)
+        ).collect()
+    )
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    pdf = pdf[pdf.text.str.len() >= 16]
+    ids, fps = fp.fingerprint_frame(pdf["doc_id"].to_numpy(), pdf["text"])
+    want = set(zip(ids.tolist(), fps.tolist()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_near_identical_docs_share_fingerprints(spark):
+    """The property the signature exists for: a small edit preserves
+    most selected fingerprints (md5-of-whole-doc shares none)."""
+    base = " ".join(f"tok{i:04d}" for i in range(60))
+    edited = base.replace("tok0030", "EDITED")
+    a = set(fp.winnow_text(base).tolist())
+    b = set(fp.winnow_text(edited).tolist())
+    jac = len(a & b) / len(a | b)
+    assert jac > 0.5, jac

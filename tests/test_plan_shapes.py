@@ -194,12 +194,26 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path_factory):
         spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
 
 
+#: the ONLY registry entries allowed an Arrow-batched Python stage —
+#: same rule as the scorer path: a per-position scan recurrence
+#: Catalyst cannot vectorize (incremental Rabin-Karp). Anything else
+#: showing Python in its plan is a regression.
+ARROW_KERNEL_QUERIES = {"winnow_fingerprint"}
+
+
 def test_no_python_udf_in_query_suite(spark):
     """queries.py promises zero Python UDFs — verify on EVERY plan in
-    the registry, not a sample (new queries inherit the gate)."""
+    the registry, not a sample (new queries inherit the gate). The
+    documented Arrow-kernel exemptions may use mapInPandas but NEVER
+    a row-at-a-time PythonUDF, and must stay shuffle-free (narrow)."""
     for name in sorted(Q.QUERIES):
         plan = _plan(Q.QUERIES[name](spark, SF))
-        assert "PythonUDF" not in plan and "MapInPandas" not in plan, name
+        if name in ARROW_KERNEL_QUERIES:
+            assert "PythonUDF" not in plan, name
+            assert "MapInPandas" in plan, name
+            assert "Exchange" not in plan, name  # narrow: scan→kernel
+        else:
+            assert "PythonUDF" not in plan and "MapInPandas" not in plan, name
 
 
 def test_new_pipeline_queries_plan_shapes(spark):
