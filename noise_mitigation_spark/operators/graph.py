@@ -1,0 +1,91 @@
+"""Graph analytics operators over produced KG edge tables.
+
+queries.q_pagerank is the ORACLE-TWIN shape: fixed unrolled
+iterations, no dangling redistribution, per-iteration rounding — both
+engines identical (its documented deviation). This module holds the
+PRODUCTION formulation: standard PageRank with dangling-mass
+redistribution and an L1 convergence stop, same vertex-keyed
+join + two-phase-aggregate plan per iteration, lineage cut by
+localCheckpoint per round (the loop shape that survives 10^10
+edges — state is one (node, pr) table, never driver-resident).
+
+Reference analog: none (the reference has no graph stage); standard
+formulation per Page et al. 1999 / Brin & Page 1998.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 60,
+) -> DataFrame:
+    """edges(src, dst) → (node, pr), Σpr = 1.
+
+    Per iteration (all vertex-keyed, no global sort, no driver-side
+    vertex state):
+      contrib(dst)  = Σ_{src→dst} pr(src) / outdeg(src)   (shuffle on
+                      src for the join, dst for the two-phase sum)
+      dangling_mass = Σ pr over nodes with outdeg 0        (scalar)
+      pr'(v) = (1-d)/n + d·(contrib(v) + dangling_mass/n)
+    Stops when the L1 step ‖pr' − pr‖₁ < ``tol`` (or max_iter).
+    The two per-iteration scalars (dangling mass, L1 delta) are the
+    only driver traffic."""
+    sym = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .union(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = (
+        sym.groupBy("src").agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "anti"
+    ).localCheckpoint(eager=True)
+
+    base = (1.0 - damping) / n
+    pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        contrib = (
+            sym.join(pr, sym.src == pr.node)
+            .join(outdeg, "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        dm = (
+            dangling.join(pr, "node")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        new_pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    base
+                    + damping * (F.coalesce("s", F.lit(0.0)) + dm / n)
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_pr.join(
+                pr.select(F.col("node"), F.col("pr").alias("pr_old")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        pr = new_pr
+        if delta < tol:
+            break
+    return pr

@@ -1,0 +1,76 @@
+"""Production PageRank (operators/graph.py): dangling-mass
+redistribution + convergence stop vs a dense numpy power-iteration
+oracle; mass-conservation property (the gate query q_pagerank keeps
+its documented fixed-iteration deviation and is DuckDB-gated)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from noise_mitigation_spark.operators import graph
+
+EDGES = [
+    # a small web with a dangling node (4 has no out-edges) and a cycle
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (5, 0), (5, 4),
+]
+N = 6
+
+
+def _numpy_pagerank(edges, n, d=0.85, tol=1e-12, max_iter=200):
+    M = np.zeros((n, n))
+    outdeg = np.zeros(n)
+    for s, t in edges:
+        outdeg[s] += 1
+    for s, t in edges:
+        M[t, s] = 1.0 / outdeg[s]
+    pr = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = pr[outdeg == 0].sum()
+        new = (1 - d) / n + d * (M @ pr + dangling / n)
+        if np.abs(new - pr).sum() < tol:
+            return new
+        pr = new
+    return pr
+
+
+@pytest.fixture(scope="module")
+def spark_pr(spark):
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    rows = graph.pagerank(edges, tol=1e-12).collect()
+    return {r["node"]: r["pr"] for r in rows}
+
+
+def test_matches_dense_power_iteration(spark_pr):
+    want = _numpy_pagerank(EDGES, N)
+    got = np.array([spark_pr[i] for i in range(N)])
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_mass_is_conserved(spark_pr):
+    assert abs(sum(spark_pr.values()) - 1.0) < 1e-9
+
+
+def test_dangling_node_keeps_nonminimal_rank(spark_pr):
+    """Node 4 is dangling but RECEIVES from 3 and 5 — without
+    redistribution its inflow would leak out of the system each
+    round; with it, total mass stays 1 and 4 ranks above the
+    teleport floor."""
+    assert spark_pr[4] > 0.15 / N
+
+
+def test_converges_on_sf_graph(spark):
+    """The production loop on the real sf0.01 derived edge set:
+    converges, conserves mass, and its top node agrees with a long
+    fixed-iteration run of the same formulation in numpy."""
+    from noise_mitigation_spark import queries as Q
+
+    edges_df = Q._edges(spark, "/root/testdata/sf0.01")
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(edges_df, tol=1e-10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    want = _numpy_pagerank([(idx[s], idx[t]) for s, t in edges], len(ids))
+    got = np.array([pr[v] for v in ids])
+    np.testing.assert_allclose(got, want, atol=1e-8)
