@@ -88,6 +88,57 @@ def _pad_part(ids: np.ndarray, side: str) -> list[int]:
     return out.tolist()
 
 
+def pad_for_conv_batch(
+    ids: np.ndarray,
+    caps: np.ndarray,
+    filtersize: int = 3,
+    contextsize: int = RE_CONTEXTSIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """P10 overflow twin: the reference's exact ``padForConv`` rule
+    (createDataStream_relation_extraction.py:119-134) applied to
+    already-fixed-length part arrays.
+
+    Reference semantics: insert ``filtersize//2`` PADDING before and
+    after the real content, truncate back to ``contextsize``, then —
+    while the probe position (Python-2 ``-filtersize/2 + 1``, i.e.
+    floor) still holds a REAL token — pop the middle
+    (``contextsize//2``) and append PADDING. Net effect: contexts
+    longer than ``contextsize - 2*(filtersize//2)`` lose MIDDLE
+    tokens, where the engine's default window realization keeps them
+    and relies on valid conv + zero-embedding PAD (COVERAGE.md P10).
+
+    Operates on the engine's arrays by stripping PAD positions first
+    (the real-token sequence is layout-independent; _pad_part's trim
+    rules match the reference's popLeft/popMiddle/popRight — pinned
+    by tests/test_relation_variants.py). curLength is the reference's
+    ``max(1, min(len, contextsize))``."""
+    out_i = np.full_like(ids, PAD_ID)
+    out_c = np.zeros_like(caps)
+    k = filtersize // 2
+    probe = (-filtersize) // 2 + 1  # Python-2 floor of -filtersize/2
+    for b in range(len(ids)):
+        mask = ids[b] != PAD_ID
+        real = ids[b][mask]
+        rc = caps[b][mask]
+        cur = max(1, min(len(real), contextsize))
+        ctx = list(real[:contextsize]) + [PAD_ID] * (contextsize - min(len(real), contextsize))
+        cp = list(rc[:contextsize]) + [0] * (contextsize - min(len(real), contextsize))
+        for dwin in range(k):
+            ctx.insert(0, PAD_ID)
+            cp.insert(0, 0)
+            ctx.insert(cur + dwin + 1, PAD_ID)
+            cp.insert(cur + dwin + 1, 0)
+        ctx, cp = ctx[:contextsize], cp[:contextsize]
+        while ctx[probe] != PAD_ID:
+            ctx.pop(contextsize // 2)
+            cp.pop(contextsize // 2)
+            ctx.append(PAD_ID)
+            cp.append(0)
+        out_i[b] = ctx
+        out_c[b] = cp
+    return out_i, out_c
+
+
 M_COLS = [
     "repo", "path", "commit", "sent_id", "position", "entity_id",
     "surface", "notable_type", "mention_word_ids", "ctx_ids",

@@ -62,15 +62,26 @@ def attach_type_vectors(pairs: DataFrame, ent_att: DataFrame) -> DataFrame:
 
 
 def score_pairs(
-    pairs_with_types: DataFrame, emb_b, type_mode: str = "weighted"
+    pairs_with_types: DataFrame,
+    emb_b,
+    type_mode: str = "weighted",
+    pad_mode: str = "window",
 ) -> DataFrame:
     """Contextwise CNN → per-instance class probs [11]. Narrow op.
 
     type_mode selects the ET→RE integration variant (WEIGHTED /
     BINARY / type-agnostic; src/joint/train.py:700-824) — same plan,
-    different frozen feature transform."""
+    different frozen feature transform.
+
+    pad_mode='reference' applies the reference's exact padForConv
+    overflow rule (textproc.pad_for_conv_batch — P10 twin, pop middle
+    tokens until the conv probe position is PADDING) to each context
+    part before scoring; the default 'window' keeps the engine's
+    PAD-filled windows + valid conv realization."""
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import textproc
+
         emb = emb_b.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -81,6 +92,10 @@ def score_pairs(
             cL = np.stack(pdf["caps_left"].to_numpy())
             cM = np.stack(pdf["caps_middle"].to_numpy())
             cR = np.stack(pdf["caps_right"].to_numpy())
+            if pad_mode == "reference":
+                L, cL = textproc.pad_for_conv_batch(L, cL)
+                M, cM = textproc.pad_for_conv_batch(M, cM)
+                R, cR = textproc.pad_for_conv_batch(R, cR)
             e1 = np.stack(pdf["subj_types"].to_numpy()).astype(np.float32)
             e2 = np.stack(pdf["obj_types"].to_numpy()).astype(np.float32)
             probs = scorer.relation_probs(
@@ -90,6 +105,8 @@ def score_pairs(
             out["probs"] = list(probs)
             yield out
 
+    if pad_mode not in ("window", "reference"):
+        raise ValueError(f"unknown pad_mode {pad_mode!r}")
     cols = [
         "repo", "path", "commit", "sent_id", "subj", "obj",
         "left_ids", "middle_ids", "right_ids",

@@ -61,3 +61,128 @@ def test_modes_differ(spark, corpus, oracle):
     assert t["predicted-hidden"] != t["weighted"]
     assert t["binary-hidden"] != t["binary"]
     assert t["predicted-hidden"] != t["binary-hidden"]
+
+
+# --- P10 overflow twin: reference padForConv rule ---------------------
+
+
+def _reference_pad_for_conv(tokens, caps, filtersize, contextsize):
+    """Literal token-level emulation of the reference rule
+    (createDataStream_relation_extraction.py:119-134, Python-2
+    division semantics) — the independent oracle for the kernel."""
+    ctx = list(tokens)
+    cp = list(caps)
+    cur = max(1, min(len([t for t in ctx if t != "PADDING" and t != "<empty>"]), contextsize))
+    while len(ctx) < contextsize:
+        ctx.append("<empty>")
+        cp.append(0)
+    for dwin in range(filtersize // 2):
+        ctx.insert(0, "PADDING")
+        cp.insert(0, 0)
+        ctx.insert(cur + dwin + 1, "PADDING")
+        cp.insert(cur + dwin + 1, 0)
+    ctx = ctx[:contextsize]
+    cp = cp[:contextsize]
+    probe = (-filtersize) // 2 + 1
+    while ctx[probe] not in ("PADDING", "<empty>"):
+        ctx.pop(contextsize // 2)
+        cp.pop(contextsize // 2)
+        ctx.append("PADDING")
+        cp.append(0)
+    return ctx, cp
+
+
+def test_pad_for_conv_matches_reference_rule():
+    """Kernel vs the literal reference emulation across fill levels
+    incl. the OVERFLOW case (full context → middle tokens popped)."""
+    import numpy as np
+
+    from noise_mitigation_spark.corpus import PAD_ID, RE_CONTEXTSIZE
+    from noise_mitigation_spark.functions import textproc
+
+    n = RE_CONTEXTSIZE
+    rng = np.random.Generator(np.random.PCG64(5))
+    for n_real in [0, 1, 5, n - 3, n - 2, n - 1, n]:
+        ids = np.full((1, n), PAD_ID, dtype=np.int64)
+        caps = np.zeros((1, n), dtype=np.int64)
+        real = rng.integers(2, 5000, size=n_real)  # ids 0/1 reserved
+        ids[0, :n_real] = real
+        caps[0, :n_real] = rng.integers(0, 2, size=n_real)
+        got_i, got_c = textproc.pad_for_conv_batch(ids, caps)
+        toks = [str(x) for x in real]
+        want_t, want_c = _reference_pad_for_conv(
+            toks, caps[0, :n_real].tolist(), 3, n
+        )
+        want_i = [
+            PAD_ID if t in ("PADDING", "<empty>") else int(t) for t in want_t
+        ]
+        assert got_i[0].tolist() == want_i, n_real
+        assert got_c[0].tolist() == want_c, n_real
+    # the overflow case genuinely drops middle content: with values
+    # 2..n+1, the leading insert shifts the pop to value 2 + n//2 - 1,
+    # and the truncation drops the last value n+1
+    full = np.arange(2, n + 2, dtype=np.int64).reshape(1, n)
+    out, _ = textproc.pad_for_conv_batch(full, np.zeros((1, n), dtype=np.int64))
+    kept = set(out[0].tolist()) - {PAD_ID}
+    assert (2 + n // 2 - 1) not in kept and (n + 1) not in kept
+    assert out[0][0] == PAD_ID and out[0][-1] == PAD_ID
+
+
+def test_middle_trim_matches_iterated_pop_middle():
+    """_pad_part('middle')'s slice trim must equal the reference's
+    iterated popMiddle (readData.py:236-240) — the precondition for
+    feeding pad_for_conv_batch from already-trimmed arrays."""
+    import numpy as np
+
+    from noise_mitigation_spark.corpus import RE_CONTEXTSIZE
+    from noise_mitigation_spark.functions.textproc import _pad_part
+
+    n = RE_CONTEXTSIZE
+    for extra in range(1, 21):
+        x = np.arange(100, 100 + n + extra, dtype=np.int64)
+        ref = list(x)
+        while len(ref) > n:
+            ref.pop((len(ref) - 1) // 2)
+        got = _pad_part(x, "middle")
+        assert got == ref, extra
+
+
+def test_reference_pad_mode_changes_overflowing_scores(spark, corpus, stage):
+    """The flag is live end-to-end: pad_mode='reference' produces the
+    same triples as transforming the arrays with the shared kernel in
+    numpy, and differs from the default exactly when contexts
+    overflow."""
+    import numpy as np
+
+    from noise_mitigation_spark.functions import scorer, textproc
+
+    with_types, emb_b = stage
+    pdf = with_types.limit(200).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("no pairs in corpus")
+    L = np.stack(pdf["left_ids"].to_numpy())
+    M = np.stack(pdf["middle_ids"].to_numpy())
+    R = np.stack(pdf["right_ids"].to_numpy())
+    cL = np.stack(pdf["caps_left"].to_numpy())
+    cM = np.stack(pdf["caps_middle"].to_numpy())
+    cR = np.stack(pdf["caps_right"].to_numpy())
+    e1 = np.stack(pdf["subj_types"].to_numpy()).astype(np.float32)
+    e2 = np.stack(pdf["obj_types"].to_numpy()).astype(np.float32)
+    Lr, cLr = textproc.pad_for_conv_batch(L, cL)
+    Mr, cMr = textproc.pad_for_conv_batch(M, cM)
+    Rr, cRr = textproc.pad_for_conv_batch(R, cR)
+    want = scorer.relation_probs(
+        Lr, Mr, Rr, cLr, cMr, cRr, e1, e2, corpus.emb, "weighted"
+    )
+    sub = spark.createDataFrame(pdf)
+    got_rows = (
+        relations.score_pairs(sub, emb_b, pad_mode="reference")
+        .select("repo", "path", "commit", "sent_id", "subj", "obj", "probs")
+        .collect()
+    )
+    key = ["repo", "path", "commit", "sent_id", "subj", "obj"]
+    got = {tuple(r[k] for k in key): np.array(r["probs"]) for r in got_rows}
+    for i, row in pdf.iterrows():
+        np.testing.assert_array_equal(
+            got[tuple(row[k] for k in key)], want[pdf.index.get_loc(i)]
+        )
