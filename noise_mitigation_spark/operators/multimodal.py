@@ -80,15 +80,13 @@ def parse_ppm(payload: bytes) -> tuple[np.ndarray, int, int] | None:
     return px.reshape(h, w, 3), w, h
 
 
-def _decode_ppm_features(payload: bytes) -> np.ndarray | None:
-    """PPM → FEATURE_DIM floats: per-channel mean+std (6) a 2×2
-    spatial-grid luminance mean (4), luminance min/max (2), and a
-    4-bin luminance histogram (4). Everything is plain numpy over the
-    REAL pixel array."""
-    parsed = parse_ppm(payload)
-    if parsed is None:
-        return None
-    px, w, h = parsed
+def _pixel_features(px: np.ndarray) -> np.ndarray:
+    """[h, w, 3] uint8 pixels → FEATURE_DIM floats: per-channel
+    mean+std (6), a 2×2 spatial-grid luminance mean (4), luminance
+    min/max (2), and a 4-bin luminance histogram (4). Shared by the
+    PPM decoder and any codec-backed (PIL) decoder so the feature
+    space is identical regardless of the container format."""
+    h, w = px.shape[0], px.shape[1]
     f = px.astype(np.float64) / 255.0
     lum = f.mean(axis=2)
     halves_h = max(1, h // 2)
@@ -107,6 +105,50 @@ def _decode_ppm_features(payload: bytes) -> np.ndarray | None:
             np.asarray(grid),
             [lum.min(), lum.max()],
             hist,
+        ]
+    )
+    return out.astype(np.float32)
+
+
+def _decode_ppm_features(payload: bytes) -> np.ndarray | None:
+    """PPM → FEATURE_DIM floats via _pixel_features over the REAL
+    pixel array (pure numpy decode)."""
+    parsed = parse_ppm(payload)
+    if parsed is None:
+        return None
+    return _pixel_features(parsed[0])
+
+
+def _audio_features(x: np.ndarray, nch: int, sr: int) -> np.ndarray:
+    """Mono float samples in [-1, 1] → FEATURE_DIM floats: rms,
+    mean |x|, peak, zero-crossing rate, n_channels, sample_rate (kHz),
+    duration (s), dc offset, and an 8-bin coarse spectrum profile.
+    Shared by the WAV decoder and any codec-backed (soundfile)
+    decoder."""
+    if len(x) == 0:
+        x = np.zeros(1)
+    zc = (
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if len(x) > 1
+        else 0.0
+    )
+    spec = np.abs(np.fft.rfft(x[:4096]))
+    bins = np.array_split(spec, 8)
+    prof = np.array([b.mean() if len(b) else 0.0 for b in bins])
+    prof = prof / max(prof.sum(), 1e-12)
+    out = np.concatenate(
+        [
+            [
+                float(np.sqrt(np.mean(x * x))),
+                float(np.mean(np.abs(x))),
+                float(np.max(np.abs(x))),
+                zc,
+                float(nch),
+                sr / 1000.0,
+                len(x) / max(sr, 1),
+                float(np.mean(x)),
+            ],
+            prof,
         ]
     )
     return out.astype(np.float32)
@@ -137,29 +179,7 @@ def _decode_wav_features(payload: bytes) -> np.ndarray | None:
         return None
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
-    if len(x) == 0:
-        x = np.zeros(1)
-    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
-    spec = np.abs(np.fft.rfft(x[:4096]))
-    bins = np.array_split(spec, 8)
-    prof = np.array([b.mean() if len(b) else 0.0 for b in bins])
-    prof = prof / max(prof.sum(), 1e-12)
-    out = np.concatenate(
-        [
-            [
-                float(np.sqrt(np.mean(x * x))),
-                float(np.mean(np.abs(x))),
-                float(np.max(np.abs(x))),
-                zc,
-                float(nch),
-                sr / 1000.0,
-                len(x) / max(sr, 1),
-                float(np.mean(x)),
-            ],
-            prof,
-        ]
-    )
-    return out.astype(np.float32)
+    return _audio_features(x, nch, sr)
 
 
 def _auto_decode(payload: bytes) -> np.ndarray:
@@ -179,6 +199,74 @@ def set_decoder(fn) -> None:
     """Swap the decode kernel (e.g. a real PIL/ffmpeg-backed one)."""
     global _DECODER
     _DECODER = fn
+
+
+def get_decoder():
+    return _DECODER
+
+
+def codec_backed_decoder(pil_image_mod=None, soundfile_mod=None):
+    """Build a decode chain that uses REAL codec libraries when
+    importable: codec-free decoders first (P6/WAV, exact), then
+    PIL.Image for compressed images, then soundfile for compressed
+    audio, then the labeled deterministic fake. Codec-decoded media
+    go through the SAME feature recipes (_pixel_features /
+    _audio_features) as the codec-free paths, so the feature space is
+    backend-independent.
+
+    Pass a module explicitly to inject a backend (tests), or
+    ``False`` to force a backend off; ``None`` probes importability.
+    The returned fn carries ``.backends`` describing what's active."""
+    if pil_image_mod is None:
+        try:
+            from PIL import Image as pil_image_mod  # noqa: N813
+        except ImportError:
+            pil_image_mod = False
+    if soundfile_mod is None:
+        try:
+            import soundfile as soundfile_mod
+        except ImportError:
+            soundfile_mod = False
+
+    def _decode(payload: bytes) -> np.ndarray:
+        for dec in (_decode_ppm_features, _decode_wav_features):
+            feats = dec(payload)
+            if feats is not None:
+                return feats
+        if pil_image_mod:
+            try:
+                img = pil_image_mod.open(io.BytesIO(payload)).convert("RGB")
+                return _pixel_features(np.asarray(img, dtype=np.uint8))
+            except Exception:  # not an image this backend can read
+                pass
+        if soundfile_mod:
+            try:
+                x, sr = soundfile_mod.read(
+                    io.BytesIO(payload), always_2d=True
+                )
+                nch = x.shape[1]
+                return _audio_features(
+                    x.mean(axis=1).astype(np.float64), nch, sr
+                )
+            except Exception:  # not audio this backend can read
+                pass
+        return _fake_decode_features(payload)
+
+    _decode.backends = {
+        "pil": bool(pil_image_mod),
+        "soundfile": bool(soundfile_mod),
+    }
+    return _decode
+
+
+def use_best_available_decoders() -> dict:
+    """Probe PIL/soundfile and install the best available decode
+    chain via set_decoder(); returns the active-backend map. With no
+    codec libs installed this is exactly the default _auto_decode
+    behavior (the chain's tail)."""
+    dec = codec_backed_decoder()
+    set_decoder(dec)
+    return dec.backends
 
 
 def extract_features(media: DataFrame) -> DataFrame:

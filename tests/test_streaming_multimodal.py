@@ -369,3 +369,107 @@ def test_resize_ppm_real(spark):
     np.testing.assert_array_equal(out_px, px[yi][:, yi])
     assert not rows[5]["resized"]
     assert bytes(rows[5]["payload"]) == b"not an image"
+
+
+# --- optional-codec decoder injection (set_decoder chain) -------------
+
+
+def _mk_ppm(w, h, seed=0):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes(), px
+
+
+def test_codec_chain_codec_free_formats_bypass_backends():
+    """P6/WAV decode BEFORE any backend — with both backends forced
+    off, the chain equals the default auto path exactly."""
+    payload, px = _mk_ppm(6, 4, seed=1)
+    dec = multimodal.codec_backed_decoder(False, False)
+    assert dec.backends == {"pil": False, "soundfile": False}
+    np.testing.assert_array_equal(dec(payload), multimodal._pixel_features(px))
+    junk = b"\xff\xd8\xff not really a jpeg"
+    np.testing.assert_array_equal(
+        dec(junk), multimodal._fake_decode_features(junk)
+    )
+
+
+def test_injected_image_backend_is_used():
+    """A PIL-shaped stub injected via codec_backed_decoder decodes
+    what the codec-free path can't, through the SAME pixel feature
+    recipe."""
+    stub_px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+
+    class _Img:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return stub_px
+
+    class _PILImage:
+        @staticmethod
+        def open(fh):
+            if not fh.read(4).startswith(b"\x89PNG"):
+                raise OSError("not a png")
+            return _Img()
+
+    dec = multimodal.codec_backed_decoder(_PILImage, False)
+    assert dec.backends["pil"] is True
+    got = dec(b"\x89PNG\r\n\x1a\nfakebody")
+    np.testing.assert_array_equal(got, multimodal._pixel_features(stub_px))
+    # non-image payloads still fall through to the fake
+    junk = b"neither image nor audio"
+    np.testing.assert_array_equal(
+        dec(junk), multimodal._fake_decode_features(junk)
+    )
+
+
+def test_injected_audio_backend_is_used():
+    sr = 8000
+    x = np.sin(np.linspace(0, 40 * np.pi, 2000))[:, None]
+
+    class _SF:
+        @staticmethod
+        def read(fh, always_2d=True):
+            if not fh.read(4).startswith(b"fLaC"):
+                raise OSError("not flac")
+            return x, sr
+
+    dec = multimodal.codec_backed_decoder(False, _SF)
+    got = dec(b"fLaC-fake-body")
+    want = multimodal._audio_features(x.mean(axis=1), 1, sr)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_use_best_available_installs_and_restores():
+    """In THIS container no codec libs exist, so the probed chain is
+    behaviorally the default; on a codec-ful machine the same call
+    lights up the backends. Either way extract/decode keeps working."""
+    old = multimodal.get_decoder()
+    try:
+        backends = multimodal.use_best_available_decoders()
+        assert set(backends) == {"pil", "soundfile"}
+        payload, px = _mk_ppm(3, 3, seed=2)
+        np.testing.assert_array_equal(
+            multimodal.get_decoder()(payload), multimodal._pixel_features(px)
+        )
+    finally:
+        multimodal.set_decoder(old)
+
+
+import importlib.util
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None, reason="PIL not installed"
+)
+def test_real_pil_backend_decodes_png():
+    from PIL import Image
+
+    payload, px = _mk_ppm(5, 4, seed=3)
+    import io as _io
+
+    buf = _io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    dec = multimodal.codec_backed_decoder()
+    np.testing.assert_array_equal(
+        dec(buf.getvalue()), multimodal._pixel_features(px)
+    )
