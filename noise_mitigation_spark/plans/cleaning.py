@@ -72,7 +72,21 @@ def band_keys_for(docs: DataFrame) -> DataFrame:
     return _lsh_band_keys(sig, _NEARDUP_ROWS_PER_BAND)
 
 
-def near_dup_pairs_for(docs: DataFrame, tau: float) -> DataFrame:
+def band_keys_for_rowlocal(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Row-local (streaming-legal) twin of band_keys_for — bit-equal
+    band keys, no explode/groupBy/state (queries.band_keys_rowlocal)."""
+    from ..queries import band_keys_rowlocal
+
+    return band_keys_rowlocal(
+        docs, _NEARDUP_PARAMS, _NEARDUP_ROWS_PER_BAND, extra_cols=extra_cols
+    )
+
+
+def near_dup_pairs_for(
+    docs: DataFrame, tau: float, n_hubs: int = 1
+) -> DataFrame:
     """Verified near-dup pairs the cleaning plan uses (also the
     contract the union-find test oracle re-derives). HYBRID
     candidates: all-pairs inside small buckets (exact recall), star
@@ -86,11 +100,53 @@ def near_dup_pairs_for(docs: DataFrame, tau: float) -> DataFrame:
     collision bucket — at 10^12 docs that enumeration does not exist,
     so the linear generator is the design point, exact-duplicate
     cliques are always recovered (hub jaccard = 1), and recall on
-    borderline pairs is the documented cost (raise bands/probes to buy
-    it back incrementally: K-hub stars and sorted-neighborhood windows
-    measured +5–20%)."""
-    cands = _hybrid_pairs_from_keys(band_keys_for(docs))
+    borderline pairs is the documented cost. ``n_hubs`` buys recall
+    back K-linearly (K star hubs per giant bucket instead of one);
+    neardup_recall_report measures the trade and bench.py tracks
+    it per round as ``neardup_recall``."""
+    cands = _hybrid_pairs_from_keys(band_keys_for(docs), n_hubs=n_hubs)
     return near_dup_pairs_df(docs, cands, tau)
+
+
+def neardup_recall_report(
+    docs: DataFrame, tau: float = 0.5, n_hubs: int = 1
+) -> dict:
+    """Measured recall of the hybrid (linear) candidate generator
+    against the ALL-PAIRS-in-bucket ground truth (quadratic —
+    diagnostics only, never the production path).
+
+    Returns candidate counts, verified-pair recall, and the drop-set
+    sizes both generators induce after transitive closure — the
+    numbers BASELINE.md's prose documented, now tracked."""
+    band = _pin(band_keys_for(docs))
+    hybrid_c = _pin(_hybrid_pairs_from_keys(band, n_hubs=n_hubs))
+    all_c = _pin(_hybrid_pairs_from_keys(band, max_bucket=None))
+    hybrid_p = _pin(near_dup_pairs_df(docs, hybrid_c, tau))
+    all_p = _pin(near_dup_pairs_df(docs, all_c, tau))
+    n_all_p = all_p.count()
+    n_hit = hybrid_p.join(all_p, ["d1", "d2"], "semi").count()
+
+    def _drops(pairs: DataFrame) -> int:
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        edges = pairs.select(
+            F.col("d1").alias("src"), F.col("d2").alias("dst")
+        )
+        comp = connected_components(nodes, edges)
+        return comp.filter(F.col("node") != F.col("component")).count()
+
+    report = {
+        "tau": tau,
+        "n_hubs": n_hubs,
+        "candidates_hybrid": hybrid_c.count(),
+        "candidates_allpairs": all_c.count(),
+        "verified_pairs_hybrid": hybrid_p.count(),
+        "verified_pairs_allpairs": n_all_p,
+        "pair_recall": round(n_hit / max(n_all_p, 1), 4),
+        "drops_hybrid": _drops(hybrid_p),
+        "drops_allpairs": _drops(all_p),
+    }
+    lineage.cleanup_pins()
+    return report
 
 
 @dataclass

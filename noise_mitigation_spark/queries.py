@@ -985,6 +985,73 @@ def _lsh_band_keys(sig: DataFrame, rows_per_band: int) -> DataFrame:
     )
 
 
+def band_keys_rowlocal(
+    d: DataFrame,
+    params: list[tuple[int, int, int]],
+    rows_per_band: int,
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, band, band_key) computed ROW-LOCALLY — no explode, no
+    groupBy, no state — so the SAME banding runs inside an append-mode
+    streaming plan (the near-dup streaming twin). Bit-equal to
+    _lsh_band_keys(minhash_signatures_df(d, params), rows_per_band):
+    per-token hash, per-permutation array_min, and the per-band
+    xxhash64-term decimal sum are the identical expressions, just
+    evaluated over an in-row token array instead of exploded rows.
+    Only the wide-band (xxhash64) combine is implemented — the
+    cleaning plan's banding."""
+    if rows_per_band == 4:
+        raise ValueError("rowlocal banding implements the wide-band combine only")
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    d = d.withColumn("_toks", toks)
+    tid = lambda t: (  # noqa: E731 — _tokhash_spark, lambda-var form
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % F.lit(_MH_PRIME)
+    )
+    def _mh(a: int, b: int):
+        # closure factory: a 1-arg lambda per permutation (defaulted
+        # extra args would make Spark read it as a 3-ary lambda)
+        return F.array_min(
+            F.transform(
+                F.col("_toks"),
+                lambda t: (F.lit(a) * tid(t) + F.lit(b)) % F.lit(_MH_PRIME),
+            )
+        )
+
+    n_bands = len(params) // rows_per_band
+    band_cols = []
+    for band in range(n_bands):
+        terms = []
+        for k, a, b in params[band * rows_per_band : (band + 1) * rows_per_band]:
+            mh = _mh(a, b)
+            terms.append(
+                F.xxhash64(mh, F.lit((k - 1) % rows_per_band)).cast(
+                    "decimal(38,0)"
+                )
+            )
+        key = terms[0]
+        for t in terms[1:]:
+            key = key + t
+        band_cols.append(F.struct(F.lit(band).alias("band"), key.alias("band_key")))
+    return (
+        d.filter(F.size("_toks") > 0)
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.explode(F.array(*band_cols)).alias("bk"),
+        )
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+
+
 def lsh_candidate_hybrid_df(
     sig: DataFrame, rows_per_band: int = 4, max_bucket: int = 64
 ) -> DataFrame:
@@ -1004,16 +1071,24 @@ def lsh_candidate_hybrid_df(
 
 
 def _hybrid_pairs_from_keys(
-    keyed: DataFrame, max_bucket: int = 64
+    keyed: DataFrame, max_bucket: int = 64, n_hubs: int = 1
 ) -> DataFrame:
     """Hybrid candidate pairs from a (doc_id, band, band_key) table —
     split out so the incremental cleaning plan can apply the SAME
-    bucket rule to stored-history ∪ delta band keys."""
+    bucket rule to stored-history ∪ delta band keys.
+
+    ``n_hubs`` is the recall knob for giant buckets: each of the K
+    lowest doc_ids becomes a star hub with edges to every member, so
+    candidate count grows K-linearly (never quadratically) while
+    borderline-τ pairs get K chances to verify through a shared hub.
+    ``max_bucket=None`` disables the cap entirely — the ALL-PAIRS
+    ground-truth generator the recall instrumentation compares
+    against (quadratic; bench/diagnostics only)."""
     stats = keyed.groupBy("band", "band_key").agg(
-        F.min("doc_id").alias("hub"), F.count("*").alias("m")
+        F.count("*").alias("m")
     ).filter(F.col("m") >= 2)
     sized = keyed.join(stats, ["band", "band_key"])
-    small = sized.filter(F.col("m") <= max_bucket)
+    small = sized if max_bucket is None else sized.filter(F.col("m") <= max_bucket)
     small_pairs = (
         small.select("band", "band_key", F.col("doc_id").alias("d1"))
         .join(
@@ -1023,9 +1098,26 @@ def _hybrid_pairs_from_keys(
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
     )
+    if max_bucket is None:
+        return small_pairs.distinct()
+    giant = sized.filter(F.col("m") > max_bucket)
+    hubs = (
+        giant.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("band", "band_key").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= n_hubs)
+        .select("band", "band_key", F.col("doc_id").alias("hub"))
+    )
     giant_star = (
-        sized.filter((F.col("m") > max_bucket) & (F.col("doc_id") != F.col("hub")))
-        .select(F.col("hub").alias("d1"), F.col("doc_id").alias("d2"))
+        giant.join(hubs, ["band", "band_key"])
+        .filter(F.col("hub") != F.col("doc_id"))
+        .select(
+            F.least("hub", "doc_id").alias("d1"),
+            F.greatest("hub", "doc_id").alias("d2"),
+        )
     )
     return small_pairs.union(giant_star).distinct()
 
@@ -1949,6 +2041,41 @@ def q_embedding_near_dup(spark, sf_dir):
             F.least("v1", "v2").alias("keep_id"),
             F.greatest("v1", "v2").alias("drop_id"),
         )
+    )
+
+
+def embedding_near_dup_production(
+    e: DataFrame, tau: float = 0.4, target_bucket: int = 64
+) -> DataFrame:
+    """Size-ADAPTIVE sign-LSH near-dup pairs — the production twin of
+    q_embedding_near_dup, whose oracle bakes 6 planes (64 buckets):
+    at 10× vectors those buckets are 10× denser and the within-bucket
+    pair join grows ~100×, measured 62 s at 20k vecs. Here
+    ``n_planes = max(6, ceil(log2(N / target_bucket)))`` keeps the
+    expected bucket size ≈ target_bucket, so within-bucket work stays
+    ~linear in N. The recall cost of extra planes (a cos≥τ pair
+    splitting across buckets) is the standard LSH trade — buy it back
+    with Hamming-1 multi-probe (q_ann_multiprobe's shape) if needed."""
+    import math
+
+    n = e.count()
+    n_planes = max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
+    planes = _ann_planes(n_planes)
+    b = e.select(
+        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+    )
+    a1 = b.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    a2 = b.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    return (
+        a1.join(a2, "bucket")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos", _cosine(F.col("e1"), F.col("e2")))
+        .filter(F.col("cos") >= tau)
+        .select("v1", "v2", F.round("cos", 4).alias("cos"))
     )
 
 

@@ -96,6 +96,14 @@ def write_audit_publish(
     Returns the audit record.
     """
     recover_table(table_path)  # heal a crashed previous publish first
+    # a writer killed mid-stage leaves an orphaned staging dir that
+    # nothing would ever read or clean — sweep them before writing
+    base = os.path.basename(table_path)
+    d = os.path.dirname(table_path) or "."
+    if os.path.isdir(d):
+        for p in os.listdir(d):
+            if p.startswith(base + "__staging_"):
+                shutil.rmtree(os.path.join(d, p), ignore_errors=True)
     staging = f"{table_path}__staging_{uuid.uuid4().hex[:8]}"
     t0 = time.time()
     writer = df.write.mode("overwrite")

@@ -144,6 +144,78 @@ def streaming_contaminated_docs(
     )
 
 
+def _rowlocal_shingles(text_col):
+    """Distinct consecutive-token-bigram shingles as an in-row array —
+    the row-local twin of queries.doc_shingles_df (same tokens, same
+    'tok nxt' concat, same distinct)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda t, i: F.concat_ws(
+                " ", t, F.element_at(toks, i + 2)
+            ),
+        )
+    )
+
+
+def streaming_near_dup_flags(
+    docs_stream: DataFrame,
+    hist_band_keys: DataFrame,
+    hist_docs: DataFrame,
+    tau: float = 0.5,
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Low-latency streaming near-dup vs the STORED corpus: every
+    arriving doc's LSH band keys are computed row-locally (no state —
+    queries.band_keys_rowlocal, bit-equal to the batch banding), a
+    stream-static equi-join against the materialized band_keys stage
+    yields its historical candidates, and bigram-shingle Jaccard is
+    verified IN-ROW (array_intersect over the two shingle arrays —
+    the same shingle/round/τ rule as the batch verifier). Emits each
+    flagged doc once (dropDuplicatesWithinWatermark — bounded state,
+    one row per flagged doc within the horizon).
+
+    Scope: flags arrivals against HISTORY (first-seen-wins: an
+    arrival is always the higher id, hence the drop). Intra-stream
+    pairs and full transitive closure stay with the absorbing sink
+    (streaming_cleaning_maintenance), whose per-batch
+    run_cleaning_incremental is the exactness path; this operator is
+    its latency twin, the same split as repetition (row-local) vs
+    aggregated."""
+    from ..plans.cleaning import band_keys_for_rowlocal
+
+    new_keys = docs_stream.withColumn("_shingles", _rowlocal_shingles("text"))
+    keyed = band_keys_for_rowlocal(new_keys, extra_cols=("_shingles",))
+    hist = hist_band_keys.select(
+        "band", "band_key", F.col("doc_id").alias("partner_id")
+    )
+    cands = keyed.join(hist, ["band", "band_key"]).filter(
+        F.col("partner_id") < F.col("doc_id")
+    )
+    partner_sh = hist_docs.select(
+        F.col("doc_id").alias("partner_id"),
+        _rowlocal_shingles("text").alias("_psh"),
+    )
+    verified = (
+        cands.join(partner_sh, "partner_id")
+        .withColumn("_inter", F.size(F.array_intersect("_shingles", "_psh")))
+        .withColumn(
+            "_union",
+            F.size("_shingles") + F.size("_psh") - F.col("_inter"),
+        )
+        .filter(F.col("_union") > 0)
+        .withColumn("jaccard", F.round(F.col("_inter") / F.col("_union"), 6))
+        .filter(F.col("jaccard") >= tau)
+    )
+    stamped = verified.withColumn("ingest_ts", F.current_timestamp())
+    return (
+        stamped.withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .select("doc_id", F.lit(True).alias("near_dup_vs_history"))
+    )
+
+
 def streaming_entity_scores(scored_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: incremental MIML-ATT over a mention
     stream (applyInPandasWithState).
@@ -347,11 +419,13 @@ def streaming_cleaning_maintenance(
     run over everything seen so far, including retroactive keeper
     flips when a delta bridges historical near-dup clusters.
 
-    ``history_path`` is a parquet directory the sink also APPENDS each
-    absorbed batch to — it is read back only for near-dup partner
-    texts and benchmark retro-checks (semi-joined, never scanned in
-    the common path). Batch-id ledger for crash-replay idempotence,
-    same pattern as streaming_kg_maintenance."""
+    ``history_path`` holds one batch-id-named subdirectory per
+    absorbed batch (idempotent overwrite — a crash-replay rewrites
+    its own subdir instead of appending a second copy); it is read
+    back only for near-dup partner texts and benchmark retro-checks
+    (semi-joined, never scanned in the common path). Batch-id ledger
+    for crash-replay idempotence, same pattern as
+    streaming_kg_maintenance."""
     import json as _json
     import os as _os
 

@@ -1,0 +1,232 @@
+"""10× scale proof run (round-3 judge item 1).
+
+Builds a deterministic 10×-sf0.1 table set (documents / events /
+embeddings replicated with per-replica token-alphabet permutation,
+id offsets, and vector rotation — so dup/near-dup/ANN structure
+scales LINEARLY instead of creating cross-replica mega-clusters),
+then measures:
+
+1. the headline operator queries at 10× rows (vs their sf0.1 walls);
+2. the full corpus-cleaning plan at 50k docs with per-stage walls;
+3. the full KG pipeline at 200k docs / 8k entities with per-stage
+   walls from the lineage manifests.
+
+cosine_topk is EXCLUDED by design: it is the documented quadratic
+recall baseline (100× work at 10× rows); its bucketed production
+twins (ann_lsh / ann_multiprobe / ivf_ann) are in the set.
+
+Usage: python scripts/scale10.py [--skip-kg] [--skip-clean]
+Prints one JSON blob; paste the summary into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/nm_scale10"
+K = 10
+N_KG_DOCS = int(os.environ.get("NM_SCALE10_KG_DOCS", "200000"))
+
+SMALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+]  # fmt: skip
+
+HEADLINE_10X = [
+    "miml_max", "miml_att", "map_metric", "pr_curve", "tpch_q1",
+    "dim_broadcast_join", "pair_generation", "minhash_signatures",
+    "simhash", "sessionize", "cube_rollup", "near_dup_pairs", "langid",
+    "token_stats", "ann_multiprobe", "repetition_filter", "decontaminate",
+    "substring_dup_spans", "ivf_ann", "tpch_q3", "tpch_q18",
+    "quality_classifier", "kmeans_assign", "ivf_ann_trained", "joint_cost",
+    "pagerank", "triangle_count", "rolling_fingerprint",
+    "winnow_fingerprint", "dedup_exact", "ann_lsh", "lsh_candidate_pairs",
+    "near_dup_clusters", "embedding_near_dup", "hash_sample",
+    "two_hop_reach", "degree_stats",
+]  # fmt: skip
+
+
+def _alphabet_perm(k: int):
+    """Per-replica deterministic letter permutation: replica k's text
+    shares no tokens with any other replica, so the dup/near-dup/LSH
+    structure of sf0.1 repeats 10× side by side (linear growth)."""
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    rot = k * 7 % 26
+    table = str.maketrans(
+        lower + upper, lower[rot:] + lower[:rot] + upper[rot:] + upper[:rot]
+    )
+    return table
+
+
+def build_tables() -> None:
+    if os.path.exists(os.path.join(DST, "_done")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t in SMALL_TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    docs = pd.read_parquet(f"{SRC}/documents.parquet")
+    n_docs = len(docs)
+    reps = []
+    for k in range(K):
+        r = docs.copy()
+        r["doc_id"] = r["doc_id"] + k * n_docs
+        if k > 0:
+            table = _alphabet_perm(k)
+            r["text"] = r["text"].str.translate(table)
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        f"{DST}/documents.parquet", index=False
+    )
+
+    ev = pd.read_parquet(f"{SRC}/events.parquet")
+    n_ev, n_users = len(ev), int(ev["user_id"].max()) + 1
+    reps = []
+    for k in range(K):
+        r = ev.copy()
+        r["event_id"] = r["event_id"] + k * n_ev
+        r["user_id"] = r["user_id"] + k * n_users
+        r["ts"] = r["ts"] + pd.Timedelta(days=7 * k)
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        f"{DST}/events.parquet",
+        index=False,
+        coerce_timestamps="us",  # Spark cannot read TIMESTAMP(NANOS)
+        allow_truncated_timestamps=True,
+    )
+
+    emb = pd.read_parquet(f"{SRC}/embeddings.parquet")
+    n_vec = len(emb)
+    reps = []
+    for k in range(K):
+        r = emb.copy()
+        r["vec_id"] = r["vec_id"] + k * n_vec
+        if k > 0:
+            r["embedding"] = r["embedding"].map(
+                lambda v, k=k: np.roll(np.asarray(v, dtype=np.float32), k)
+            )
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        f"{DST}/embeddings.parquet", index=False
+    )
+    open(os.path.join(DST, "_done"), "w").write("ok")
+
+
+def stage_walls(out_dir: str) -> dict:
+    walls = {}
+    for stage in sorted(os.listdir(out_dir)):
+        mp = os.path.join(out_dir, stage, "_manifest.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            walls[stage] = {"wall_sec": m.get("wall_sec"), "rows": m.get("rows")}
+    return walls
+
+
+def main() -> None:
+    from noise_mitigation_spark import corpus as corpus_mod
+    from noise_mitigation_spark import queries as Q
+    from noise_mitigation_spark.plans import cleaning, pipeline
+    from noise_mitigation_spark.session import get_spark
+
+    skip_kg = "--skip-kg" in sys.argv
+    skip_clean = "--skip-clean" in sys.argv
+    skip_queries = "--skip-queries" in sys.argv
+    out: dict = {"scale": "10x-sf0.1", "k": K}
+
+    t0 = time.time()
+    build_tables()
+    out["build_tables_sec"] = round(time.time() - t0, 1)
+
+    if not skip_queries:
+        spark = get_spark("nm-scale10", cores=32, shuffle_partitions=64)
+        Q.QUERIES["tpch_q1"](spark, DST).count()  # warm
+
+        def _run_set(sf_dir):
+            walls = {}
+            for name in HEADLINE_10X:
+                t0 = time.time()
+                n = Q.QUERIES[name](spark, sf_dir).count()
+                walls[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            t0 = time.time()
+            n = Q.embedding_near_dup_production(emb).count()
+            walls["embedding_near_dup_production"] = {
+                "sec": round(time.time() - t0, 2), "rows": n,
+            }
+            return walls
+
+        q1 = _run_set(SRC)  # 1x baseline, same warm session
+        q10 = _run_set(DST)
+        out["queries_1x"] = q1
+        out["queries_10x"] = q10
+        out["queries_total_sec"] = round(sum(v["sec"] for v in q10.values()), 1)
+        out["wall_ratio_10x_over_1x"] = {
+            k: round(q10[k]["sec"] / max(q1[k]["sec"], 0.01), 1) for k in q10
+        }
+        spark.stop()
+
+    if not skip_clean:
+        spark = get_spark("nm-scale10-clean", cores=32, shuffle_partitions=64)
+        docs = spark.read.parquet(f"{DST}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        clean_dir = "/tmp/nm_scale10_clean"
+        shutil.rmtree(clean_dir, ignore_errors=True)
+        t0 = time.time()
+        res = cleaning.run_cleaning(spark, docs, out_dir=clean_dir)
+        out["cleaning_50k"] = {
+            "wall_sec": round(time.time() - t0, 1),
+            "stats": res.stats,
+            "stages": stage_walls(clean_dir),
+        }
+        spark.stop()
+
+    if not skip_kg:
+        corpus_dir = f"/tmp/nm_bench_corpus_{N_KG_DOCS}"
+        t0 = time.time()
+        if not os.path.exists(os.path.join(corpus_dir, "documents.parquet")):
+            c = corpus_mod.generate(
+                n_docs=N_KG_DOCS, n_entities=max(2000, N_KG_DOCS // 25)
+            )
+            corpus_mod.write_parquet(c, corpus_dir)
+        out["kg_corpus_gen_sec"] = round(time.time() - t0, 1)
+
+        spark = get_spark("nm-scale10-kg", cores=32, shuffle_partitions=64)
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        aliases = spark.read.parquet(f"{corpus_dir}/aliases.parquet")
+        emb_pdf = pd.read_parquet(f"{corpus_dir}/embeddings.parquet").sort_values(
+            "idx"
+        )
+        vocab = dict(zip(emb_pdf["token"], emb_pdf["idx"]))
+        emb = np.stack(emb_pdf["vector"].to_numpy()).astype(np.float32)
+        kg_dir = "/tmp/nm_scale10_kg"
+        shutil.rmtree(kg_dir, ignore_errors=True)
+        t0 = time.time()
+        res = pipeline.run(spark, docs, aliases, vocab, emb, out_dir=kg_dir)
+        n_triples = res.triples_canon.count()
+        wall = time.time() - t0
+        out["kg_200k"] = {
+            "wall_sec": round(wall, 1),
+            "n_docs": N_KG_DOCS,
+            "n_triples": n_triples,
+            "files_per_sec": round(N_KG_DOCS / wall, 1),
+            "stages": stage_walls(kg_dir),
+        }
+        spark.stop()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

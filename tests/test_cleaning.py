@@ -127,3 +127,24 @@ def test_flags_invariant_under_partitioning(spark, docs, flags_pdf):
         .sort_index()
     )
     assert (got["keep"] == flags_pdf["keep"]).all()
+
+
+def test_neardup_recall_floor_and_hub_knob(spark, docs):
+    """The hybrid candidate generator's measured recall vs the
+    all-pairs ground truth stays above the documented floor, and the
+    K-hub knob never reduces it (candidates grow K-linearly)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    r1 = cleaning.neardup_recall_report(
+        docs.select("doc_id", "text"), tau=0.5, n_hubs=1
+    )
+    assert r1["pair_recall"] >= 0.8, r1
+    assert r1["drops_hybrid"] >= 0.8 * r1["drops_allpairs"], r1
+    assert r1["candidates_hybrid"] < r1["candidates_allpairs"]
+    r3 = cleaning.neardup_recall_report(
+        docs.select("doc_id", "text"), tau=0.5, n_hubs=3
+    )
+    assert r3["pair_recall"] >= r1["pair_recall"]
+    assert r3["candidates_hybrid"] >= r1["candidates_hybrid"]
+    # K-linear, not quadratic: 3 hubs < 3x the single-hub candidates
+    assert r3["candidates_hybrid"] <= 3 * r1["candidates_hybrid"]

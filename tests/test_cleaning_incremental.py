@@ -326,3 +326,82 @@ def test_rerun_same_delta_is_resume_noop(clean_runs, spark):
     )
     assert again.stats == full.stats
     assert _flag_rows(again) == _flag_rows(full)
+
+
+def test_rowlocal_band_keys_bit_equal_batch(spark):
+    """The streaming-legal row-local banding must emit EXACTLY the
+    batch band-key table (same doc_id/band/band_key rows)."""
+    docs = spark.createDataFrame(_mk_docs())
+    got = sorted(
+        (r["doc_id"], r["band"], str(r["band_key"]))
+        for r in cleaning.band_keys_for_rowlocal(docs).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["band"], str(r["band_key"]))
+        for r in cleaning.band_keys_for(docs).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_near_dup_flags_match_batch_rule(spark, tmp_path):
+    """Drained stream ≡ batch twin: a delta doc is flagged iff it
+    shares an LSH band with a historical doc and their shingle
+    Jaccard ≥ τ — the low-latency vs-history filter beside the
+    absorbing sink's exact transitive path."""
+    from noise_mitigation_spark.streaming import ingest
+    from noise_mitigation_spark.queries import near_dup_pairs_df
+
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    B = docs[docs.doc_id >= 30]
+    out_dir = str(tmp_path / "state")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(A), out_dir, near_dup_tau=TAU
+    )
+    hist_keys = spark.read.parquet(os.path.join(out_dir, "band_keys", "data"))
+    hist_docs = spark.createDataFrame(A)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, c in enumerate([B.iloc[:4], B.iloc[4:]]):
+        c.to_parquet(src / f"part-{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    flagged = ingest.streaming_near_dup_flags(
+        stream, hist_keys, hist_docs, tau=TAU
+    )
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nd_flags")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM nd_flags").collect()
+    }
+
+    # batch twin: delta band keys vs stored keys -> verified pairs
+    delta_keys = cleaning.band_keys_for(spark.createDataFrame(B))
+    cands = (
+        delta_keys.join(
+            hist_keys.select(
+                "band", "band_key", F.col("doc_id").alias("d1")
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("d1") < F.col("doc_id"))
+        .select("d1", F.col("doc_id").alias("d2"))
+        .distinct()
+    )
+    all_docs = spark.createDataFrame(docs)
+    want = {
+        r["d2"]
+        for r in near_dup_pairs_df(all_docs, cands, TAU).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the V2 chain step really links to history
