@@ -260,6 +260,43 @@ def cap_bags(scored: DataFrame, cap: int = 300) -> DataFrame:
     )
 
 
+def upsample_bags(scored: DataFrame, count: int = 300) -> DataFrame:
+    """O4 upsample side (write_extended_mentions,
+    contexts2ordered.py:28-40): bags with fewer than ``count``
+    mentions are padded to EXACTLY ``count`` by re-sampling their own
+    mentions — the reference keeps every mention once then draws the
+    remainder uniformly with numpy's RNG; the engine's deterministic
+    distributed realization cycles the bag round-robin in the same
+    provenance-hash order cap_bags uses (every original kept once,
+    extras are whole extra passes plus a prefix — the same
+    keep-all + resample multiset law, partition-invariant instead of
+    seed-dependent). Bags ≥ count pass through unchanged (cap_bags is
+    the other side; compose both for the reference's exact-300 file).
+
+    Mention r (1-based in hash order) of an n-mention bag appears
+    ``1 + (count - r) // n`` times: summing over r gives exactly
+    ``count`` rows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("entity_id").orderBy(
+        F.xxhash64("repo", "path", "commit", "sent_id", "position")
+    )
+    wn = W.partitionBy("entity_id")
+    base = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+    )
+    copies = F.when(
+        F.col("_n") >= count, F.lit(1)
+    ).otherwise(
+        (1 + F.floor((count - F.col("_rn")) / F.col("_n"))).cast("int")
+    )
+    return (
+        base.withColumn("_copy", F.explode(F.sequence(F.lit(1), copies)))
+        .drop("_rn", "_n", "_copy")
+    )
+
+
 def type_assertions(
     ent_att: DataFrame, theta: float = 0.5, score_col: str = "score_att"
 ) -> DataFrame:

@@ -91,3 +91,55 @@ def test_misclassification_rate(spark):
     # wrong cells: e2-0 (pred 1, gold 0) → 1 of 4
     row = E.misclassification_rate(scores, gold).collect()[0]
     assert abs(row["misclassification_rate"] - 0.25) < 1e-9
+
+
+def test_upsample_bags(spark, scored):
+    """O4 upsample side: every under-count bag lands on EXACTLY count
+    rows, each original mention kept at least once, copy counts follow
+    the round-robin law, over-count bags pass through, and the result
+    is partition-invariant."""
+    import collections
+
+    COUNT = 7
+    base = scored.select(
+        "entity_id", "repo", "path", "commit", "sent_id", "position"
+    )
+    orig_sizes = {
+        r["entity_id"]: r["n"]
+        for r in base.groupBy("entity_id").agg(F.count("*").alias("n")).collect()
+    }
+    up = miml.upsample_bags(scored, count=COUNT).select(
+        "entity_id", "repo", "path", "commit", "sent_id", "position"
+    )
+    rows = up.collect()
+    per_bag = collections.Counter(r["entity_id"] for r in rows)
+    for eid, n in orig_sizes.items():
+        assert per_bag[eid] == (COUNT if n < COUNT else n), (eid, n)
+    # multiset law: mention r of an n-bag appears 1 + (COUNT - r)//n times
+    per_mention = collections.Counter(tuple(r) for r in rows)
+    orig = {tuple(r) for r in base.collect()}
+    assert set(per_mention) == orig  # nothing new, nothing lost
+    by_bag = collections.defaultdict(list)
+    for m, c in per_mention.items():
+        by_bag[m[0]].append(c)
+    for eid, counts in by_bag.items():
+        n = orig_sizes[eid]
+        if n < COUNT:
+            want = sorted(1 + (COUNT - r) // n for r in range(1, n + 1))
+            assert sorted(counts) == want, (eid, n)
+        else:
+            assert counts == [1] * n
+    # partition invariance
+    a = collections.Counter(
+        tuple(r)
+        for r in miml.upsample_bags(scored.repartition(3), count=COUNT)
+        .select("entity_id", "repo", "path", "sent_id", "position")
+        .collect()
+    )
+    b = collections.Counter(
+        tuple(r)
+        for r in miml.upsample_bags(scored.repartition(11), count=COUNT)
+        .select("entity_id", "repo", "path", "sent_id", "position")
+        .collect()
+    )
+    assert a == b
