@@ -61,6 +61,53 @@ def attach_type_vectors(pairs: DataFrame, ent_att: DataFrame) -> DataFrame:
     )
 
 
+def attach_instance_type_vectors(
+    pairs: DataFrame, scored: DataFrame
+) -> DataFrame:
+    """N12 twin-tower runtime twin: per pair INSTANCE, both entity
+    feature vectors come from the SAME frozen typing tower applied to
+    each entity's OWN mention in the pair's sentence — the reference's
+    joint model shares conv weights between the two entity towers
+    (apply_cnn reuses conv_left/conv_right for e1 and e2,
+    src/joint/train_joint.py:113-155), so its forward pass sees
+    per-instance tower outputs, not the bag-level aggregates the
+    pipeline edge joins (attach_type_vectors, J4). If an entity is
+    mentioned several times in the sentence the lowest position wins
+    (deterministic); an entity with no scored mention falls back to
+    zeros.
+
+    Plan shape: the per-mention probs already exist (scoring stage —
+    shared weights by construction: ONE broadcast weight table), so
+    this is two sentence-keyed equi-joins, no new Python stage."""
+    from pyspark.sql import Window as W
+
+    key = ["repo", "path", "commit", "sent_id"]
+    w = W.partitionBy(*key, "entity_id").orderBy("position")
+    first = (
+        scored.select(*key, "position", "entity_id", "probs")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "position")
+    )
+    zeros = F.array_repeat(F.lit(0.0), N_TYPES)
+    s = first.select(
+        *key,
+        F.col("entity_id").alias("subj"),
+        F.col("probs").alias("subj_types"),
+    )
+    o = first.select(
+        *key,
+        F.col("entity_id").alias("obj"),
+        F.col("probs").alias("obj_types"),
+    )
+    return (
+        pairs.join(s, [*key, "subj"], "left")
+        .join(o, [*key, "obj"], "left")
+        .withColumn("subj_types", F.coalesce("subj_types", zeros))
+        .withColumn("obj_types", F.coalesce("obj_types", zeros))
+    )
+
+
 def score_pairs(
     pairs_with_types: DataFrame,
     emb_b,

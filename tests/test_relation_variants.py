@@ -186,3 +186,81 @@ def test_reference_pad_mode_changes_overflowing_scores(spark, corpus, stage):
         np.testing.assert_array_equal(
             got[tuple(row[k] for k in key)], want[pdf.index.get_loc(i)]
         )
+
+
+# --- N12 twin-tower runtime twin -------------------------------------
+
+
+def test_instance_type_vectors_match_pandas_twin(spark, corpus):
+    """attach_instance_type_vectors ≡ a pandas reimplementation of
+    the same join over the same scored table: per (sentence, entity)
+    the lowest-position mention's tower output, zeros when absent."""
+    import numpy as np
+    from noise_mitigation_spark.corpus import N_TYPES
+    from noise_mitigation_spark.operators import mentions, scoring
+
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(corpus.vocab)
+    emb_b = sc.broadcast(corpus.emb)
+    docs = spark.createDataFrame(corpus.documents)
+    parsed = mentions.parse_documents(docs, vocab_b).localCheckpoint(eager=True)
+    scored = scoring.score_mentions(
+        mentions.mentions_view(parsed), emb_b
+    ).localCheckpoint(eager=True)
+    prs = mentions.pairs_view(parsed)
+
+    got_rows = relations.attach_instance_type_vectors(prs, scored).select(
+        "repo", "path", "commit", "sent_id", "subj", "obj",
+        "subj_types", "obj_types",
+    ).collect()
+
+    spdf = scored.select(
+        "repo", "path", "commit", "sent_id", "position", "entity_id", "probs"
+    ).toPandas()
+    spdf = spdf.sort_values("position").drop_duplicates(
+        ["repo", "path", "commit", "sent_id", "entity_id"], keep="first"
+    )
+    lut = {
+        (r.repo, r.path, r.commit, r.sent_id, r.entity_id): np.asarray(r.probs)
+        for r in spdf.itertuples()
+    }
+    zeros = np.zeros(N_TYPES)
+    n_nonzero = 0
+    for r in got_rows:
+        k = (r["repo"], r["path"], r["commit"], r["sent_id"])
+        want_s = lut.get((*k, r["subj"]), zeros)
+        want_o = lut.get((*k, r["obj"]), zeros)
+        np.testing.assert_array_equal(np.asarray(r["subj_types"]), want_s)
+        np.testing.assert_array_equal(np.asarray(r["obj_types"]), want_o)
+        if want_s.any() or want_o.any():
+            n_nonzero += 1
+    assert n_nonzero > 0
+
+
+def test_instance_vectors_differ_from_bag_vectors(spark, corpus):
+    """The construct is real: per-instance tower outputs ≠ bag-level
+    attention aggregates (otherwise N12 would just be J4 again) —
+    and the downstream relation scorer consumes them unchanged."""
+    from noise_mitigation_spark.operators import mentions, miml, scoring
+
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(corpus.vocab)
+    emb_b = sc.broadcast(corpus.emb)
+    docs = spark.createDataFrame(corpus.documents)
+    parsed = mentions.parse_documents(docs, vocab_b).localCheckpoint(eager=True)
+    scored = scoring.score_mentions(
+        mentions.mentions_view(parsed), emb_b
+    ).localCheckpoint(eager=True)
+    prs = mentions.pairs_view(parsed)
+    ent_att = miml.miml_attention(scored)
+
+    inst = relations.attach_instance_type_vectors(prs, scored)
+    bag = relations.attach_type_vectors(prs, ent_att)
+    key = ["repo", "path", "commit", "sent_id", "subj", "obj"]
+    a = {tuple(r[k] for k in key): tuple(r["subj_types"]) for r in inst.collect()}
+    b = {tuple(r[k] for k in key): tuple(r["subj_types"]) for r in bag.collect()}
+    assert set(a) == set(b)  # same instances
+    assert any(a[k] != b[k] for k in a)  # different feature semantics
+    # the scorer path composes unchanged
+    probs = relations.score_pairs(inst, emb_b).limit(5).collect()
+    assert all(len(r["probs"]) == 11 for r in probs)
