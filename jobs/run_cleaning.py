@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rep-dup-tri-max", type=float, default=0.02)
     ap.add_argument("--rep-top-bi-max", type=float, default=0.08)
     ap.add_argument("--benchmark-mod", type=int, default=17)
+    ap.add_argument(
+        "--n-hubs", type=int, default=1,
+        help="recall knob: K star hubs per giant LSH bucket "
+             "(K-linear candidates; see cleaning.neardup_recall_report)",
+    )
     args = ap.parse_args(argv)
 
     from noise_mitigation_spark.plans import cleaning
@@ -47,6 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         rep_dup_tri_max=args.rep_dup_tri_max,
         rep_top_bi_max=args.rep_top_bi_max,
         benchmark_mod=args.benchmark_mod,
+        n_hubs=args.n_hubs,
     )
     if args.append_from:
         res = cleaning.run_cleaning_incremental(

@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
              "to a full recompute at delta cost)",
     )
     ap.add_argument(
+        "--pad-mode", default="window", choices=["window", "reference"],
+        help="RE context padding: 'window' (PAD-filled windows + valid "
+             "conv) or 'reference' (the exact padForConv "
+             "pop-middle-on-overflow rule, P10 twin)",
+    )
+    ap.add_argument(
         "--encoder", default="cnn",
         choices=["cnn", "split", "gru", "lstm", "bilstm"],
         help="typing context encoder (train2level.py:283-326, model.py:211-218)",
@@ -76,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         type_mode=args.type_mode,
         encoder=args.encoder,
         graph_root=args.graph_root,
+        pad_mode=args.pad_mode,
     )
     if args.append:
         res = incremental.run_incremental(

@@ -167,7 +167,7 @@ def _exact_dup_flags(docs: DataFrame) -> DataFrame:
 
 
 def _near_dup_state(
-    docs: DataFrame, tau: float
+    docs: DataFrame, tau: float, n_hubs: int = 1
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(band_keys, verified pairs, components) over the given docs:
     LSH candidates → Jaccard ≥ τ pairs → connected components. The
@@ -176,7 +176,7 @@ def _near_dup_state(
     pairs to rebuild only the components a delta touches, components
     to find which those are."""
     band = band_keys_for(docs)
-    cands = _hybrid_pairs_from_keys(band)
+    cands = _hybrid_pairs_from_keys(band, n_hubs=n_hubs)
     pairs = near_dup_pairs_df(docs, cands, tau)
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = pairs.select(
@@ -205,6 +205,7 @@ def run_cleaning(
     rep_dup_tri_max: float = 0.02,
     rep_top_bi_max: float = 0.08,
     benchmark_mod: int = 17,
+    n_hubs: int = 1,
 ) -> CleaningResult:
     exact = _exact_dup_flags(docs)
     # near-dup runs over exact survivors (the standard ordering: byte
@@ -215,7 +216,7 @@ def run_cleaning(
         "doc_id",
         "left_semi",
     )
-    band, pairs, comp = _near_dup_state(survivors, near_dup_tau)
+    band, pairs, comp = _near_dup_state(survivors, near_dup_tau, n_hubs)
     grams = doc_word4grams_df(docs)
     bench_grams = (
         grams.filter(F.col("doc_id") % benchmark_mod == 0)
@@ -224,7 +225,7 @@ def run_cleaning(
     )
     params = (
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
-        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}"
+        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
     )
     if out_dir is not None:
         fp_docs = lineage.fingerprint_df(
@@ -241,10 +242,12 @@ def run_cleaning(
         )
         band = lineage.materialize(spark, band, out_dir, "band_keys", fp_docs)
         pairs = lineage.materialize(
-            spark, pairs, out_dir, "near_pairs", f"{fp_docs}:tau:{near_dup_tau}"
+            spark, pairs, out_dir, "near_pairs",
+            f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
         )
         comp = lineage.materialize(
-            spark, comp, out_dir, "components", f"{fp_docs}:tau:{near_dup_tau}"
+            spark, comp, out_dir, "components",
+            f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
         )
         bench_grams = lineage.materialize(
             spark, bench_grams, out_dir, "bench_grams",
@@ -404,6 +407,7 @@ def run_cleaning_incremental(
     rep_dup_tri_max: float = 0.02,
     rep_top_bi_max: float = 0.08,
     benchmark_mod: int = 17,
+    n_hubs: int = 1,
 ) -> CleaningResult:
     """Absorb a document delta into a materialized cleaning run at
     delta cost, batch-equivalently.
@@ -439,7 +443,7 @@ def run_cleaning_incremental(
     """
     params = (
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
-        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}"
+        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
     )
     old_fp = _stage_fp(out_dir, "doc_flags")
     old_docs_fp = _stage_fp(out_dir, "doc_hashes")
@@ -530,7 +534,7 @@ def run_cleaning_incremental(
         .join(delta_buckets, ["band", "band_key"], "left_semi")
     )
     delta_ids = delta_surv.select("doc_id")
-    cands = _hybrid_pairs_from_keys(keyed_touched).join(
+    cands = _hybrid_pairs_from_keys(keyed_touched, n_hubs=n_hubs).join(
         delta_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
     )
     partner_ids = (
@@ -673,7 +677,7 @@ def run_cleaning_incremental(
     append_stage(spark, delta_band, out_dir, "band_keys", fp_docs, d_fp)
     append_stage(
         spark, new_pairs, out_dir, "near_pairs",
-        f"{fp_docs}:tau:{near_dup_tau}", d_fp,
+        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}", d_fp,
     )
     append_stage(
         spark, new_ev, out_dir, "bench_grams",
@@ -681,7 +685,7 @@ def run_cleaning_incremental(
     )
     comp_new = lineage.materialize(
         spark, comp_new, out_dir, "components",
-        f"{fp_docs}:tau:{near_dup_tau}",
+        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
     )
     flags = lineage.materialize(
         spark, flags, out_dir, "doc_flags", f"{fp_docs}:{params}"

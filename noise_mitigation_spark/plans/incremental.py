@@ -194,6 +194,7 @@ def run_incremental(
     type_mode: str = "weighted",
     encoder: str = "cnn",
     graph_root: str | None = None,
+    pad_mode: str = "window",
 ) -> PipelineResult:
     """Absorb a document delta into an existing materialized run.
 
@@ -248,7 +249,7 @@ def run_incremental(
     fp_parsed = _combine_doc_fp(old_fp_parsed, delta_doc_fp)
     fp_scored = f"{fp_parsed}|enc:{encoder}"
     fp_att = f"{fp_scored}|salt:{n_salt}"
-    fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}"
+    fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}|pad:{pad_mode}"
     for stage, fp in (("scored", fp_scored), ("ent_att", fp_att)):
         old = _read_manifest(out_dir, stage)["input_fingerprint"]
         want = old_fp_parsed + fp[len(fp_parsed):]
@@ -306,7 +307,9 @@ def run_incremental(
         .dropDuplicates(pair_key)
     )
     with_types = relations.attach_type_vectors(affected_pairs, ent_att)
-    scored_pairs = relations.score_pairs(with_types, emb_b, type_mode=type_mode)
+    scored_pairs = relations.score_pairs(
+        with_types, emb_b, type_mode=type_mode, pad_mode=pad_mode
+    )
     triples_aff = relations.bag_triples(scored_pairs, theta=rel_theta)
 
     # 7. merge: untouched bags keep their old rows verbatim

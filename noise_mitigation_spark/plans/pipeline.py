@@ -52,6 +52,7 @@ def run(
     type_mode: str = "weighted",
     encoder: str = "cnn",
     graph_root: str | None = None,
+    pad_mode: str = "window",
 ) -> PipelineResult:
     """Run the full pipeline. If out_dir is given, every stage is
     materialized with a lineage manifest and re-runs resume — each
@@ -113,7 +114,7 @@ def run(
         # triples consume ent_att (type vectors), so they chain from
         # fp_att — an n_salt change (different float merge order) must
         # invalidate them too, not just ent_att
-        fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}"
+        fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}|pad:{pad_mode}"
         parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp_parsed)
     else:
         # both branches (typing + relations) read this; without a
@@ -138,7 +139,9 @@ def run(
     assertions = miml.type_assertions(ent_att, theta=type_theta)
 
     with_types = relations.attach_type_vectors(prs, ent_att)
-    scored_pairs = relations.score_pairs(with_types, emb_b, type_mode=type_mode)
+    scored_pairs = relations.score_pairs(
+        with_types, emb_b, type_mode=type_mode, pad_mode=pad_mode
+    )
     triples = relations.bag_triples(scored_pairs, theta=rel_theta)
     if out_dir:
         triples = lineage.materialize(spark, triples, out_dir, "triples", fp_triples)
