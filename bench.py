@@ -286,14 +286,10 @@ def main() -> None:
             "doc_id", "text"
         )
         t0 = time.time()
-        neardup = _cleaning.neardup_recall_report(docs_nd, tau=0.5)
+        neardup = _cleaning.neardup_recall_report(
+            docs_nd, tau=0.5, extra_hubs=(3,)
+        )
         neardup["wall_sec"] = round(time.time() - t0, 1)
-        k3 = _cleaning.neardup_recall_report(docs_nd, tau=0.5, n_hubs=3)
-        neardup["k3"] = {
-            k: k3[k]
-            for k in ("candidates_hybrid", "verified_pairs_hybrid",
-                      "pair_recall", "drops_hybrid")
-        }  # fmt: skip
 
     spark.stop()
 

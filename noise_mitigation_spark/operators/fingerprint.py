@@ -27,6 +27,8 @@ def winnow_fingerprints(
     Docs shorter than ``k`` emit nothing."""
     import pandas as pd
 
+    from pyspark.sql import functions as F
+
     def gen(batches):
         for pdf in batches:
             ids, fps = _fp.fingerprint_frame(
@@ -34,6 +36,8 @@ def winnow_fingerprints(
             )
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
-    return docs.select(id_col, text_col).mapInPandas(
-        gen, "doc_id long, fp long"
+    return (
+        docs.filter(F.col(text_col).isNotNull())  # NULL would crash len()
+        .select(id_col, text_col)
+        .mapInPandas(gen, "doc_id long, fp long")
     )

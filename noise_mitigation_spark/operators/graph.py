@@ -44,6 +44,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
     outdeg = (
         sym.groupBy("src").agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=True)

@@ -109,7 +109,10 @@ def near_dup_pairs_for(
 
 
 def neardup_recall_report(
-    docs: DataFrame, tau: float = 0.5, n_hubs: int = 1
+    docs: DataFrame,
+    tau: float = 0.5,
+    n_hubs: int = 1,
+    extra_hubs: tuple[int, ...] = (),
 ) -> dict:
     """Measured recall of the hybrid (linear) candidate generator
     against the ALL-PAIRS-in-bucket ground truth (quadratic —
@@ -117,14 +120,15 @@ def neardup_recall_report(
 
     Returns candidate counts, verified-pair recall, and the drop-set
     sizes both generators induce after transitive closure — the
-    numbers BASELINE.md's prose documented, now tracked."""
+    numbers BASELINE.md's prose documented, now tracked. The ground
+    truth (all-pairs candidates + verify + CC) is computed ONCE; each
+    ``extra_hubs`` value re-runs only the linear hybrid side and
+    lands under ``k{K}`` in the report."""
+    _pm = lineage.pin_mark()
     band = _pin(band_keys_for(docs))
-    hybrid_c = _pin(_hybrid_pairs_from_keys(band, n_hubs=n_hubs))
     all_c = _pin(_hybrid_pairs_from_keys(band, max_bucket=None))
-    hybrid_p = _pin(near_dup_pairs_df(docs, hybrid_c, tau))
     all_p = _pin(near_dup_pairs_df(docs, all_c, tau))
     n_all_p = all_p.count()
-    n_hit = hybrid_p.join(all_p, ["d1", "d2"], "semi").count()
 
     def _drops(pairs: DataFrame) -> int:
         nodes = docs.select(F.col("doc_id").alias("node"))
@@ -134,18 +138,28 @@ def neardup_recall_report(
         comp = connected_components(nodes, edges)
         return comp.filter(F.col("node") != F.col("component")).count()
 
+    def _hybrid_side(k: int) -> dict:
+        hybrid_c = _pin(_hybrid_pairs_from_keys(band, n_hubs=k))
+        hybrid_p = _pin(near_dup_pairs_df(docs, hybrid_c, tau))
+        n_hit = hybrid_p.join(all_p, ["d1", "d2"], "semi").count()
+        return {
+            "candidates_hybrid": hybrid_c.count(),
+            "verified_pairs_hybrid": hybrid_p.count(),
+            "pair_recall": round(n_hit / max(n_all_p, 1), 4),
+            "drops_hybrid": _drops(hybrid_p),
+        }
+
     report = {
         "tau": tau,
         "n_hubs": n_hubs,
-        "candidates_hybrid": hybrid_c.count(),
         "candidates_allpairs": all_c.count(),
-        "verified_pairs_hybrid": hybrid_p.count(),
         "verified_pairs_allpairs": n_all_p,
-        "pair_recall": round(n_hit / max(n_all_p, 1), 4),
-        "drops_hybrid": _drops(hybrid_p),
         "drops_allpairs": _drops(all_p),
+        **_hybrid_side(n_hubs),
     }
-    lineage.cleanup_pins()
+    for k in extra_hubs:
+        report[f"k{k}"] = _hybrid_side(k)
+    lineage.release_pins(_pm)
     return report
 
 
@@ -445,21 +459,41 @@ def run_cleaning_incremental(
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
         f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
     )
-    old_fp = _stage_fp(out_dir, "doc_flags")
-    old_docs_fp = _stage_fp(out_dir, "doc_hashes")
-    if old_fp != f"{old_docs_fp}:{params}":
-        raise ValueError(
-            "cleaning parameters differ from the materialized run — "
-            "incremental absorption is undefined; re-run the full plan"
-        )
+    _pin_mark = lineage.pin_mark()
     dh = delta_docs.select("doc_id", F.md5("text").alias("h"))
     d_fp = lineage.fingerprint_df(dh)  # doc_id + hash → increment identity
     from .incremental import append_stage, delta_already_absorbed
 
-    if delta_already_absorbed(out_dir, "doc_hashes", d_fp):
-        # pure resume: this exact delta is already absorbed (must be
-        # checked BEFORE the monotone-id guard, which the absorbed
-        # delta's own ids would now trip)
+    # Crash-window bookkeeping: the append stages advance in order
+    # (doc_hashes → band_keys → near_pairs → bench_grams → rewrites),
+    # so a replay can find THIS delta partially absorbed. The
+    # additive fingerprint lets us recover the PRE-delta doc
+    # fingerprint by subtraction, and "fully absorbed" is judged by
+    # the LAST stage (clean_docs fp), never the first ledger.
+    old_docs_fp = _stage_fp(out_dir, "doc_hashes")
+    absorbed_hashes = delta_already_absorbed(out_dir, "doc_hashes", d_fp)
+    n_cur, h_cur = (int(x) for x in old_docs_fp.split(":"))
+    n_d, h_d = (int(x) for x in d_fp.split(":"))
+    if absorbed_hashes:
+        fp_docs = old_docs_fp  # already combined
+        pre_docs_fp = f"{n_cur - n_d}:{h_cur - h_d}"
+    else:
+        fp_docs = f"{n_cur + n_d}:{h_cur + h_d}"
+        pre_docs_fp = old_docs_fp
+    old_fp = _stage_fp(out_dir, "doc_flags")
+    if old_fp not in (f"{pre_docs_fp}:{params}", f"{fp_docs}:{params}"):
+        raise ValueError(
+            "cleaning parameters differ from the materialized run — "
+            "incremental absorption is undefined; re-run the full plan"
+        )
+    if (
+        absorbed_hashes
+        and _stage_fp(out_dir, "clean_docs") == f"{fp_docs}:{params}"
+    ):
+        # pure resume: this exact delta is FULLY absorbed (clean_docs
+        # is the last-written stage; checking it — not the first
+        # ledger — means a crash between stage appends replays down
+        # the normal path, whose stage reads exclude the delta)
         flags = _read_stage(spark, out_dir, "doc_flags")
         clean = _read_stage(spark, out_dir, "clean_docs")
         counts = {
@@ -480,11 +514,17 @@ def run_cleaning_incremental(
                 **{r: counts.get(r, 0) for r in REASONS},
             },
         )
-    n_old, h_old = old_docs_fp.split(":")
-    n_d, h_d = d_fp.split(":")
-    fp_docs = f"{int(n_old) + int(n_d)}:{int(h_old) + int(h_d)}"
+    n_old = int(pre_docs_fp.split(":")[0])
 
-    hist_hashes = _pin(_read_stage(spark, out_dir, "doc_hashes"))
+    # every stage read excludes THIS delta's rows, so a partial
+    # replay sees exactly the pre-delta state (appends that already
+    # ran are ledger-skipped later)
+    delta_ids_all = delta_docs.select("doc_id")
+    hist_hashes = _pin(
+        _read_stage(spark, out_dir, "doc_hashes").join(
+            delta_ids_all, "doc_id", "anti"
+        )
+    )
     bounds = hist_hashes.agg(F.max("doc_id").alias("mx")).collect()[0]
     dmin_all = delta_docs.agg(F.min("doc_id").alias("mn")).collect()[0]
     if bounds["mx"] is not None and dmin_all["mn"] <= bounds["mx"]:
@@ -526,7 +566,11 @@ def run_cleaning_incremental(
     )
 
     # --- near-dup: bucket delta against stored band keys --------------
-    hist_band = _pin(_read_stage(spark, out_dir, "band_keys"))
+    hist_band = _pin(
+        _read_stage(spark, out_dir, "band_keys").join(
+            delta_ids_all, "doc_id", "anti"
+        )
+    )
     delta_band = _pin(band_keys_for(delta_surv))
     delta_buckets = delta_band.select("band", "band_key").distinct()
     keyed_touched = (
@@ -553,8 +597,16 @@ def run_cleaning_incremental(
     new_pairs = _pin(near_dup_pairs_df(docs_v, cands, near_dup_tau))
 
     # --- re-solve ONLY the touched components -------------------------
-    hist_comp = _pin(_read_stage(spark, out_dir, "components"))
-    hist_pairs = _pin(_read_stage(spark, out_dir, "near_pairs"))
+    hist_comp = _pin(
+        _read_stage(spark, out_dir, "components").join(
+            delta_ids_all.withColumnRenamed("doc_id", "node"), "node", "anti"
+        )
+    )
+    hist_pairs = _pin(
+        _read_stage(spark, out_dir, "near_pairs")
+        .join(delta_ids_all.withColumnRenamed("doc_id", "d1"), "d1", "anti")
+        .join(delta_ids_all.withColumnRenamed("doc_id", "d2"), "d2", "anti")
+    )
     new_edges = new_pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
@@ -594,29 +646,31 @@ def run_cleaning_incremental(
 
     # --- contamination: frozen + growing benchmark gram set -----------
     # delta training docs check against stored ∪ delta benchmark
-    # grams; NEW benchmark grams (a delta doc with id % mod == 0)
-    # retroactively re-check the historical training docs — a
+    # grams; the DELTA's benchmark grams (a delta doc with id % mod
+    # == 0) retroactively re-check the historical training docs — a
     # broadcast map-side scan of history with no shuffle, SKIPPED
     # entirely when the delta carries no benchmark docs (the common
-    # case); a persisted gram inverted index would turn it into a
-    # lookup.
+    # case). The retro probe uses ALL delta benchmark grams, not the
+    # stored-diff: grams already stored have already flagged those
+    # docs (OR-idempotent), which keeps a partial-crash replay —
+    # where bench_grams may already hold the delta's grams — exact.
     stored_ev = _pin(_read_stage(spark, out_dir, "bench_grams"))
     delta_grams = _pin(doc_word4grams_df(delta_docs))
-    delta_ev = (
+    delta_ev = _pin(
         delta_grams.filter(F.col("doc_id") % benchmark_mod == 0)
         .select("g")
         .distinct()
     )
     new_ev = _pin(delta_ev.join(stored_ev, "g", "left_anti"))
-    ev_all = stored_ev.unionByName(new_ev)
+    ev_all = stored_ev.unionByName(new_ev).distinct()
     cont_delta = contaminated_against(
         delta_grams.filter(F.col("doc_id") % benchmark_mod != 0), ev_all
     ).select("doc_id", F.lit(True).alias("contaminated"))
-    if new_ev.count() > 0:
+    if delta_ev.count() > 0:
         hist_train_grams = doc_word4grams_df(
             historical_docs.filter(F.col("doc_id") % benchmark_mod != 0)
         )
-        retro = contaminated_against(hist_train_grams, new_ev).select(
+        retro = contaminated_against(hist_train_grams, delta_ev).select(
             "doc_id", F.lit(True).alias("retro_cont")
         )
     else:
@@ -712,9 +766,8 @@ def run_cleaning_incremental(
         "kept": kept,
         **{r: counts.get(r, 0) for r in REASONS},
     }
-    # everything returned is a materialized stage read-back, so the
-    # temp-parquet snapshots are dead — drop them here so direct job
-    # invocations (run_cleaning.py --append-from) don't leak one set
-    # of nm_pin_* dirs per run (streaming sinks also call this).
-    lineage.cleanup_pins()
+    # everything returned is a materialized stage read-back, so THIS
+    # call's temp-parquet snapshots are dead — release only the pins
+    # created here (scoped: an enclosing caller's pins stay live).
+    lineage.release_pins(_pin_mark)
     return CleaningResult(flags=flags, clean_docs=clean, stats=stats)

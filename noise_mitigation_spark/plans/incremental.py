@@ -96,21 +96,25 @@ def record_bootstrap_delta(out_dir: str, documents: DataFrame) -> str:
     incremental path (manifests now exist) — without this entry
     ``run_incremental`` would re-absorb the same documents and append
     duplicate rows to every stage. With it, the replay hits
-    ``delta_already_absorbed`` and resumes as a no-op. Idempotent."""
+    ``delta_already_absorbed`` and resumes as a no-op. Recorded in
+    BOTH append-stage ledgers (parsed AND scored) — the resume check
+    requires both, so a single-ledger bootstrap record would send the
+    replay down the normal path and double-append scored. Idempotent."""
     delta_id = delta_identity(documents)
-    manifest = _read_manifest(out_dir, "parsed")
-    if not any(
-        d.get("delta_id") == delta_id for d in manifest.get("deltas", [])
-    ):
-        manifest.setdefault("deltas", []).append(
-            {
-                "delta_id": delta_id,
-                "rows": int(manifest["rows"]),
-                "bootstrap": True,
-            }
-        )
-        with open(_manifest_path(out_dir, "parsed"), "w") as f:
-            json.dump(manifest, f, indent=1)
+    for stage in ("parsed", "scored"):
+        manifest = _read_manifest(out_dir, stage)
+        if not any(
+            d.get("delta_id") == delta_id for d in manifest.get("deltas", [])
+        ):
+            manifest.setdefault("deltas", []).append(
+                {
+                    "delta_id": delta_id,
+                    "rows": int(manifest["rows"]),
+                    "bootstrap": True,
+                }
+            )
+            with open(_manifest_path(out_dir, stage), "w") as f:
+                json.dump(manifest, f, indent=1)
     return delta_id
 
 
@@ -220,8 +224,28 @@ def run_incremental(
         )
 
     delta_doc_fp = lineage.fingerprint_documents(new_documents)
+    _pin_mark = lineage.pin_mark()
     delta_id = delta_identity(new_documents)
-    if delta_already_absorbed(out_dir, "parsed", delta_id):
+    # Crash-window bookkeeping: appends advance parsed → scored, then
+    # ent_att/triples rewrite. "Fully absorbed" is judged by BOTH
+    # append ledgers AND the triples fingerprint — never the first
+    # ledger alone, so a crash between stage appends replays down the
+    # normal path (whose appends are ledger-idempotent and whose
+    # rewrites are deterministic from current state).
+    absorbed_parsed = delta_already_absorbed(out_dir, "parsed", delta_id)
+    absorbed_scored = delta_already_absorbed(out_dir, "scored", delta_id)
+    fp_parsed = (
+        old_fp_parsed  # already combined
+        if absorbed_parsed
+        else _combine_doc_fp(old_fp_parsed, delta_doc_fp)
+    )
+    fp_scored = f"{fp_parsed}|enc:{encoder}"
+    fp_att = f"{fp_scored}|salt:{n_salt}"
+    fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}|pad:{pad_mode}"
+    triples_current = (
+        _read_manifest(out_dir, "triples")["input_fingerprint"] == fp_triples
+    )
+    if absorbed_parsed and absorbed_scored and triples_current:
         # pure resume: every stage of this increment is materialized
         parsed_full = spark.read.parquet(
             os.path.join(out_dir, "parsed", "data")
@@ -246,17 +270,19 @@ def run_incremental(
             canon=canon,
             triples_canon=linking.canonicalize_triples(triples, canon),
         )
-    fp_parsed = _combine_doc_fp(old_fp_parsed, delta_doc_fp)
-    fp_scored = f"{fp_parsed}|enc:{encoder}"
-    fp_att = f"{fp_scored}|salt:{n_salt}"
-    fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}|pad:{pad_mode}"
     for stage, fp in (("scored", fp_scored), ("ent_att", fp_att)):
-        old = _read_manifest(out_dir, stage)["input_fingerprint"]
-        want = old_fp_parsed + fp[len(fp_parsed):]
-        if old != want:
+        # compare parameter SUFFIXES only: a partial replay leaves
+        # some stages on the pre-delta doc fingerprint and some on
+        # the combined one — the doc part is crash-state-dependent,
+        # the parameter tail must match exactly
+        old_suffix = _read_manifest(out_dir, stage)[
+            "input_fingerprint"
+        ].partition("|")[2]
+        want_suffix = fp.partition("|")[2]
+        if old_suffix != want_suffix:
             raise ValueError(
                 f"stage '{stage}' was materialized with different "
-                f"parameters ({old!r}); incremental append is undefined"
+                f"parameters ({old_suffix!r}); incremental append is undefined"
             )
 
     par = sc.defaultParallelism
@@ -344,10 +370,10 @@ def run_incremental(
         catalog.materialize_graph(canon, assertions, triples_canon, graph_root)
 
     # every returned DataFrame is a stage read-back (materialize /
-    # append_stage return reads of the written data), so the pin
-    # snapshots are dead — drop them so direct job invocations
-    # (run_pipeline.py --append) don't leak nm_pin_* temp dirs.
-    lineage.cleanup_pins()
+    # append_stage return reads of the written data), so THIS call's
+    # pin snapshots are dead — scoped release (an enclosing caller's
+    # pins stay live).
+    lineage.release_pins(_pin_mark)
     return PipelineResult(
         mentions=mentions.mentions_view(parsed_full),
         pairs=pairs_full,

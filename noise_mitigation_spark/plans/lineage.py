@@ -121,8 +121,22 @@ def register_pin(path: str) -> None:
     _PIN_DIRS.append(path)
 
 
-def cleanup_pins() -> None:
+def pin_mark() -> int:
+    """Ownership marker: capture before creating pins, pass to
+    release_pins to drop ONLY the pins created after the mark — a
+    library function must never sweep an enclosing caller's live
+    pins (the global pop-all is for outermost owners only)."""
+    return len(_PIN_DIRS)
+
+
+def release_pins(mark: int) -> None:
     import shutil
 
-    while _PIN_DIRS:
+    while len(_PIN_DIRS) > mark:
         shutil.rmtree(_PIN_DIRS.pop(), ignore_errors=True)
+
+
+def cleanup_pins() -> None:
+    """Pop-all sweep — OUTERMOST owners only (streaming sinks, job
+    mains). Library plans use pin_mark/release_pins."""
+    release_pins(0)

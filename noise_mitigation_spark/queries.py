@@ -1003,6 +1003,11 @@ def band_keys_rowlocal(
     cleaning plan's banding."""
     if rows_per_band == 4:
         raise ValueError("rowlocal banding implements the wide-band combine only")
+    if len(params) % rows_per_band:
+        raise ValueError(
+            "len(params) must be a multiple of rows_per_band — a partial "
+            "trailing band would silently diverge from _lsh_band_keys"
+        )
     toks = F.array_distinct(
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
@@ -1101,16 +1106,24 @@ def _hybrid_pairs_from_keys(
     if max_bucket is None:
         return small_pairs.distinct()
     giant = sized.filter(F.col("m") > max_bucket)
-    hubs = (
-        giant.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("band", "band_key").orderBy("doc_id")
-            ),
+    if n_hubs == 1:
+        # the single hub is the bucket min — a plain aggregate, no
+        # per-bucket window sort over the (by definition largest)
+        # buckets in the default production path
+        hubs = giant.groupBy("band", "band_key").agg(
+            F.min("doc_id").alias("hub")
         )
-        .filter(F.col("rn") <= n_hubs)
-        .select("band", "band_key", F.col("doc_id").alias("hub"))
-    )
+    else:
+        hubs = (
+            giant.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("band", "band_key").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("rn") <= n_hubs)
+            .select("band", "band_key", F.col("doc_id").alias("hub"))
+        )
     giant_star = (
         giant.join(hubs, ["band", "band_key"])
         .filter(F.col("hub") != F.col("doc_id"))

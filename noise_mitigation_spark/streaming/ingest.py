@@ -452,7 +452,13 @@ def streaming_cleaning_maintenance(
             _os.path.join(out_dir, "doc_flags", "_manifest.json")
         )
         if bootstrapped:
-            hist = _read_history(spark, history_path)
+            # a bootstrap crash-replay can arrive BEFORE the first
+            # history append ever ran — an empty history stands in so
+            # the delta-ledger resume no-op (not a path error) decides
+            if _os.path.isdir(history_path):
+                hist = _read_history(spark, history_path)
+            else:
+                hist = spark.createDataFrame([], batch_df.schema)
             _cleaning.run_cleaning_incremental(
                 spark, batch_df, hist, out_dir, **cleaning_params
             )

@@ -136,14 +136,12 @@ def test_neardup_recall_floor_and_hub_knob(spark, docs):
     from pyspark.sql import functions as F  # noqa: F401
 
     r1 = cleaning.neardup_recall_report(
-        docs.select("doc_id", "text"), tau=0.5, n_hubs=1
+        docs.select("doc_id", "text"), tau=0.5, n_hubs=1, extra_hubs=(3,)
     )
     assert r1["pair_recall"] >= 0.8, r1
     assert r1["drops_hybrid"] >= 0.8 * r1["drops_allpairs"], r1
     assert r1["candidates_hybrid"] < r1["candidates_allpairs"]
-    r3 = cleaning.neardup_recall_report(
-        docs.select("doc_id", "text"), tau=0.5, n_hubs=3
-    )
+    r3 = r1["k3"]  # ground truth computed once, hybrid side re-run
     assert r3["pair_recall"] >= r1["pair_recall"]
     assert r3["candidates_hybrid"] >= r1["candidates_hybrid"]
     # K-linear, not quadratic: 3 hubs < 3x the single-hub candidates

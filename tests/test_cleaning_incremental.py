@@ -405,3 +405,65 @@ def test_streaming_near_dup_flags_match_batch_rule(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # the V2 chain step really links to history
+
+
+def test_partial_crash_replay_converges(spark, tmp_path):
+    """Crash BETWEEN stage appends (the review-found window): the
+    doc_hashes (and band_keys) appends land but the run dies before
+    near_pairs/doc_flags. The replay must converge to the exact batch
+    flags — not pure-resume on the first ledger (silent delta loss)
+    and not wedge on the advanced doc_hashes fingerprint."""
+    from noise_mitigation_spark.plans.incremental import append_stage
+
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    B = docs[docs.doc_id >= 30]
+    for crashed_stages in (["doc_hashes"], ["doc_hashes", "band_keys"]):
+        out = str(tmp_path / f"crash_{len(crashed_stages)}")
+        cleaning.run_cleaning(
+            spark, spark.createDataFrame(A), out, near_dup_tau=TAU
+        )
+        # simulate the partial absorption the crash left behind
+        delta = spark.createDataFrame(B)
+        dh = delta.select("doc_id", F.md5("text").alias("h"))
+        d_fp = cleaning.cleaning_delta_identity(delta)
+        old = json.load(
+            open(os.path.join(out, "doc_hashes", "_manifest.json"))
+        )["input_fingerprint"]
+        n0, h0 = (int(x) for x in old.split(":"))
+        n1, h1 = (int(x) for x in d_fp.split(":"))
+        fp_docs = f"{n0 + n1}:{h0 + h1}"
+        append_stage(spark, dh, out, "doc_hashes", fp_docs, d_fp)
+        if "band_keys" in crashed_stages:
+            append_stage(
+                spark,
+                cleaning.band_keys_for(
+                    delta.join(  # survivors only, as the real run does
+                        spark.createDataFrame(
+                            B[~B.text.duplicated() & ~B.text.isin(A.text)]
+                        ).select("doc_id"),
+                        "doc_id",
+                        "left_semi",
+                    )
+                ),
+                out,
+                "band_keys",
+                fp_docs,
+                d_fp,
+            )
+        # replay the whole absorption
+        inc = cleaning.run_cleaning_incremental(
+            spark, delta, spark.createDataFrame(A), out, near_dup_tau=TAU
+        )
+        full = cleaning.run_cleaning(
+            spark,
+            spark.createDataFrame(docs),
+            str(tmp_path / f"full_{len(crashed_stages)}"),
+            near_dup_tau=TAU,
+        )
+        assert _flag_rows(inc) == _flag_rows(full), crashed_stages
+        # and a SECOND replay is now a pure resume (absorbed fully)
+        again = cleaning.run_cleaning_incremental(
+            spark, delta, spark.createDataFrame(A), out, near_dup_tau=TAU
+        )
+        assert _flag_rows(again) == _flag_rows(full), crashed_stages

@@ -227,3 +227,66 @@ def test_rerun_same_delta_is_resume_noop(split_runs, spark, corpus):
     assert rows_after == rows_before
     cols = ["subj", "pred", "obj", "conf"]
     assert _rows(res.triples_canon, cols) == _rows(full.triples_canon, cols)
+
+
+def test_partial_crash_replay_converges(spark, corpus, tmp_path):
+    """Crash between the parsed and scored appends: the replay must
+    converge to the full-recompute triples — not pure-resume on the
+    parsed ledger alone (which would silently drop the delta from
+    scored/ent_att/triples)."""
+    from noise_mitigation_spark.operators import mentions as M
+
+    docs = corpus.documents
+    A, B = docs.iloc[:150], docs.iloc[150:]
+    out = str(tmp_path / "crashkg")
+    pipeline.run(
+        spark,
+        spark.createDataFrame(A),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    # simulate: the crashed run appended parsed but died before scored
+    delta = spark.createDataFrame(B)
+    delta_id = incremental.delta_identity(delta)
+    delta_doc_fp = incremental.lineage.fingerprint_documents(delta)
+    old_fp = json.load(
+        open(os.path.join(out, "parsed", "_manifest.json"))
+    )["input_fingerprint"]
+    fp_parsed = incremental._combine_doc_fp(old_fp, delta_doc_fp)
+    vocab_b = spark.sparkContext.broadcast(corpus.vocab)
+    parsed_delta = M.parse_documents(delta, vocab_b).localCheckpoint(
+        eager=True
+    )
+    incremental.append_stage(
+        spark, parsed_delta, out, "parsed", fp_parsed, delta_id
+    )
+    # replay the full absorption
+    inc = incremental.run_incremental(
+        spark,
+        delta,
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    full = pipeline.run(
+        spark,
+        spark.createDataFrame(docs),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+    )
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(inc.triples_canon, cols) == _rows(full.triples_canon, cols)
+    # second replay is a pure resume with the same answer
+    again = incremental.run_incremental(
+        spark,
+        delta,
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    assert _rows(again.triples_canon, cols) == _rows(full.triples_canon, cols)
