@@ -96,3 +96,78 @@ def test_near_identical_docs_share_fingerprints(spark):
     b = set(fp.winnow_text(edited).tolist())
     jac = len(a & b) / len(a | b)
     assert jac > 0.5, jac
+
+
+# --- hypothesis property tests (pure kernel, no Spark) ----------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(min_size=0, max_size=400),
+        st.integers(min_value=2, max_value=24),
+    )
+    def test_hyp_hashes_match_brute(text, k):
+        codes = fp.text_codes(text)
+        got = fp.rk_window_hashes(codes, k)
+        want = _brute_hashes(codes, k)
+        assert np.array_equal(got, want)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            min_size=1,
+            max_size=300,
+        ),
+        st.integers(min_value=1, max_value=24),
+    )
+    def test_hyp_sliding_min_matches_brute(vals, w):
+        h = np.array(vals, dtype=np.uint64)
+        got = fp.sliding_min(h, w)
+        m = len(h)
+        if m <= w:
+            want = np.array([h.min()])
+        else:
+            want = np.array([h[i : i + w].min() for i in range(m - w + 1)])
+        assert np.array_equal(got, want)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(min_size=16, max_size=300))
+    def test_hyp_winnow_is_subset_of_all_hashes(text):
+        sel = set(fp.winnow_text(text).tolist())
+        allh = set(
+            fp.rk_window_hashes(fp.text_codes(text), fp.RK_K)
+            .view(np.int64)
+            .tolist()
+        )
+        assert sel and sel <= allh
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.text(min_size=0, max_size=120), min_size=0, max_size=12)
+    )
+    def test_hyp_batch_equals_per_doc(texts):
+        """The one-pass batched kernel must equal per-doc winnow_text
+        for ANY batch composition (the concat-slicing exactness
+        property)."""
+        ids = np.arange(len(texts), dtype=np.int64)
+        bids, bfps = fp.fingerprint_frame(ids, texts)
+        got = {}
+        for i, f_ in zip(bids.tolist(), bfps.tolist()):
+            got.setdefault(i, []).append(f_)
+        want = {
+            i: fp.winnow_text(t).tolist()
+            for i, t in enumerate(texts)
+            if len(fp.winnow_text(t))
+        }
+        assert got == want
