@@ -3345,6 +3345,124 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
 # Registry
 # --------------------------------------------------------------------------
 
+def q_lm_perplexity(spark, sf_dir):
+    """Unigram-LM cross-entropy quality scoring — the classic
+    model-based filter a training-data pipeline runs beside the
+    heuristic ones (q_text_quality) and the hashed-linear classifier
+    (q_quality_classifier): fit add-1-smoothed unigram counts on a
+    deterministic reference slice (doc_id % 13 == 0), score EVERY doc
+    by mean negative log-probability of its tokens. High xent = far
+    from the reference distribution (gibberish / wrong domain).
+
+    Plan: reference counts are a vocab-sized table → broadcast join
+    onto the exploded corpus tokens (the big side never shuffles);
+    the two model scalars (N tokens, V+1 vocab) ride a broadcast
+    1-row crossJoin; one two-phase avg per doc. 100 TB shape: scan +
+    broadcast + map-side-combined agg, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    ref = toks.filter(F.col("doc_id") % 13 == 0)
+    counts = ref.groupBy("token").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("N"), (F.count("*") + 1).alias("V")
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce("c", F.lit(0)) + 1)
+                / (F.col("N") + F.col("V")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg("logp"), 6).alias("xent"),
+    )
+
+
+SQL_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+counts AS (
+  SELECT token, count(*) AS c FROM toks WHERE doc_id % 13 = 0
+  GROUP BY token
+),
+stats AS (SELECT sum(c) AS N, count(*) + 1 AS V FROM counts)
+SELECT doc_id, count(*) AS n_tokens,
+       round(-avg(ln((coalesce(c, 0) + 1) / CAST(N + V AS DOUBLE))), 6)
+         AS xent
+FROM toks LEFT JOIN counts USING (token) CROSS JOIN stats
+GROUP BY doc_id
+"""
+
+
+def q_bpe_merge(spark, sf_dir):
+    """First BPE merge-induction step — tokenizer-vocabulary training
+    as a relational plan: per-WORD frequency table (vocab-sized, the
+    standard BPE trick: pair statistics aggregate over the word
+    vocabulary weighted by word frequency, never over the raw
+    corpus), adjacent character-pair counts within each distinct
+    word, top-20 merge candidates by weighted count with a total
+    tiebreak. Iterating this (re-segment by the chosen merge, rerun)
+    is the full BPE trainer; one step is the driver-verifiable unit.
+    100 TB shape: one corpus-sized two-phase word count, everything
+    after is vocab-sized; top-k via TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substr(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    scored = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("score")
+    )
+    return _global_topk(scored, 20, F.desc("score"), F.asc("pair"))
+
+
+SQL_BPE_MERGE = """
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  ) GROUP BY word HAVING length(word) >= 2
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1))
+          AS i FROM words)
+),
+scored AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS score
+           FROM pairs GROUP BY pair)
+SELECT pair, score, rnk FROM (
+  SELECT pair, score,
+         row_number() OVER (ORDER BY score DESC, pair) AS rnk
+  FROM scored
+) WHERE rnk <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_max": q_miml_max,
     "miml_avg": q_miml_avg,
@@ -3412,6 +3530,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_stats": q_degree_stats,
     "two_hop_reach": q_two_hop_reach,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "lm_perplexity": q_lm_perplexity,
+    "bpe_merge": q_bpe_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -3481,4 +3601,6 @@ ORACLES: dict[str, str] = {
     "degree_stats": SQL_DEGREE_STATS,
     "two_hop_reach": SQL_TWO_HOP_REACH,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
+    "bpe_merge": SQL_BPE_MERGE,
 }
