@@ -1,0 +1,108 @@
+"""Distributed BPE tokenizer training.
+
+queries.q_bpe_merge is the driver-verifiable single step; this module
+iterates it into the full trainer (Sennrich et al. 2016 algorithm,
+greedy left-to-right non-overlapping application):
+
+- ONE corpus-sized pass builds the (word, freq) table — the standard
+  BPE trick: all pair statistics aggregate over the DISTINCT-word
+  vocabulary weighted by frequency, so every training iteration is
+  vocab-sized, never corpus-sized;
+- per merge iteration: adjacent-symbol-pair scores (two-phase agg),
+  the argmax merge via TakeOrderedAndProject + a 1-row collect (the
+  only driver traffic, like PageRank's scalars), then the merge is
+  applied to every word's symbol array with a SQL ``aggregate`` fold
+  (greedy left-to-right: the accumulator's last symbol merges with
+  the current one when they form the chosen pair — exactly the
+  reference algorithm's non-overlapping scan);
+- ``localCheckpoint`` per iteration cuts the plan's growth (the same
+  lineage hygiene as the connected-components loop).
+
+Reference analog: none in /root/reference (its vocab is word2vec's);
+tokenizer induction is part of the training-data-pipeline surface
+the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-sized pass → vocab-sized (word, freq), letters-only
+    lowercase words of length ≥ 2 (the q_bpe_merge convention)."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+
+
+def _apply_merge(symbols_col: str, a: str, b: str):
+    """Greedy left-to-right non-overlapping merge of (a, b) → a||b
+    over a symbol array, as one SQL aggregate fold."""
+    a_l, b_l = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return F.expr(
+        f"aggregate({symbols_col}, cast(array() as array<string>),"
+        f" (acc, x) -> IF("
+        f"   size(acc) > 0 AND element_at(acc, -1) = '{a_l}'"
+        f"   AND x = '{b_l}',"
+        f"   concat(slice(acc, 1, size(acc) - 1), array('{a_l}{b_l}')),"
+        f"   concat(acc, array(x))))"
+    )
+
+
+def train_bpe(
+    word_freqs: DataFrame, n_merges: int = 50, min_pair_freq: int = 2
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """(word, freq) → (ordered merge list, final symbolized vocab).
+
+    Deterministic: the merge at each step is the max weighted pair
+    count with (pair_a asc, pair_b asc) tiebreak; stops early when no
+    pair reaches ``min_pair_freq``. Returns the merges (the trained
+    tokenizer) and the final (word, freq, symbols) table."""
+    vocab = word_freqs.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("symbols"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # guard size ≥ 2: sequence(1, 0) would DESCEND ([1, 0]) and
+        # emit null-keyed pairs for fully-merged single-symbol words
+        pairs = vocab.filter(F.size("symbols") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(symbols) - 1),"
+                    " i -> struct(symbols[i-1] AS a, symbols[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        scores = (
+            pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("score"))
+        )
+        top = (
+            scores.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["score"] < min_pair_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "word", "freq", _apply_merge("symbols", a, b).alias("symbols")
+        ).localCheckpoint(eager=True)
+    return merges, vocab

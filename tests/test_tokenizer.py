@@ -1,0 +1,98 @@
+"""Distributed BPE trainer (operators/tokenizer.py) vs a pure-python
+reference implementation of the Sennrich algorithm with identical
+tiebreaks, plus consistency with the q_bpe_merge gate query."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark import queries as Q
+from noise_mitigation_spark.operators import tokenizer
+
+SF = "/root/testdata/sf0.01"
+
+
+def _python_bpe(word_freqs: dict[str, int], n_merges: int, min_pair_freq=2):
+    """Reference trainer: max weighted pair count, (a, b) lexicographic
+    tiebreak, greedy left-to-right non-overlapping application."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        scores: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                scores[(syms[i], syms[i + 1])] += f
+        if not scores:
+            break
+        best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), sc = best
+        if sc < min_pair_freq:
+            break
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def word_freqs(spark):
+    wf = tokenizer.word_freq_table(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    ).localCheckpoint(eager=True)
+    return wf
+
+
+def test_trainer_matches_python_reference(spark, word_freqs):
+    wf_dict = {r["word"]: r["freq"] for r in word_freqs.collect()}
+    want_merges, want_vocab = _python_bpe(wf_dict, n_merges=12)
+    got_merges, got_vocab_df = tokenizer.train_bpe(word_freqs, n_merges=12)
+    assert got_merges == want_merges
+    got_vocab = {
+        r["word"]: list(r["symbols"]) for r in got_vocab_df.collect()
+    }
+    assert got_vocab == want_vocab
+    assert len(got_merges) == 12  # the corpus supports 12 real merges
+
+
+def test_first_merge_agrees_with_gate_query(spark, word_freqs):
+    """train_bpe's first merge must be rank-1 of the q_bpe_merge
+    DuckDB-gated query (same scoring, same tiebreak)."""
+    merges, _ = tokenizer.train_bpe(word_freqs, n_merges=1)
+    top = (
+        Q.q_bpe_merge(spark, SF)
+        .filter(F.col("rnk") == 1)
+        .collect()[0]["pair"]
+    )
+    assert "".join(merges[0]) == top
+
+
+def test_greedy_left_to_right_nonoverlap(spark):
+    """'aaaa' with merge (a,a) must segment to [aa, aa], not [aa, a, a]
+    or overlapping — pinned through the SQL fold on a crafted vocab."""
+    wf = spark.createDataFrame(
+        [("aaaa", 10), ("aaab", 5)], "word string, freq long"
+    )
+    merges, vocab_df = tokenizer.train_bpe(wf, n_merges=1)
+    assert merges == [("a", "a")]
+    got = {r["word"]: list(r["symbols"]) for r in vocab_df.collect()}
+    assert got == {"aaaa": ["aa", "aa"], "aaab": ["aa", "a", "b"]}
+
+
+def test_early_stop_on_min_pair_freq(spark):
+    wf = spark.createDataFrame(
+        [("ab", 1), ("cd", 1)], "word string, freq long"
+    )
+    merges, _ = tokenizer.train_bpe(wf, n_merges=5, min_pair_freq=2)
+    assert merges == []
