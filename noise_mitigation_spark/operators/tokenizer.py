@@ -58,6 +58,44 @@ def _apply_merge(symbols_col: str, a: str, b: str):
     )
 
 
+def segment_documents(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained tokenizer to a corpus: per doc, explode the
+    words, broadcast-join the trained (word → symbols) table — the
+    training vocab covers every in-corpus word by construction, so
+    segmentation is a LOOKUP, not a re-derivation; unseen words fall
+    back to character symbols (the standard cold default). Emits
+    (doc_id, n_words, n_tokens) — the post-tokenizer token budget.
+
+    100 TB shape: corpus-sized explode + broadcast join + two-phase
+    agg; the vocab side is the trained table (bounded), the big side
+    never shuffles."""
+    from .joins import maybe_broadcast
+
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    seg = vocab.select("word", F.size("symbols").alias("n_sym"))
+    return (
+        words.join(maybe_broadcast(seg), "word", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sym", F.length("word")).alias("n_tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def train_bpe(
     word_freqs: DataFrame, n_merges: int = 50, min_pair_freq: int = 2
 ) -> tuple[list[tuple[str, str]], DataFrame]:

@@ -96,3 +96,38 @@ def test_early_stop_on_min_pair_freq(spark):
     )
     merges, _ = tokenizer.train_bpe(wf, n_merges=5, min_pair_freq=2)
     assert merges == []
+
+
+def test_segmentation_matches_python(spark, word_freqs):
+    """Post-tokenizer token budgets equal the python reference:
+    vocab lookup for trained words, char fallback otherwise."""
+    import re
+
+    import pandas as pd
+
+    _, vocab_df = tokenizer.train_bpe(word_freqs, n_merges=8)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in tokenizer.segment_documents(
+            spark.read.parquet(f"{SF}/documents.parquet"), vocab_df
+        ).collect()
+    }
+    pyvocab = {r["word"]: len(r["symbols"]) for r in vocab_df.collect()}
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    want = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        words = re.findall("[a-z]+", text.lower())
+        if words:
+            want[doc_id] = (
+                len(words),
+                sum(pyvocab.get(w, len(w)) for w in words),
+            )
+    assert got == want
+    # merges actually compress: fewer tokens than characters
+    total_tok = sum(t for _, t in got.values())
+    total_chars = sum(
+        len(w)
+        for text in pdf["text"]
+        for w in re.findall("[a-z]+", text.lower())
+    )
+    assert total_tok < total_chars
