@@ -47,7 +47,14 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _apply_merge(symbols_col: str, a: str, b: str):
     """Greedy left-to-right non-overlapping merge of (a, b) → a||b
     over a symbol array, as one SQL aggregate fold."""
-    a_l, b_l = a.replace("'", "\\'"), b.replace("'", "\\'")
+
+    def _esc(x: str) -> str:
+        # backslashes BEFORE quotes — the symbols land in SQL string
+        # literals and word_freq_table's [a-z]+ restriction is this
+        # module's convention, not this function's contract
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
+    a_l, b_l = _esc(a), _esc(b)
     return F.expr(
         f"aggregate({symbols_col}, cast(array() as array<string>),"
         f" (acc, x) -> IF("
@@ -58,21 +65,45 @@ def _apply_merge(symbols_col: str, a: str, b: str):
     )
 
 
+def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word) → (word, symbols): apply an ordered merge list to each
+    word's character symbols with the SAME greedy fold the trainer
+    uses — the encoder for words the training vocab never saw. One
+    vocab-sized pass per merge (checkpointed periodically to bound
+    plan depth); intended for the DISTINCT unseen-word set, which is
+    bounded, never the raw corpus."""
+    seg = words.select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("symbols"),
+    )
+    for i, (a, b) in enumerate(merges):
+        seg = seg.select("word", _apply_merge("symbols", a, b).alias("symbols"))
+        if (i + 1) % 8 == 0:
+            seg = seg.localCheckpoint(eager=True)
+    return seg
+
+
 def segment_documents(
     docs: DataFrame,
     vocab: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """Apply a trained tokenizer to a corpus: per doc, explode the
-    words, broadcast-join the trained (word → symbols) table — the
-    training vocab covers every in-corpus word by construction, so
-    segmentation is a LOOKUP, not a re-derivation; unseen words fall
-    back to character symbols (the standard cold default). Emits
+    words, join the trained (word → symbols) table (size-aware
+    broadcast) — for the training corpus this is a pure LOOKUP.
+    Words OUTSIDE the training vocab (held-out corpora; also
+    single-letter words, which word_freq_table's length≥2 filter
+    excludes but which segment to themselves either way) are encoded
+    by applying ``merges`` with the trainer's own greedy fold over
+    the DISTINCT unseen-word set (bounded, never corpus-sized);
+    with no merges given they fall back to character symbols. Emits
     (doc_id, n_words, n_tokens) — the post-tokenizer token budget.
 
     100 TB shape: corpus-sized explode + broadcast join + two-phase
-    agg; the vocab side is the trained table (bounded), the big side
-    never shuffles."""
+    agg; both vocab sides are bounded, the big side never shuffles."""
     from .joins import maybe_broadcast
 
     words = docs.select(
@@ -82,6 +113,16 @@ def segment_documents(
         ).alias("word"),
     )
     seg = vocab.select("word", F.size("symbols").alias("n_sym"))
+    if merges:
+        unseen = (
+            words.select("word")
+            .distinct()
+            .join(vocab.select("word"), "word", "anti")
+        )
+        oov = segment_words(unseen, merges).select(
+            "word", F.size("symbols").alias("n_sym")
+        )
+        seg = seg.unionByName(oov)
     return (
         words.join(maybe_broadcast(seg), "word", "left")
         .select(

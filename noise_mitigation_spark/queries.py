@@ -3354,11 +3354,12 @@ def q_lm_perplexity(spark, sf_dir):
     by mean negative log-probability of its tokens. High xent = far
     from the reference distribution (gibberish / wrong domain).
 
-    Plan: reference counts are a vocab-sized table → broadcast join
-    onto the exploded corpus tokens (the big side never shuffles);
-    the two model scalars (N tokens, V+1 vocab) ride a broadcast
-    1-row crossJoin; one two-phase avg per doc. 100 TB shape: scan +
-    broadcast + map-side-combined agg, no global sort."""
+    Plan: reference counts are a vocab-sized table joined onto the
+    exploded corpus tokens — broadcast only when the size estimate
+    fits (joins.maybe_broadcast: a whitespace-token vocabulary grows
+    with corpus scale, and a HARD broadcast hint is the documented
+    OOM risk); the two model scalars (N tokens, V+1 vocab) ride a
+    broadcast 1-row crossJoin; one two-phase avg per doc."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -3368,8 +3369,10 @@ def q_lm_perplexity(spark, sf_dir):
     stats = counts.agg(
         F.sum("c").alias("N"), (F.count("*") + 1).alias("V")
     )
+    from .operators.joins import maybe_broadcast
+
     scored = (
-        toks.join(F.broadcast(counts), "token", "left")
+        toks.join(maybe_broadcast(counts), "token", "left")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -3415,17 +3418,9 @@ def q_bpe_merge(spark, sf_dir):
     is the full BPE trainer; one step is the driver-verifiable unit.
     100 TB shape: one corpus-sized two-phase word count, everything
     after is vocab-sized; top-k via TakeOrderedAndProject."""
-    d = _t(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .filter(F.length("word") >= 2)
-    )
+    from .operators.tokenizer import word_freq_table
+
+    words = word_freq_table(_t(spark, sf_dir, "documents"))
     pairs = words.select(
         "freq",
         F.explode(

@@ -109,6 +109,15 @@ except ImportError:  # pragma: no cover
     _HYP = False
 
 
+if not _HYP:
+
+    @pytest.mark.skip(reason="hypothesis not installed")
+    def test_hyp_property_suite_unavailable():
+        """Sentinel: surfaces (as SKIPPED, not silence) that the
+        randomized property coverage of the fingerprint kernel did
+        not run on this environment."""
+
+
 if _HYP:
 
     @settings(max_examples=60, deadline=None)

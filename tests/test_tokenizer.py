@@ -131,3 +131,52 @@ def test_segmentation_matches_python(spark, word_freqs):
         for w in re.findall("[a-z]+", text.lower())
     )
     assert total_tok < total_chars
+
+
+def test_heldout_segmentation_applies_merges(spark):
+    """Words unseen at training time are encoded by APPLYING the
+    trained merges (not the char fallback): token budgets on held-out
+    text match the python reference encoder exactly."""
+    train = spark.createDataFrame(
+        [(0, "low low low lower lowest newer newest")],
+        "doc_id long, text string",
+    )
+    wf = tokenizer.word_freq_table(train)
+    merges, vocab = tokenizer.train_bpe(wf, n_merges=6, min_pair_freq=2)
+    assert merges  # real merges learned
+    held = spark.createDataFrame(
+        [(1, "lowly power mower"), (2, "zzz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in tokenizer.segment_documents(held, vocab, merges).collect()
+    }
+
+    def _encode(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    import re
+
+    pyvocab = {r["word"]: len(r["symbols"]) for r in vocab.collect()}
+    want = {}
+    for doc_id, text in [(1, "lowly power mower"), (2, "zzz")]:
+        ws = re.findall("[a-z]+", text)
+        want[doc_id] = (
+            len(ws),
+            sum(pyvocab.get(w, len(_encode(w))) for w in ws),
+        )
+    assert got == want
+    # the merges genuinely compressed at least one held-out word
+    assert any(len(_encode(w)) < len(w) for w in ["lowly", "power", "mower"])
