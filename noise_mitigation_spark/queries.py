@@ -3458,6 +3458,134 @@ SELECT pair, score, rnk FROM (
 """
 
 
+_PQ_M = 8       # subspaces
+_PQ_SUB = 8     # dims per subspace (8×8 = the 64-d embedding)
+_PQ_K = 16      # centroids per subspace (4-bit codes)
+
+
+def _pq_subdist(xcol: str, ccol: str, j: str):
+    """Squared L2 between subvectors of two 64-d arrays over subspace
+    ``j`` (0-based), as a FIXED-ORDER fold (ascending dim) — the same
+    left-to-right accumulation the DuckDB twin uses, so distances are
+    bit-identical across engines."""
+    return F.expr(
+        f"aggregate(sequence({j} * {_PQ_SUB} + 1, {j} * {_PQ_SUB} + {_PQ_SUB}),"
+        f" cast(0.0 as double),"
+        f" (acc, i) -> acc + (element_at({xcol}, i) - element_at({ccol}, i))"
+        f"             * (element_at({xcol}, i) - element_at({ccol}, i)))"
+    )
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN — the MEMORY rung of the ANN ladder
+    (ann_lsh/ann_multiprobe bound candidates, ivf_ann bounds cells;
+    PQ bounds BYTES): every vector is encoded as m=8 4-bit codes
+    (nearest of 16 centroids per 8-dim subspace — codebook = the
+    subvectors of vec_id < 16, a deterministic data-derived frozen
+    quantizer, trained offline in production exactly like
+    ivf_ann_trained's k-means), and queries scan CODES with
+    asymmetric distance (ADC): one 8×16 query-to-centroid distance
+    table, approximate distance = Σ_j dtable[j][code_j]. At 10^9
+    vectors the code table is 4 GB where raw float32 is 256 GB —
+    the entire scan side fits in memory. Top-3 per query by
+    (adist asc, cid asc); all distance folds are fixed-order so both
+    engines agree bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("cv")
+    )
+    subs = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
+    )
+    dists = subs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "j",
+        "c",
+        _pq_subdist("embedding", "cv", "j").alias("d"),
+    )
+    codes = (
+        dists.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("d", "c")).alias("m"))
+        .select("vec_id", "j", F.col("m.c").alias("code"))
+    )
+    qtab = dists.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "j", "c", F.col("d").alias("qd")
+    )
+    # ADC: join the query's distance table to every vector's codes on
+    # (subspace, code); the 8 per-subspace terms fold in ASCENDING j
+    # order (sort_array of (j, d) structs) for cross-engine equality
+    k = codes.withColumnRenamed("vec_id", "cid")
+    adc = (
+        k.join(qtab, (k.j == qtab.j) & (k.code == qtab.c))
+        .drop(qtab.j)
+        .drop(qtab.c)
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(j, qd))),"
+                " cast(0.0 as double), (acc, x) -> acc + x.qd)"
+            ).alias("adist")
+        )
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid", F.round("adist", 4).alias("adist"), "rnk")
+    )
+
+
+SQL_PQ_ANN = f"""
+WITH cents AS (
+  SELECT vec_id AS c, embedding AS cv FROM embeddings
+  WHERE vec_id < {_PQ_K}
+),
+subs AS (
+  SELECT vec_id, embedding, unnest(generate_series(0, {_PQ_M - 1})) AS j
+  FROM embeddings
+),
+dists AS (
+  SELECT s.vec_id, s.j, c.c,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             [ (s.embedding[i] - c.cv[i]) * (s.embedding[i] - c.cv[i])
+               FOR i IN generate_series(s.j * {_PQ_SUB} + 1,
+                                        s.j * {_PQ_SUB} + {_PQ_SUB}) ]),
+           (acc, x) -> acc + x) AS d
+  FROM subs s CROSS JOIN cents c
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT vec_id AS qid, j, c, d AS qd FROM dists WHERE vec_id < 10
+),
+adc AS (
+  SELECT q.qid, k.vec_id AS cid,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        array_agg(q.qd ORDER BY q.j)),
+           (acc, x) -> acc + x) AS adist
+  FROM codes k JOIN qtab q ON q.j = k.j AND q.c = k.code
+  WHERE k.vec_id <> q.qid
+  GROUP BY q.qid, k.vec_id
+)
+SELECT qid, cid, round(adist, 4) AS adist, rnk FROM (
+  SELECT qid, cid, adist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist, cid) AS rnk
+  FROM adc
+) WHERE rnk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_max": q_miml_max,
     "miml_avg": q_miml_avg,
@@ -3527,6 +3655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "lm_perplexity": q_lm_perplexity,
     "bpe_merge": q_bpe_merge,
+    "pq_ann": q_pq_ann,
 }
 
 ORACLES: dict[str, str] = {
@@ -3598,4 +3727,5 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "bpe_merge": SQL_BPE_MERGE,
+    "pq_ann": SQL_PQ_ANN,
 }
