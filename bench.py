@@ -67,7 +67,8 @@ HEADLINE = [
     "repetition_filter", "decontaminate", "substring_dup_spans", "ivf_ann",
     "tpch_q3", "tpch_q18", "quality_classifier", "kmeans_assign",
     "ivf_ann_trained", "joint_cost", "pagerank", "triangle_count",
-    "rolling_fingerprint", "winnow_fingerprint",
+    "rolling_fingerprint", "winnow_fingerprint", "lm_perplexity",
+    "bpe_merge", "pq_ann",
 ]  # fmt: skip
 
 
