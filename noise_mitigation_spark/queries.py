@@ -870,7 +870,14 @@ def _lsh_bucket(col, planes):
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings
     table: queries = vec_id < 10, top-5 neighbors each. Dot product
-    via higher-order functions (JVM-side, no UDF)."""
+    via higher-order functions (JVM-side, no UDF).
+
+    DO NOT use this as a component at scale — it is the RECALL
+    BASELINE (full corpus scan per query, by design); the production
+    paths are the bucketed/coded twins: q_ann_lsh (sign buckets),
+    q_ann_multiprobe (Hamming-1 probes), q_ivf_ann /
+    q_ivf_ann_trained (coarse cells), q_pq_ann (4-bit codes + ADC),
+    and embedding_near_dup_production (size-adaptive planes)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
