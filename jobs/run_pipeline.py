@@ -47,6 +47,14 @@ def main(argv: list[str] | None = None) -> int:
              "to a full recompute at delta cost)",
     )
     ap.add_argument(
+        "--retract", action="store_true",
+        help="treat --documents as rows to REMOVE from the "
+             "materialized run at --out (plans/incremental."
+             "run_retraction): bit-equal to a from-scratch run over "
+             "the remaining corpus; right-to-erasure / bad-crawl "
+             "rollback",
+    )
+    ap.add_argument(
         "--pad-mode", default="window", choices=["window", "reference"],
         help="RE context padding: 'window' (PAD-filled windows + valid "
              "conv) or 'reference' (the exact padForConv "
@@ -84,20 +92,29 @@ def main(argv: list[str] | None = None) -> int:
         graph_root=args.graph_root,
         pad_mode=args.pad_mode,
     )
+    if args.append and args.retract:
+        ap.error("--append and --retract are mutually exclusive")
     if args.append:
         res = incremental.run_incremental(
             spark, docs, aliases, vocab, emb, args.out, **kw
         )
+        mode = "append"
+    elif args.retract:
+        res = incremental.run_retraction(
+            spark, docs, aliases, vocab, emb, args.out, **kw
+        )
+        mode = "retract"
     else:
         res = pipeline.run(
             spark, docs, aliases, vocab, emb, out_dir=args.out, **kw
         )
+        mode = "full"
     summary = {
         "triples": res.triples_canon.count(),
         "assertions": res.assertions.count(),
         "entities_scored": res.ent_att.count(),
         "out": args.out,
-        "mode": "append" if args.append else "full",
+        "mode": mode,
     }
     print(json.dumps(summary))
     spark.stop()

@@ -384,3 +384,192 @@ def run_incremental(
         canon=canon,
         triples_canon=triples_canon,
     )
+
+
+def _subtract_doc_fp(combined_fp: str, removed_fp: str) -> str:
+    """Inverse of _combine_doc_fp: additive fingerprints subtract
+    exactly, so the post-retraction doc fingerprint equals what a
+    from-scratch run over the REMAINING corpus computes."""
+    doc_part, sep, rest = combined_fp.partition("|")
+    n_c, h_c = (int(x) for x in doc_part.split(":"))
+    n_r, h_r = (int(x) for x in removed_fp.split(":"))
+    return f"{n_c - n_r}:{h_c - h_r}" + sep + rest
+
+
+def run_retraction(
+    spark: SparkSession,
+    removed_documents: DataFrame,
+    aliases: DataFrame,
+    vocab: dict,
+    emb,
+    out_dir: str,
+    type_theta: float = 0.5,
+    rel_theta: float = 0.095,
+    n_salt: int = miml.N_SALT_DEFAULT,
+    type_mode: str = "weighted",
+    encoder: str = "cnn",
+    graph_root: str | None = None,
+    pad_mode: str = "window",
+) -> PipelineResult:
+    """Remove documents from a materialized run — the DELETE side of
+    incremental maintenance (right-to-erasure / bad-crawl rollback):
+    the result is BIT-EQUAL to a from-scratch run over the remaining
+    corpus, and the manifests advance to the fingerprint that run
+    computes (additive fingerprints subtract exactly), so a later
+    full resubmit on the remaining corpus RESUMES.
+
+    ``removed_documents`` must be the exact absorbed rows (provenance
+    + content — the subtraction needs the true content hashes).
+
+    Plan: parsed/scored rewrite minus the removed provenance keys
+    (plain-parquet cost — on Iceberg/Delta these are row-level
+    deletes and become delta-sized); affected = entities that LOSE a
+    mention, whose bags are recomputed over the remaining mentions
+    (entities with zero mentions left drop out entirely — the
+    aggregation emits nothing for empty groups); pair bags touching
+    an affected entity recompute from the remaining parse (a pair
+    instance lost with a document always touches two affected
+    entities, so the merge covers every change). Idempotent: every
+    rewrite is an anti-join (a second pass is the identity) and
+    every materialize is fingerprint-keyed, so a crash-replay at any
+    point converges."""
+    import hashlib
+
+    sc = spark.sparkContext
+    vocab_b = sc.broadcast(vocab)
+    emb_b = sc.broadcast(emb)
+
+    emb_fp = hashlib.sha256(
+        emb.tobytes()
+        + "\x00".join(f"{t}\t{i}" for t, i in sorted(vocab.items())).encode()
+    ).hexdigest()[:16]
+    old_fp_parsed = _read_manifest(out_dir, "parsed")["input_fingerprint"]
+    if not old_fp_parsed.endswith(f"|emb:{emb_fp}"):
+        raise ValueError(
+            "embeddings/vocab differ from the materialized run — "
+            "retraction is undefined; re-run the full pipeline"
+        )
+    _pin_mark = lineage.pin_mark()
+    removed_fp = lineage.fingerprint_documents(removed_documents)
+    removal_id = delta_identity(removed_documents)
+
+    already = any(
+        d.get("delta_id") == removal_id and d.get("retraction")
+        for d in _read_manifest(out_dir, "parsed").get("deltas", [])
+    )
+    fp_parsed = (
+        old_fp_parsed
+        if already
+        else _subtract_doc_fp(old_fp_parsed, removed_fp)
+    )
+    fp_scored = f"{fp_parsed}|enc:{encoder}"
+    fp_att = f"{fp_scored}|salt:{n_salt}"
+    fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}|pad:{pad_mode}"
+
+    keys = removed_documents.select("repo", "path", "commit").distinct()
+
+    # affected = entities losing a mention — read BEFORE the rewrite
+    parsed_cur = spark.read.parquet(os.path.join(out_dir, "parsed", "data"))
+    affected = _pin(
+        parsed_cur.filter(F.col("kind") == "mention")
+        .join(keys, ["repo", "path", "commit"], "semi")
+        .select("entity_id")
+        .distinct()
+    )
+
+    # 1-2. rewrite parsed/scored minus the removed keys (idempotent:
+    # the anti-join of an already-filtered stage is the identity)
+    parsed_keep = _pin(parsed_cur.join(keys, ["repo", "path", "commit"], "anti"))
+    parsed_full = lineage.materialize(
+        spark, parsed_keep, out_dir, "parsed", fp_parsed
+    )
+    scored_cur = spark.read.parquet(os.path.join(out_dir, "scored", "data"))
+    scored_keep = _pin(scored_cur.join(keys, ["repo", "path", "commit"], "anti"))
+    scored_full = lineage.materialize(
+        spark, scored_keep, out_dir, "scored", fp_scored
+    )
+
+    # record the retraction in the parsed/scored ledgers (audit +
+    # fingerprint idempotence marker)
+    if not already:
+        n_removed = removed_documents.count()
+        for stage in ("parsed", "scored"):
+            manifest = _read_manifest(out_dir, stage)
+            manifest.setdefault("deltas", []).append(
+                {
+                    "delta_id": removal_id,
+                    "rows": -int(n_removed),
+                    "retraction": True,
+                }
+            )
+            with open(_manifest_path(out_dir, stage), "w") as f:
+                json.dump(manifest, f, indent=1)
+
+    # 3-4. re-bag affected entities over their REMAINING mentions
+    scored_aff = scored_full.join(affected, "entity_id", "semi")
+    ent_att_aff = miml.miml_attention(scored_aff, n_salt=n_salt, encoder=encoder)
+    ent_att_old = _pin(spark.read.parquet(os.path.join(out_dir, "ent_att", "data")))
+    ent_att = lineage.materialize(
+        spark,
+        ent_att_old.join(affected, "entity_id", "anti").unionByName(ent_att_aff),
+        out_dir,
+        "ent_att",
+        fp_att,
+    )
+    assertions = miml.type_assertions(ent_att, theta=type_theta)
+
+    # 5-6. re-score exactly the pair bags touching an affected entity
+    pairs_full = mentions.pairs_view(parsed_full)
+    aff_s = affected.select(F.col("entity_id").alias("subj"))
+    aff_o = affected.select(F.col("entity_id").alias("obj"))
+    pair_key = ["repo", "path", "commit", "sent_id", "subj", "obj"]
+    affected_pairs = (
+        pairs_full.join(aff_s, "subj", "semi")
+        .unionByName(pairs_full.join(aff_o, "obj", "semi"))
+        .dropDuplicates(pair_key)
+    )
+    with_types = relations.attach_type_vectors(affected_pairs, ent_att)
+    scored_pairs = relations.score_pairs(
+        with_types, emb_b, type_mode=type_mode, pad_mode=pad_mode
+    )
+    triples_aff = relations.bag_triples(scored_pairs, theta=rel_theta)
+
+    triples_old = _pin(
+        spark.read.parquet(os.path.join(out_dir, "triples", "data"))
+    )
+    triples = lineage.materialize(
+        spark,
+        triples_old.join(aff_s, "subj", "anti")
+        .join(aff_o, "obj", "anti")
+        .unionByName(triples_aff),
+        out_dir,
+        "triples",
+        fp_triples,
+    )
+
+    canon = linking.canonical_map(aliases)
+    alias_fp = lineage.fingerprint_df(aliases, ["entity_id", "name"])
+    triples_canon = lineage.materialize(
+        spark,
+        linking.canonicalize_triples(triples, canon),
+        out_dir,
+        "triples_canon",
+        f"{fp_triples}|aliases:{alias_fp}",
+    )
+
+    if graph_root:
+        from ..sources import catalog
+
+        catalog.materialize_graph(canon, assertions, triples_canon, graph_root)
+
+    lineage.release_pins(_pin_mark)
+    return PipelineResult(
+        mentions=mentions.mentions_view(parsed_full),
+        pairs=pairs_full,
+        ent_max_avg=miml.miml_max_avg(scored_full),
+        ent_att=ent_att,
+        assertions=assertions,
+        triples=triples,
+        canon=canon,
+        triples_canon=triples_canon,
+    )

@@ -290,3 +290,73 @@ def test_partial_crash_replay_converges(spark, corpus, tmp_path):
         out_dir=out,
     )
     assert _rows(again.triples_canon, cols) == _rows(full.triples_canon, cols)
+
+
+def test_retraction_equals_recompute_on_remaining(spark, corpus, tmp_path):
+    """DELETE side: run(A∪B) then retract(B) must be BIT-EQUAL to a
+    from-scratch run over A — triples, assertions, bags — and leave
+    manifests a full resubmit on A RESUMES from. A second retraction
+    call converges to the same state (idempotent replay)."""
+    docs = corpus.documents
+    A, B = docs.iloc[:150], docs.iloc[150:]
+    out = str(tmp_path / "retract")
+    pipeline.run(
+        spark,
+        spark.createDataFrame(docs),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    ret = incremental.run_retraction(
+        spark,
+        spark.createDataFrame(B),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    want = pipeline.run(
+        spark,
+        spark.createDataFrame(A),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+    )
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(ret.triples_canon, cols) == _rows(want.triples_canon, cols)
+    acols = ["entity_id", "type_id", "score"]
+    assert _rows(ret.assertions, acols) == _rows(want.assertions, acols)
+    a = {r["entity_id"]: (r["n_mentions"], tuple(r["score_att"]))
+         for r in ret.ent_att.collect()}
+    b = {r["entity_id"]: (r["n_mentions"], tuple(r["score_att"]))
+         for r in want.ent_att.collect()}
+    assert a == b
+
+    # a full resubmit on the REMAINING corpus resumes (mtimes stable)
+    paths = [
+        os.path.join(out, s, "_manifest.json")
+        for s in ("parsed", "scored", "ent_att", "triples", "triples_canon")
+    ]
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    res = pipeline.run(
+        spark,
+        spark.createDataFrame(A),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    assert {p: os.path.getmtime(p) for p in paths} == mtimes
+    assert _rows(res.triples_canon, cols) == _rows(want.triples_canon, cols)
+
+    # idempotent: retracting the same documents again converges
+    again = incremental.run_retraction(
+        spark,
+        spark.createDataFrame(B),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    assert _rows(again.triples_canon, cols) == _rows(want.triples_canon, cols)
