@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rep-top-bi-max", type=float, default=0.08)
     ap.add_argument("--benchmark-mod", type=int, default=17)
     ap.add_argument(
+        "--retract-from", default=None, metavar="REMAINING_DOCS",
+        help="treat --documents as rows to REMOVE from the "
+             "materialized run at --out (run_cleaning_retraction); "
+             "the value is the REMAINING documents parquet (read for "
+             "benchmark-gram recompute and contamination re-checks)",
+    )
+    ap.add_argument(
         "--n-hubs", type=int, default=1,
         help="recall knob: K star hubs per giant LSH bucket "
              "(K-linear candidates; see cleaning.neardup_recall_report)",
@@ -54,11 +61,18 @@ def main(argv: list[str] | None = None) -> int:
         benchmark_mod=args.benchmark_mod,
         n_hubs=args.n_hubs,
     )
+    if args.append_from and args.retract_from:
+        ap.error("--append-from and --retract-from are mutually exclusive")
     if args.append_from:
         res = cleaning.run_cleaning_incremental(
             spark, docs, spark.read.parquet(args.append_from), args.out, **kw
         )
         mode = "append"
+    elif args.retract_from:
+        res = cleaning.run_cleaning_retraction(
+            spark, docs, spark.read.parquet(args.retract_from), args.out, **kw
+        )
+        mode = "retract"
     else:
         res = cleaning.run_cleaning(spark, docs, out_dir=args.out, **kw)
         mode = "full"

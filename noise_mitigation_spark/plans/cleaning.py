@@ -771,3 +771,226 @@ def run_cleaning_incremental(
     # created here (scoped: an enclosing caller's pins stay live).
     lineage.release_pins(_pin_mark)
     return CleaningResult(flags=flags, clean_docs=clean, stats=stats)
+
+
+def run_cleaning_retraction(
+    spark: SparkSession,
+    removed_docs: DataFrame,
+    remaining_docs: DataFrame,
+    out_dir: str,
+    *,
+    near_dup_tau: float = 0.5,
+    rep_dup_tri_max: float = 0.02,
+    rep_top_bi_max: float = 0.08,
+    benchmark_mod: int = 17,
+    n_hubs: int = 1,
+) -> CleaningResult:
+    """Remove documents from a materialized cleaning run — the DELETE
+    side of absorption, batch-equivalent: flags/clean_docs end up
+    exactly as ``run_cleaning(remaining)`` would produce, including
+    the RETROACTIVE flips removals cause:
+
+    - exact dedup: removing a group's keeper promotes the next-lowest
+      copy (the whole exact stage recomputes from the narrow id+hash
+      state table — no text scan);
+    - near-dup: components containing a removed node re-solve WITHOUT
+      it over the stored verified pairs — a removed bridge doc SPLITS
+      a merged cluster back apart and each side's min becomes keeper;
+    - contamination: benchmark grams recompute from the remaining
+      benchmark slice, and currently-contaminated docs are RE-CHECKED
+      against the shrunken gram set (a doc whose only shared grams
+      came from a removed benchmark doc flips back to clean; an
+      unflagged doc can never become contaminated by a removal);
+    - repetition is row-local — surviving rows keep their flags.
+
+    Additive fingerprints SUBTRACT, so a full resubmit over the
+    remaining corpus RESUMES. Idempotent: all rewrites are anti-joins
+    and all materializes fingerprint-keyed.
+
+    Caveat (the mirror of absorption's documented one): near-dup
+    equality holds over the STORED verified pairs — if a removal
+    shrinks a giant LSH bucket below the all-pairs cap, a
+    from-scratch run over the remainder could verify borderline
+    pairs the hybrid star generator never emitted, so retraction can
+    keep components MERGED less than that run would, never more."""
+    params = (
+        f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
+        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
+    )
+    _pin_mark = lineage.pin_mark()
+    rem_hashes = removed_docs.select("doc_id", F.md5("text").alias("h"))
+    r_fp = lineage.fingerprint_df(rem_hashes)
+    old_docs_fp = _stage_fp(out_dir, "doc_hashes")
+    n_cur, h_cur = (int(x) for x in old_docs_fp.split(":"))
+    n_r, h_r = (int(x) for x in r_fp.split(":"))
+
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "doc_hashes", "_manifest.json")) as f:
+        already = any(
+            d.get("delta_id") == r_fp and d.get("retraction")
+            for d in _json.load(f).get("deltas", [])
+        )
+    fp_docs = (
+        old_docs_fp  # already subtracted by the completed retraction
+        if already
+        else f"{n_cur - n_r}:{h_cur - h_r}"
+    )
+    old_flags_fp = _stage_fp(out_dir, "doc_flags")
+    if old_flags_fp not in (
+        f"{old_docs_fp}:{params}",
+        f"{fp_docs}:{params}",
+    ):
+        raise ValueError(
+            "cleaning parameters differ from the materialized run — "
+            "retraction is undefined; re-run the full plan"
+        )
+
+    rem_ids = removed_docs.select("doc_id")
+
+    # --- narrow state rewrites (anti-joins: idempotent) ---------------
+    hashes_new = _pin(
+        _read_stage(spark, out_dir, "doc_hashes").join(rem_ids, "doc_id", "anti")
+    )
+    band_new = _pin(
+        _read_stage(spark, out_dir, "band_keys").join(rem_ids, "doc_id", "anti")
+    )
+    pairs_new = _pin(
+        _read_stage(spark, out_dir, "near_pairs")
+        .join(rem_ids.withColumnRenamed("doc_id", "d1"), "d1", "anti")
+        .join(rem_ids.withColumnRenamed("doc_id", "d2"), "d2", "anti")
+    )
+
+    # --- exact dedup: global recompute from the narrow hash table -----
+    keep = hashes_new.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_new = hashes_new.join(keep, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("exact_dup")
+    )
+
+    # --- near-dup: re-solve ONLY components containing a removed node -
+    hist_comp = _pin(_read_stage(spark, out_dir, "components"))
+    touched = (
+        hist_comp.join(rem_ids.withColumnRenamed("doc_id", "node"), "node", "semi")
+        .select("component")
+        .distinct()
+    )
+    touched = _pin(touched)
+    sub_nodes = (
+        hist_comp.join(touched, "component", "left_semi")
+        .select("node")
+        .join(rem_ids.withColumnRenamed("doc_id", "node"), "node", "anti")
+    )
+    sub_nodes = _pin(sub_nodes)
+    sub_edges = pairs_new.join(
+        sub_nodes.withColumnRenamed("node", "d1"), "d1", "left_semi"
+    ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    comp_sub = connected_components(sub_nodes, sub_edges)
+    comp_new = (
+        hist_comp.join(touched, "component", "left_anti")
+        .join(rem_ids.withColumnRenamed("doc_id", "node"), "node", "anti")
+        .unionByName(comp_sub)
+    )
+
+    # --- contamination: shrink the gram set, re-check flagged docs ----
+    bench_new = _pin(
+        doc_word4grams_df(
+            remaining_docs.filter(F.col("doc_id") % benchmark_mod == 0)
+        )
+        .select("g")
+        .distinct()
+    )
+    old_flags = _pin(
+        _read_stage(spark, out_dir, "doc_flags").join(rem_ids, "doc_id", "anti")
+    )
+    flagged_ids = old_flags.filter(F.col("contaminated")).select("doc_id")
+    recheck_docs = remaining_docs.join(flagged_ids, "doc_id", "left_semi")
+    still = contaminated_against(
+        doc_word4grams_df(
+            recheck_docs.filter(F.col("doc_id") % benchmark_mod != 0)
+        ),
+        bench_new,
+    ).select("doc_id", F.lit(True).alias("still_cont"))
+
+    # --- flags rebuild ------------------------------------------------
+    base = (
+        old_flags.select("doc_id", "repetitive")
+        .join(exact_new, "doc_id", "left")
+        .join(_near_flags_from_components(comp_new), "doc_id", "left")
+        .join(still, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            "repetitive",
+            F.coalesce("still_cont", F.lit(False)).alias("contaminated"),
+        )
+    )
+    flags = base.select(
+        "*",
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.col(r), F.lit(r)).otherwise(F.lit(None))
+                    for r in REASONS
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("reasons"),
+    ).withColumn("keep", F.size("reasons") == 0)
+    flags = flags.select(
+        "doc_id", *REASONS, "reasons", "keep"
+    )
+
+    # --- advance the materialized state -------------------------------
+    import json as _json
+    import os as _os
+
+    lineage.materialize(spark, hashes_new, out_dir, "doc_hashes", fp_docs)
+    if not already:
+        mp = _os.path.join(out_dir, "doc_hashes", "_manifest.json")
+        manifest = _json.load(open(mp))
+        manifest.setdefault("deltas", []).append(
+            {"delta_id": r_fp, "rows": -int(n_r), "retraction": True}
+        )
+        with open(mp, "w") as f:
+            _json.dump(manifest, f, indent=1)
+    lineage.materialize(spark, band_new, out_dir, "band_keys", fp_docs)
+    lineage.materialize(
+        spark, pairs_new, out_dir, "near_pairs",
+        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
+    )
+    lineage.materialize(
+        spark, bench_new, out_dir, "bench_grams",
+        f"{fp_docs}:mod:{benchmark_mod}",
+    )
+    lineage.materialize(
+        spark, comp_new, out_dir, "components",
+        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
+    )
+    flags = lineage.materialize(
+        spark, flags, out_dir, "doc_flags", f"{fp_docs}:{params}"
+    )
+    clean = remaining_docs.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    clean = lineage.materialize(
+        spark, clean, out_dir, "clean_docs", f"{fp_docs}:{params}"
+    )
+
+    counts = {
+        r["reason"]: r["n"]
+        for r in flags.select(F.explode("reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = flags.count()
+    kept = flags.filter(F.col("keep")).count()
+    stats = {
+        "total": total,
+        "kept": kept,
+        **{r: counts.get(r, 0) for r in REASONS},
+    }
+    lineage.release_pins(_pin_mark)
+    return CleaningResult(flags=flags, clean_docs=clean, stats=stats)

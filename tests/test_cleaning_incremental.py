@@ -467,3 +467,60 @@ def test_partial_crash_replay_converges(spark, tmp_path):
             spark, delta, spark.createDataFrame(A), out, near_dup_tau=TAU
         )
         assert _flag_rows(again) == _flag_rows(full), crashed_stages
+
+
+def test_cleaning_retraction_equals_batch_on_remaining(spark, tmp_path):
+    """DELETE side: run_cleaning(A∪B) then retract(B) ≡
+    run_cleaning(A) flags exactly — including the retroactive
+    UN-flips the corpus exercises: removing the V2/V3 chain splits
+    the merged component back into {2,5} and {7,9} (doc 7 becomes a
+    keeper again), and removing benchmark doc 34 un-contaminates
+    historical doc 8. A resubmit over A resumes; a second retraction
+    converges (idempotent)."""
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    B = docs[docs.doc_id >= 30]
+    out = str(tmp_path / "retract")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), out, near_dup_tau=TAU
+    )
+    ret = cleaning.run_cleaning_retraction(
+        spark,
+        spark.createDataFrame(B),
+        spark.createDataFrame(A),
+        out,
+        near_dup_tau=TAU,
+    )
+    want = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(A),
+        str(tmp_path / "batchA"),
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(ret) == _flag_rows(want)
+    assert ret.stats == want.stats
+    f = {r[0]: r for r in _flag_rows(ret)}
+    assert f[5][2] and f[9][2], "intra-cluster drops survive the split"
+    assert not f[7][2], "doc 7 is a keeper again after the chain left"
+    assert not f[8][4], "doc 8 un-contaminates with benchmark doc 34 gone"
+
+    # resubmit over the remaining corpus resumes (mtimes stable)
+    stages = ["doc_hashes", "band_keys", "near_pairs", "components",
+              "bench_grams", "doc_flags", "clean_docs"]
+    paths = [os.path.join(out, s, "_manifest.json") for s in stages]
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    res = cleaning.run_cleaning(
+        spark, spark.createDataFrame(A), out, near_dup_tau=TAU
+    )
+    assert {p: os.path.getmtime(p) for p in paths} == mtimes
+    assert _flag_rows(res) == _flag_rows(want)
+
+    # idempotent replay
+    again = cleaning.run_cleaning_retraction(
+        spark,
+        spark.createDataFrame(B),
+        spark.createDataFrame(A),
+        out,
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(again) == _flag_rows(want)
