@@ -524,3 +524,49 @@ def test_cleaning_retraction_equals_batch_on_remaining(spark, tmp_path):
         near_dup_tau=TAU,
     )
     assert _flag_rows(again) == _flag_rows(want)
+
+
+def test_mixed_absorb_retract_absorb_composes(spark, tmp_path):
+    """Cleaning state machine: clean(A), absorb(B), retract(part of
+    A∪B), absorb(C) ≡ batch over the survivors — flags exactly.
+    doc_ids stay arrival-ordered for the absorbs (the retraction
+    removes ids from anywhere)."""
+    docs = _mk_docs()  # ids 0..36
+    A = docs[docs.doc_id < 30]
+    B = docs[docs.doc_id >= 30]
+    # drop the old near-dup keeper AND a benchmark-adjacent doc
+    drop_ids = {2, 31, 34}
+    drop = docs[docs.doc_id.isin(drop_ids)]
+    C = pd.DataFrame(
+        {
+            "doc_id": [50, 51],
+            "text": [
+                " ".join(f"c50_{k}" for k in range(40)),
+                _version(4, "a"),  # another chain step near V2/V3
+            ],
+        }
+    )
+    out = str(tmp_path / "mixed")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(A), out, near_dup_tau=TAU
+    )
+    cleaning.run_cleaning_incremental(
+        spark, spark.createDataFrame(B), spark.createDataFrame(A), out,
+        near_dup_tau=TAU,
+    )
+    after_ab = docs[~docs.doc_id.isin(drop_ids)]
+    cleaning.run_cleaning_retraction(
+        spark, spark.createDataFrame(drop), spark.createDataFrame(after_ab),
+        out, near_dup_tau=TAU,
+    )
+    res = cleaning.run_cleaning_incremental(
+        spark, spark.createDataFrame(C), spark.createDataFrame(after_ab),
+        out, near_dup_tau=TAU,
+    )
+    survivors = pd.concat([after_ab, C])
+    want = cleaning.run_cleaning(
+        spark, spark.createDataFrame(survivors), str(tmp_path / "batch"),
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(res) == _flag_rows(want)
+    assert res.stats == want.stats

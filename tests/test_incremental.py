@@ -360,3 +360,42 @@ def test_retraction_equals_recompute_on_remaining(spark, corpus, tmp_path):
         out_dir=out,
     )
     assert _rows(again.triples_canon, cols) == _rows(want.triples_canon, cols)
+
+
+def test_mixed_append_retract_append_composes(spark, corpus, tmp_path):
+    """State-machine torture: run(A), absorb(B), retract(half of A),
+    absorb(C) must equal a from-scratch run over the surviving set —
+    the additive fingerprint algebra and the affected-set merges have
+    to compose across mixed operations."""
+    docs = corpus.documents
+    A, B, C = docs.iloc[:100], docs.iloc[100:150], docs.iloc[150:]
+    drop = A.iloc[:40]
+    out = str(tmp_path / "mixed")
+    ali = spark.createDataFrame(corpus.aliases)
+    pipeline.run(
+        spark, spark.createDataFrame(A), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    incremental.run_incremental(
+        spark, spark.createDataFrame(B), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    incremental.run_retraction(
+        spark, spark.createDataFrame(drop), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    res = incremental.run_incremental(
+        spark, spark.createDataFrame(C), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    import pandas as pd
+
+    surviving = pd.concat([A.iloc[40:], B, C])
+    want = pipeline.run(
+        spark, spark.createDataFrame(surviving), ali, corpus.vocab,
+        corpus.emb,
+    )
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(res.triples_canon, cols) == _rows(want.triples_canon, cols)
+    acols = ["entity_id", "type_id", "score"]
+    assert _rows(res.assertions, acols) == _rows(want.assertions, acols)
