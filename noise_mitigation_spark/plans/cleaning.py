@@ -803,9 +803,20 @@ def run_cleaning_retraction(
       unflagged doc can never become contaminated by a removal);
     - repetition is row-local — surviving rows keep their flags.
 
+    A keeper PROMOTION re-enters the near-dup graph: an exact-dup
+    copy promoted by its keeper's removal was never banded (near-dup
+    runs over exact survivors), so its band keys are computed fresh,
+    candidates generated against the stored buckets with the same
+    hybrid rule, Jaccard-verified, and its component re-solved —
+    exactly what batch(remaining) does with the promoted survivor.
+
     Additive fingerprints SUBTRACT, so a full resubmit over the
-    remaining corpus RESUMES. Idempotent: all rewrites are anti-joins
-    and all materializes fingerprint-keyed.
+    remaining corpus RESUMES. Crash-replay convergence is
+    STATE-DERIVED: whether the fingerprint already reflects the
+    removal is decided by probing doc_hashes for removed ids (a
+    ledger could lag the rewrite); rewrites are anti-joins,
+    materializes fingerprint-keyed, and the doc_hashes rewrite
+    carries the absorption delta ledger through.
 
     Caveat (the mirror of absorption's documented one): near-dup
     equality holds over the STORED verified pairs — if a removal
@@ -813,6 +824,9 @@ def run_cleaning_retraction(
     from-scratch run over the remainder could verify borderline
     pairs the hybrid star generator never emitted, so retraction can
     keep components MERGED less than that run would, never more."""
+    import json as _json
+    import os as _os
+
     params = (
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
         f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
@@ -823,31 +837,39 @@ def run_cleaning_retraction(
     old_docs_fp = _stage_fp(out_dir, "doc_hashes")
     n_cur, h_cur = (int(x) for x in old_docs_fp.split(":"))
     n_r, h_r = (int(x) for x in r_fp.split(":"))
+    rem_ids = removed_docs.select("doc_id")
 
-    import json as _json
-    import os as _os
-
-    with open(_os.path.join(out_dir, "doc_hashes", "_manifest.json")) as f:
-        already = any(
-            d.get("delta_id") == r_fp and d.get("retraction")
-            for d in _json.load(f).get("deltas", [])
-        )
-    fp_docs = (
-        old_docs_fp  # already subtracted by the completed retraction
-        if already
-        else f"{n_cur - n_r}:{h_cur - h_r}"
+    # data probe, not a ledger: does doc_hashes still hold removed ids?
+    still_present = (
+        _read_stage(spark, out_dir, "doc_hashes")
+        .join(rem_ids, "doc_id", "semi")
+        .limit(1)
+        .count()
+        > 0
     )
+    if still_present:
+        fp_docs = f"{n_cur - n_r}:{h_cur - h_r}"
+        pre_fp = old_docs_fp
+    else:
+        fp_docs = old_docs_fp  # rewrite already happened (replay)
+        pre_fp = f"{n_cur + n_r}:{h_cur + h_r}"
     old_flags_fp = _stage_fp(out_dir, "doc_flags")
     if old_flags_fp not in (
-        f"{old_docs_fp}:{params}",
+        f"{pre_fp}:{params}",
         f"{fp_docs}:{params}",
     ):
         raise ValueError(
             "cleaning parameters differ from the materialized run — "
             "retraction is undefined; re-run the full plan"
         )
-
-    rem_ids = removed_docs.select("doc_id")
+    n_expected = int(fp_docs.split(":")[0])
+    n_remaining = remaining_docs.count()
+    if n_remaining != n_expected:
+        raise ValueError(
+            f"remaining_docs ({n_remaining} rows) does not match the "
+            f"post-retraction state ({n_expected} rows) — benchmark "
+            "recompute and contamination re-checks would be wrong"
+        )
 
     # --- narrow state rewrites (anti-joins: idempotent) ---------------
     hashes_new = _pin(
@@ -864,14 +886,74 @@ def run_cleaning_retraction(
 
     # --- exact dedup: global recompute from the narrow hash table -----
     keep = hashes_new.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    exact_new = hashes_new.join(keep, "h").select(
-        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("exact_dup")
+    exact_new = _pin(
+        hashes_new.join(keep, "h").select(
+            "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("exact_dup")
+        )
     )
 
-    # --- near-dup: re-solve ONLY components containing a removed node -
+    # --- promoted keepers re-enter the near-dup graph -----------------
+    # a copy promoted by its keeper's removal was never banded (the
+    # near-dup stage runs over exact SURVIVORS); treat the promoted
+    # set exactly like an absorption delta: fresh band keys, hybrid
+    # candidates against the stored buckets, Jaccard verify
+    old_flags_pre = _pin(
+        _read_stage(spark, out_dir, "doc_flags").join(rem_ids, "doc_id", "anti")
+    )
+    promoted_ids = _pin(
+        old_flags_pre.filter(F.col("exact_dup"))
+        .select("doc_id")
+        .join(
+            exact_new.filter(~F.col("exact_dup")).select("doc_id"),
+            "doc_id",
+            "semi",
+        )
+    )
+    promoted_docs = remaining_docs.join(promoted_ids, "doc_id", "left_semi")
+    promoted_band = _pin(band_keys_for(promoted_docs))
+    promo_buckets = promoted_band.select("band", "band_key").distinct()
+    keyed_touched_p = band_new.unionByName(promoted_band).join(
+        promo_buckets, ["band", "band_key"], "left_semi"
+    )
+    pc = _pin(_hybrid_pairs_from_keys(keyed_touched_p, n_hubs=n_hubs))
+    promo_cands = (
+        pc.join(
+            promoted_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
+        )
+        .unionByName(
+            pc.join(
+                promoted_ids.withColumnRenamed("doc_id", "d2"),
+                "d2",
+                "left_semi",
+            )
+        )
+        .distinct()
+    )
+    promo_partner_ids = (
+        promo_cands.select(F.col("d1").alias("doc_id"))
+        .union(promo_cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    promo_docs_v = remaining_docs.join(
+        promo_partner_ids, "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    promo_pairs = _pin(near_dup_pairs_df(promo_docs_v, promo_cands, near_dup_tau))
+    band_new = _pin(band_new.unionByName(promoted_band))
+    pairs_new = _pin(pairs_new.unionByName(promo_pairs).distinct())
+
+    # --- near-dup: re-solve components touched by a removed node OR a
+    # promoted keeper's new edges ---------------------------------------
     hist_comp = _pin(_read_stage(spark, out_dir, "components"))
+    touch_nodes = (
+        rem_ids.withColumnRenamed("doc_id", "node")
+        .unionByName(
+            promo_pairs.select(F.col("d1").alias("node"))
+            .unionByName(promo_pairs.select(F.col("d2").alias("node")))
+        )
+        .distinct()
+    )
     touched = (
-        hist_comp.join(rem_ids.withColumnRenamed("doc_id", "node"), "node", "semi")
+        hist_comp.join(touch_nodes, "node", "semi")
         .select("component")
         .distinct()
     )
@@ -880,15 +962,24 @@ def run_cleaning_retraction(
         hist_comp.join(touched, "component", "left_semi")
         .select("node")
         .join(rem_ids.withColumnRenamed("doc_id", "node"), "node", "anti")
+        .unionByName(promoted_ids.withColumnRenamed("doc_id", "node"))
+        .distinct()
     )
     sub_nodes = _pin(sub_nodes)
-    sub_edges = pairs_new.join(
-        sub_nodes.withColumnRenamed("node", "d1"), "d1", "left_semi"
-    ).select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    sub_edges = (
+        pairs_new.join(
+            sub_nodes.withColumnRenamed("node", "d1"), "d1", "left_semi"
+        )
+        .join(sub_nodes.withColumnRenamed("node", "d2"), "d2", "left_semi")
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    )
     comp_sub = connected_components(sub_nodes, sub_edges)
     comp_new = (
         hist_comp.join(touched, "component", "left_anti")
         .join(rem_ids.withColumnRenamed("doc_id", "node"), "node", "anti")
+        .join(
+            promoted_ids.withColumnRenamed("doc_id", "node"), "node", "anti"
+        )
         .unionByName(comp_sub)
     )
 
@@ -900,9 +991,7 @@ def run_cleaning_retraction(
         .select("g")
         .distinct()
     )
-    old_flags = _pin(
-        _read_stage(spark, out_dir, "doc_flags").join(rem_ids, "doc_id", "anti")
-    )
+    old_flags = old_flags_pre
     flagged_ids = old_flags.filter(F.col("contaminated")).select("doc_id")
     recheck_docs = remaining_docs.join(flagged_ids, "doc_id", "left_semi")
     still = contaminated_against(
@@ -943,13 +1032,16 @@ def run_cleaning_retraction(
     )
 
     # --- advance the materialized state -------------------------------
-    import json as _json
-    import os as _os
-
-    lineage.materialize(spark, hashes_new, out_dir, "doc_hashes", fp_docs)
-    if not already:
-        mp = _os.path.join(out_dir, "doc_hashes", "_manifest.json")
-        manifest = _json.load(open(mp))
+    lineage.materialize(
+        spark, hashes_new, out_dir, "doc_hashes", fp_docs, carry_deltas=True
+    )
+    mp = _os.path.join(out_dir, "doc_hashes", "_manifest.json")
+    with open(mp) as f:
+        manifest = _json.load(f)
+    if not any(
+        d.get("delta_id") == r_fp and d.get("retraction")
+        for d in manifest.get("deltas", [])
+    ):
         manifest.setdefault("deltas", []).append(
             {"delta_id": r_fp, "rows": -int(n_r), "retraction": True}
         )

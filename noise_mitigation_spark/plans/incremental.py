@@ -429,10 +429,18 @@ def run_retraction(
     aggregation emits nothing for empty groups); pair bags touching
     an affected entity recompute from the remaining parse (a pair
     instance lost with a document always touches two affected
-    entities, so the merge covers every change). Idempotent: every
-    rewrite is an anti-join (a second pass is the identity) and
-    every materialize is fingerprint-keyed, so a crash-replay at any
-    point converges."""
+    entities, so the merge covers every change).
+
+    Crash-replay convergence rests on three STATE-INDEPENDENT facts:
+    the affected set derives from re-PARSING the removed documents
+    (not from the mutable stage, which a completed rewrite has
+    already emptied of them); whether the fingerprint already
+    reflects the removal is decided by probing the stage DATA for
+    removed keys (not a ledger entry that may lag the rewrite); and
+    every rewrite is an anti-join with a fingerprint-keyed
+    materialize. The parsed/scored rewrites carry the absorption
+    delta ledgers through (materialize carry_deltas) so streamed
+    increments stay absorbed-once."""
     import hashlib
 
     sc = spark.sparkContext
@@ -452,27 +460,39 @@ def run_retraction(
     _pin_mark = lineage.pin_mark()
     removed_fp = lineage.fingerprint_documents(removed_documents)
     removal_id = delta_identity(removed_documents)
+    keys = removed_documents.select("repo", "path", "commit").distinct()
 
-    already = any(
-        d.get("delta_id") == removal_id and d.get("retraction")
-        for d in _read_manifest(out_dir, "parsed").get("deltas", [])
+    # Is the removal already reflected in the parsed stage? Probe the
+    # DATA, not a ledger: a crash between the rewrite and any marker
+    # write cannot desynchronize a data probe.
+    parsed_cur = spark.read.parquet(os.path.join(out_dir, "parsed", "data"))
+    still_present = (
+        parsed_cur.join(keys, ["repo", "path", "commit"], "semi").limit(1).count()
+        > 0
     )
     fp_parsed = (
-        old_fp_parsed
-        if already
-        else _subtract_doc_fp(old_fp_parsed, removed_fp)
+        _subtract_doc_fp(old_fp_parsed, removed_fp)
+        if still_present
+        else old_fp_parsed
     )
     fp_scored = f"{fp_parsed}|enc:{encoder}"
     fp_att = f"{fp_scored}|salt:{n_salt}"
     fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}|pad:{pad_mode}"
+    for stage, fp in (("scored", fp_scored), ("ent_att", fp_att)):
+        old_suffix = _read_manifest(out_dir, stage)[
+            "input_fingerprint"
+        ].partition("|")[2]
+        if old_suffix != fp.partition("|")[2]:
+            raise ValueError(
+                f"stage '{stage}' was materialized with different "
+                f"parameters ({old_suffix!r}); retraction is undefined"
+            )
 
-    keys = removed_documents.select("repo", "path", "commit").distinct()
-
-    # affected = entities losing a mention — read BEFORE the rewrite
-    parsed_cur = spark.read.parquet(os.path.join(out_dir, "parsed", "data"))
+    # affected = entities losing a mention, derived by RE-PARSING the
+    # removed documents (deterministic; independent of rewrite state)
+    parsed_removed = _pin(mentions.parse_documents(removed_documents, vocab_b))
     affected = _pin(
-        parsed_cur.filter(F.col("kind") == "mention")
-        .join(keys, ["repo", "path", "commit"], "semi")
+        parsed_removed.filter(F.col("kind") == "mention")
         .select("entity_id")
         .distinct()
     )
@@ -481,20 +501,23 @@ def run_retraction(
     # the anti-join of an already-filtered stage is the identity)
     parsed_keep = _pin(parsed_cur.join(keys, ["repo", "path", "commit"], "anti"))
     parsed_full = lineage.materialize(
-        spark, parsed_keep, out_dir, "parsed", fp_parsed
+        spark, parsed_keep, out_dir, "parsed", fp_parsed, carry_deltas=True
     )
     scored_cur = spark.read.parquet(os.path.join(out_dir, "scored", "data"))
     scored_keep = _pin(scored_cur.join(keys, ["repo", "path", "commit"], "anti"))
     scored_full = lineage.materialize(
-        spark, scored_keep, out_dir, "scored", fp_scored
+        spark, scored_keep, out_dir, "scored", fp_scored, carry_deltas=True
     )
 
-    # record the retraction in the parsed/scored ledgers (audit +
-    # fingerprint idempotence marker)
-    if not already:
-        n_removed = removed_documents.count()
-        for stage in ("parsed", "scored"):
-            manifest = _read_manifest(out_dir, stage)
+    # audit record (idempotent on presence — NOT the convergence
+    # mechanism; the data probe above is)
+    n_removed = removed_documents.count()
+    for stage in ("parsed", "scored"):
+        manifest = _read_manifest(out_dir, stage)
+        if not any(
+            d.get("delta_id") == removal_id and d.get("retraction")
+            for d in manifest.get("deltas", [])
+        ):
             manifest.setdefault("deltas", []).append(
                 {
                     "delta_id": removal_id,

@@ -56,16 +56,29 @@ def materialize(
     stage: str,
     input_fingerprint: str,
     partition_by: list[str] | None = None,
+    carry_deltas: bool = False,
 ) -> DataFrame:
-    """Write stage output + manifest, or read back if already done."""
+    """Write stage output + manifest, or read back if already done.
+
+    ``carry_deltas=True`` preserves the existing manifest's ``deltas``
+    ledger through the rewrite — REQUIRED when the rewrite is a
+    maintenance operation over the SAME logical state (retraction):
+    wiping the ledger would make already-absorbed increments look
+    unabsorbed, and a crash-replayed stream batch would then
+    double-append. A full rerun over a DIFFERENT corpus keeps the
+    default (wipe): its stale increment ids must not claim
+    absorption."""
     stage_dir = os.path.join(out_dir, stage)
     data_dir = os.path.join(stage_dir, "data")
     manifest_path = os.path.join(stage_dir, "_manifest.json")
+    prior_deltas = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
         if manifest.get("input_fingerprint") == input_fingerprint:
             return spark.read.parquet(data_dir)
+        if carry_deltas:
+            prior_deltas = manifest.get("deltas")
     t0 = time.time()
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -80,6 +93,8 @@ def materialize(
         "wall_sec": round(time.time() - t0, 3),
         "partitions": parts,
     }
+    if prior_deltas:
+        manifest["deltas"] = prior_deltas
     os.makedirs(stage_dir, exist_ok=True)
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -570,3 +570,94 @@ def test_mixed_absorb_retract_absorb_composes(spark, tmp_path):
     )
     assert _flag_rows(res) == _flag_rows(want)
     assert res.stats == want.stats
+
+
+def test_retraction_promotes_keeper_into_near_dup_graph(spark, tmp_path):
+    """Review-found hole: an exact-dup copy promoted by its keeper's
+    removal was never banded. After retracting the keeper, the
+    promoted copy must re-enter the near-dup graph and link to its
+    near-dup partners exactly as batch(remaining) would."""
+    v1 = _version(0, "a")
+    rows = {
+        1: v1,                      # keeper of the exact group {1, 8}
+        3: v1 + " tail3",           # near-dup of v1 (cluster {1, 3})
+        8: v1,                      # exact dup of 1 — NOT banded
+    }
+    for i in (2, 4, 5, 6, 7):
+        rows[i] = " ".join(f"s{i}_{k}" for k in range(40))
+    docs = pd.DataFrame(
+        {"doc_id": sorted(rows), "text": [rows[k] for k in sorted(rows)]}
+    )
+    out = str(tmp_path / "promote")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), out, near_dup_tau=TAU
+    )
+    remaining = docs[docs.doc_id != 1]
+    ret = cleaning.run_cleaning_retraction(
+        spark,
+        spark.createDataFrame(docs[docs.doc_id == 1]),
+        spark.createDataFrame(remaining),
+        out,
+        near_dup_tau=TAU,
+    )
+    want = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(remaining),
+        str(tmp_path / "batchP"),
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(ret) == _flag_rows(want)
+    f = {r[0]: r for r in _flag_rows(ret)}
+    assert not f[3][1] and not f[8][1], "both promoted out of exact-dup"
+    # the promoted doc 3/8 pair must have been verified: component min
+    # keeps, the other drops as near_dup
+    assert f[8][2] and not f[3][2], (
+        "promoted doc 8 must link to near-dup 3 (keeper = min id 3)"
+    )
+
+
+def test_retraction_partial_crash_replay_converges(spark, tmp_path):
+    """Crash after the doc_hashes rewrite (fingerprint subtracted,
+    nothing else done): the replay must detect the state by probing
+    the DATA — not wedge on the parameter guard, not double-subtract
+    — and converge to batch(remaining)."""
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    B = docs[docs.doc_id >= 30]
+    out = str(tmp_path / "crashret")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), out, near_dup_tau=TAU
+    )
+    # simulate: the crashed retraction rewrote ONLY doc_hashes
+    from noise_mitigation_spark.plans import lineage as _lin
+
+    rem = spark.createDataFrame(B)
+    rem_hashes = rem.select("doc_id", F.md5("text").alias("h"))
+    r_fp = _lin.fingerprint_df(rem_hashes)
+    old = json.load(
+        open(os.path.join(out, "doc_hashes", "_manifest.json"))
+    )["input_fingerprint"]
+    n0, h0 = (int(x) for x in old.split(":"))
+    n1, h1 = (int(x) for x in r_fp.split(":"))
+    sub_fp = f"{n0 - n1}:{h0 - h1}"
+    kept_hashes = (
+        spark.read.parquet(os.path.join(out, "doc_hashes", "data"))
+        .join(rem.select("doc_id"), "doc_id", "anti")
+        .localCheckpoint(eager=True)
+    )
+    _lin.materialize(spark, kept_hashes, out, "doc_hashes", sub_fp)
+    # replay the whole retraction
+    ret = cleaning.run_cleaning_retraction(
+        spark,
+        rem,
+        spark.createDataFrame(A),
+        out,
+        near_dup_tau=TAU,
+    )
+    want = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(A),
+        str(tmp_path / "batchR"),
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(ret) == _flag_rows(want)

@@ -399,3 +399,93 @@ def test_mixed_append_retract_append_composes(spark, corpus, tmp_path):
     assert _rows(res.triples_canon, cols) == _rows(want.triples_canon, cols)
     acols = ["entity_id", "type_id", "score"]
     assert _rows(res.assertions, acols) == _rows(want.assertions, acols)
+
+
+def test_retraction_partial_crash_replay_converges(spark, corpus, tmp_path):
+    """Crash after the parsed rewrite (fingerprint subtracted, scored
+    /bags untouched): the replay must derive the affected set from
+    re-parsing the REMOVED docs (the stage no longer contains them)
+    and converge to the from-scratch run on the remainder."""
+    from noise_mitigation_spark.plans import lineage as _lin
+
+    docs = corpus.documents
+    A, B = docs.iloc[:150], docs.iloc[150:]
+    out = str(tmp_path / "crashret")
+    pipeline.run(
+        spark,
+        spark.createDataFrame(docs),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    rem = spark.createDataFrame(B)
+    removed_fp = _lin.fingerprint_documents(rem)
+    old = json.load(
+        open(os.path.join(out, "parsed", "_manifest.json"))
+    )["input_fingerprint"]
+    sub_fp = incremental._subtract_doc_fp(old, removed_fp)
+    keys = rem.select("repo", "path", "commit").distinct()
+    kept = (
+        spark.read.parquet(os.path.join(out, "parsed", "data"))
+        .join(keys, ["repo", "path", "commit"], "anti")
+        .localCheckpoint(eager=True)
+    )
+    _lin.materialize(spark, kept, out, "parsed", sub_fp, carry_deltas=True)
+    # replay the whole retraction
+    ret = incremental.run_retraction(
+        spark,
+        rem,
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out,
+    )
+    want = pipeline.run(
+        spark,
+        spark.createDataFrame(A),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+    )
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(ret.triples_canon, cols) == _rows(want.triples_canon, cols)
+    acols = ["entity_id", "type_id", "score"]
+    assert _rows(ret.assertions, acols) == _rows(want.assertions, acols)
+
+
+def test_retraction_preserves_absorption_ledger(spark, corpus, tmp_path):
+    """Review-found hole: the retraction rewrite must CARRY the
+    absorption delta ledger — otherwise a crash-replayed stream batch
+    absorbed earlier would double-append after any retraction."""
+    docs = corpus.documents
+    A, B = docs.iloc[:100], docs.iloc[100:150]
+    out = str(tmp_path / "ledger")
+    ali = spark.createDataFrame(corpus.aliases)
+    pipeline.run(
+        spark, spark.createDataFrame(A), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    incremental.run_incremental(
+        spark, spark.createDataFrame(B), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    b_id = incremental.delta_identity(spark.createDataFrame(B))
+    incremental.run_retraction(
+        spark, spark.createDataFrame(A.iloc[:30]), ali, corpus.vocab,
+        corpus.emb, out_dir=out,
+    )
+    for stage in ("parsed", "scored"):
+        assert incremental.delta_already_absorbed(out, stage, b_id), stage
+    # and the crash-replay of batch B is a resume no-op, not a re-append
+    rows0 = json.load(
+        open(os.path.join(out, "parsed", "_manifest.json"))
+    )["rows"]
+    incremental.run_incremental(
+        spark, spark.createDataFrame(B), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    rows1 = json.load(
+        open(os.path.join(out, "parsed", "_manifest.json"))
+    )["rows"]
+    assert rows1 == rows0
