@@ -405,6 +405,71 @@ def _read_history(spark: SparkSession, history_path: str) -> DataFrame:
     )
 
 
+def streaming_kg_retraction(
+    spark: SparkSession,
+    removals_stream: DataFrame,
+    aliases: DataFrame,
+    vocab: dict,
+    emb,
+    out_dir: str,
+    **pipeline_params,
+):
+    """CONTINUOUS right-to-erasure: a stream of document TOMBSTONES
+    (full absorbed rows — provenance + content, the subtraction needs
+    the true hashes) is applied to the materialized KG at delta cost
+    via plans/incremental.run_retraction — each batch leaves the
+    stage tables bit-equal to a from-scratch run over the surviving
+    corpus.
+
+    Exactly-once composition: run_retraction's crash convergence is
+    STATE-DERIVED (it probes the stage data for the removed keys and
+    re-parses the tombstones for the affected set), so a replayed
+    batch converges regardless of where the previous attempt died;
+    the batch-id ledger here only short-circuits the replay. The
+    retraction rewrites carry the absorption delta ledgers through,
+    so interleaving with streaming_kg_maintenance on the same out_dir
+    keeps absorbed batches absorbed-once."""
+    import json as _json
+    import os as _os
+
+    from ..plans import incremental as _inc
+    from ..plans import lineage as _lineage
+
+    ledger_path = _os.path.join(out_dir, "_stream_retracted.json")
+
+    def _applied() -> dict:
+        if _os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                return _json.load(f)
+        return {}
+
+    def _retract(batch_df: DataFrame, batch_id: int) -> None:
+        ledger = _applied()
+        if str(batch_id) in ledger:
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n = batch_df.count()
+        if n == 0:
+            return
+        _inc.run_retraction(
+            spark, batch_df, aliases, vocab, emb, out_dir,
+            **pipeline_params,
+        )
+        ledger[str(batch_id)] = {"rows": n}
+        with open(ledger_path, "w") as f:
+            _json.dump(ledger, f, indent=1)
+        _lineage.cleanup_pins()
+
+    return (
+        removals_stream.writeStream.foreachBatch(_retract)
+        .option(
+            "checkpointLocation",
+            _os.path.join(out_dir, "_stream_retract_checkpoint"),
+        )
+        .start()
+    )
+
+
 def streaming_cleaning_maintenance(
     spark: SparkSession,
     docs_stream: DataFrame,

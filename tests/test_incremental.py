@@ -489,3 +489,52 @@ def test_retraction_preserves_absorption_ledger(spark, corpus, tmp_path):
         open(os.path.join(out, "parsed", "_manifest.json"))
     )["rows"]
     assert rows1 == rows0
+
+
+def test_streaming_kg_retraction(spark, corpus, tmp_path):
+    """Tombstones arriving as a file stream erase documents
+    continuously: after draining, the materialized triples equal a
+    from-scratch run over the survivors."""
+    from noise_mitigation_spark.streaming import ingest
+
+    docs = corpus.documents
+    out_dir = str(tmp_path / "kg")
+    pipeline.run(
+        spark,
+        spark.createDataFrame(docs),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir=out_dir,
+    )
+    # two tombstone batches: drop docs 0-39 then 150-199
+    src = tmp_path / "tombstones"
+    src.mkdir()
+    docs.iloc[:40].to_parquet(src / "part-0.parquet", index=False)
+    docs.iloc[150:].to_parquet(src / "part-1.parquet", index=False)
+    q = ingest.streaming_kg_retraction(
+        spark,
+        ingest.stream_documents(spark, str(src)),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+        out_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    import pandas as pd
+
+    survivors = docs.iloc[40:150]
+    want = pipeline.run(
+        spark,
+        spark.createDataFrame(survivors),
+        spark.createDataFrame(corpus.aliases),
+        corpus.vocab,
+        corpus.emb,
+    )
+    got = spark.read.parquet(os.path.join(out_dir, "triples_canon", "data"))
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(got, cols) == _rows(want.triples_canon, cols)
+    ledger = json.load(open(os.path.join(out_dir, "_stream_retracted.json")))
+    assert sum(v["rows"] for v in ledger.values()) == 90
