@@ -73,12 +73,30 @@ def _swap_pointer(table_path: str, version_dir: str) -> None:
     os.replace(tmp, table_path)  # rename(2): atomic over files/symlinks
 
 
+def list_snapshots(table_path: str) -> list[str]:
+    """Version directories of a table, oldest → newest (the names
+    embed the publish nanosecond, so sort order IS publish order)."""
+    return _versions_of(table_path)
+
+
+def read_snapshot(spark: SparkSession, table_path: str, version: int = -1):
+    """Time travel: read a retained snapshot by index (-1 = current,
+    -2 = previous, ... or a 0-based absolute index). The parquet
+    emulation of Iceberg's ``VERSION AS OF`` — requires the publisher
+    to have retained versions (``keep_versions > 1``)."""
+    versions = _versions_of(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots for {table_path}")
+    return spark.read.parquet(versions[version])
+
+
 def write_audit_publish(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None = None,
     expect_min_rows: int = 0,
     expectations=None,
+    keep_versions: int = 1,
 ) -> dict:
     """Write df → staging, audit, publish via versioned-directory +
     atomic pointer swap (the parquet emulation of an Iceberg snapshot
@@ -93,6 +111,12 @@ def write_audit_publish(
 
     expectations: optional callable(DataFrame) -> bool run on the
     STAGED data (reads back the files actually written, not the plan).
+
+    ``keep_versions``: how many published snapshots to RETAIN
+    (default 1 = current only). With N > 1, the N-1 most recent prior
+    versions survive the publish and ``read_snapshot`` time-travels
+    to them — the parquet emulation of Iceberg snapshot retention
+    (``expire_snapshots`` ≡ republishing with a smaller N).
     Returns the audit record.
     """
     recover_table(table_path)  # heal a crashed previous publish first
@@ -132,7 +156,11 @@ def write_audit_publish(
         os.rename(table_path, legacy)
         prior_versions.append(legacy)
     _swap_pointer(table_path, version)
-    for old in prior_versions:  # keep only the published version
+    # retention: keep the newest (keep_versions - 1) prior snapshots
+    # beside the published one; expire the rest
+    n_retain = max(0, keep_versions - 1)
+    expire = prior_versions[: len(prior_versions) - n_retain] if n_retain else prior_versions
+    for old in expire:
         shutil.rmtree(old, ignore_errors=True)
     return {"table": table_path, "rows": n, "wall_sec": round(time.time() - t0, 3)}
 

@@ -170,3 +170,37 @@ def test_recover_prefers_newest_version(spark, tmp_path):
     assert os.path.realpath(path) == os.path.abspath(v2)
     assert spark.read.parquet(path).count() == 2
     assert os.path.isdir(v1)  # recovery never deletes data
+
+
+def test_snapshot_retention_and_time_travel(spark, tmp_path):
+    """keep_versions retains prior snapshots; read_snapshot
+    time-travels to them; shrinking keep_versions expires the tail;
+    recover_table still heals a lost pointer to the newest."""
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "subj string, pred string, obj string, conf double"
+    )
+    path = str(tmp_path / "t")
+    for i, subj in enumerate(["a", "b", "c"]):
+        catalog.write_audit_publish(
+            mk([(subj, "r", "x", 0.9)]), path, expect_min_rows=1,
+            keep_versions=3,
+        )
+    snaps = catalog.list_snapshots(path)
+    assert len(snaps) == 3
+    # current pointer = newest snapshot
+    assert spark.read.parquet(path).collect()[0]["subj"] == "c"
+    assert catalog.read_snapshot(spark, path).collect()[0]["subj"] == "c"
+    assert catalog.read_snapshot(spark, path, -2).collect()[0]["subj"] == "b"
+    assert catalog.read_snapshot(spark, path, 0).collect()[0]["subj"] == "a"
+
+    # expire: republish with keep_versions=1 keeps only the new one
+    catalog.write_audit_publish(
+        mk([("d", "r", "x", 0.9)]), path, expect_min_rows=1, keep_versions=1
+    )
+    assert len(catalog.list_snapshots(path)) == 1
+    assert spark.read.parquet(path).collect()[0]["subj"] == "d"
+
+    # pointer-loss recovery still lands on the newest
+    os.unlink(path)
+    assert catalog.recover_table(path) is True
+    assert spark.read.parquet(path).collect()[0]["subj"] == "d"
