@@ -155,3 +155,77 @@ def cleanup_pins() -> None:
     """Pop-all sweep — OUTERMOST owners only (streaming sinks, job
     mains). Library plans use pin_mark/release_pins."""
     release_pins(0)
+
+
+def stage_file_count(out_dir: str, stage: str) -> int:
+    """Parquet part files currently backing a stage."""
+    data_dir = os.path.join(out_dir, stage, "data")
+    return sum(
+        1
+        for root, _, files in os.walk(data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def compact_stage(
+    spark: SparkSession,
+    out_dir: str,
+    stage: str,
+    target_files: int = 32,
+    min_files: int = 128,
+) -> dict:
+    """Small-file maintenance for append-heavy stages: every absorbed
+    increment adds its own part files to a stage's data dir, and after
+    thousands of micro-batches the file count — not the byte count —
+    dominates scan planning. Compaction rewrites the data into
+    ``target_files`` files when the count exceeds ``min_files``,
+    CONTENT- and LINEAGE-preserving: same rows, same manifest
+    fingerprint (the input did not change — the physical layout did),
+    absorption/retraction delta ledgers untouched, so resume and
+    future increments behave identically.
+
+    The rewrite goes through a temp spill + atomic-ish swap (write
+    aside, then replace the data dir) — a crash leaves either the old
+    layout or the new one, both valid. On an Iceberg/Delta catalog
+    this is ``rewrite_data_files`` and runs without the swap."""
+    import shutil
+    import tempfile
+
+    data_dir = os.path.join(out_dir, stage, "data")
+    n_files = stage_file_count(out_dir, stage)
+    if n_files <= min_files:
+        return {"stage": stage, "files": n_files, "compacted": False}
+    t0 = time.time()
+    df = spark.read.parquet(data_dir)
+    tmp = tempfile.mkdtemp(prefix=f"nm_compact_{stage}_")
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    # verify the rewrite before swapping (cheap: row count)
+    n_rows = spark.read.parquet(tmp).count()
+    manifest = None
+    mp = os.path.join(out_dir, stage, "_manifest.json")
+    with open(mp) as f:
+        manifest = json.load(f)
+    if int(manifest["rows"]) != n_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch for {stage}: manifest "
+            f"{manifest['rows']} vs rewritten {n_rows}"
+        )
+    old = data_dir + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(data_dir, old)
+    try:
+        os.rename(tmp, data_dir)
+    except OSError:  # cross-device: copy instead
+        shutil.copytree(tmp, data_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "stage": stage,
+        "files": n_files,
+        "files_after": stage_file_count(out_dir, stage),
+        "rows": n_rows,
+        "compacted": True,
+        "wall_sec": round(time.time() - t0, 3),
+    }

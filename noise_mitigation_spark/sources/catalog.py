@@ -170,6 +170,7 @@ def materialize_graph(
     entity_types: DataFrame,
     triples: DataFrame,
     root: str,
+    keep_versions: int = 1,
 ) -> dict:
     """Publish the three KG tables, partitioned for their access
     patterns: edges by predicate (query 'all X born-in Y' prunes to
@@ -178,7 +179,8 @@ def materialize_graph(
     os.makedirs(root, exist_ok=True)
     reports = {}
     reports["nodes"] = write_audit_publish(
-        canon, os.path.join(root, "nodes"), expect_min_rows=1
+        canon, os.path.join(root, "nodes"), expect_min_rows=1,
+        keep_versions=keep_versions,
     )
     et = entity_types.withColumn("type_bucket", F.col("type_id") % 16)
     reports["entity_types"] = write_audit_publish(
@@ -186,12 +188,14 @@ def materialize_graph(
         os.path.join(root, "entity_types"),
         partition_by=["type_bucket"],
         expect_min_rows=0,
+        keep_versions=keep_versions,
     )
     reports["edges"] = write_audit_publish(
         triples,
         os.path.join(root, "edges"),
         partition_by=["pred"],
         expect_min_rows=0,
+        keep_versions=keep_versions,
         expectations=lambda d: d.filter(
             F.col("subj").isNull() | F.col("obj").isNull()
         ).count()

@@ -79,3 +79,64 @@ def test_partition_metrics_row_conservation(spark, corpus):
     docs = spark.createDataFrame(corpus.documents).repartition(5)
     parts = lineage.partition_metrics(docs)
     assert sum(p["rows"] for p in parts) == len(corpus.documents)
+
+
+def test_compact_stage_preserves_content_and_resume(spark, corpus, tmp_path):
+    """Small-file maintenance: after several absorbed increments, the
+    parsed stage's data dir holds many part files; compaction shrinks
+    them, keeps rows/ledger/fingerprint identical, and a resubmit
+    still resumes."""
+    import json as _json
+
+    from noise_mitigation_spark.plans import incremental, lineage, pipeline
+
+    docs = corpus.documents
+    out = str(tmp_path / "kg")
+    ali = spark.createDataFrame(corpus.aliases)
+    pipeline.run(
+        spark, spark.createDataFrame(docs.iloc[:80]), ali, corpus.vocab,
+        corpus.emb, out_dir=out,
+    )
+    for lo, hi in ((80, 120), (120, 160), (160, 200)):
+        incremental.run_incremental(
+            spark, spark.createDataFrame(docs.iloc[lo:hi]), ali,
+            corpus.vocab, corpus.emb, out_dir=out,
+        )
+    before = lineage.stage_file_count(out, "parsed")
+    rows_before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "parsed", "data"))
+        .select("repo", "path", "commit", "sent_id", "kind")
+        .collect()
+    )
+    man_before = _json.load(
+        open(os.path.join(out, "parsed", "_manifest.json"))
+    )
+    rep = lineage.compact_stage(
+        spark, out, "parsed", target_files=4, min_files=8
+    )
+    assert rep["compacted"] and rep["files_after"] <= 4 < before
+    rows_after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "parsed", "data"))
+        .select("repo", "path", "commit", "sent_id", "kind")
+        .collect()
+    )
+    assert rows_after == rows_before
+    man_after = _json.load(
+        open(os.path.join(out, "parsed", "_manifest.json"))
+    )
+    assert man_after["input_fingerprint"] == man_before["input_fingerprint"]
+    assert man_after.get("deltas") == man_before.get("deltas")
+    # resubmit over the full corpus still resumes on the compacted stage
+    mt = os.path.getmtime(os.path.join(out, "parsed", "_manifest.json"))
+    pipeline.run(
+        spark, spark.createDataFrame(docs), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    assert os.path.getmtime(os.path.join(out, "parsed", "_manifest.json")) == mt
+    # below the trigger it is a no-op
+    rep2 = lineage.compact_stage(
+        spark, out, "parsed", target_files=4, min_files=128
+    )
+    assert not rep2["compacted"]
