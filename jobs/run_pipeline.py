@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--graph-root", default=None,
                     help="publish nodes/entity_types/edges here (write-audit-publish)")
+    ap.add_argument(
+        "--graph-keep-versions", type=int, default=1,
+        help="retain N published snapshots per graph table for "
+             "time travel (catalog.read_snapshot)",
+    )
     ap.add_argument("--type-theta", type=float, default=0.5)
     ap.add_argument("--rel-theta", type=float, default=0.095)
     ap.add_argument("--n-salt", type=int, default=8)
@@ -91,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         encoder=args.encoder,
         graph_root=args.graph_root,
         pad_mode=args.pad_mode,
+        graph_keep_versions=args.graph_keep_versions,
     )
     if args.append and args.retract:
         ap.error("--append and --retract are mutually exclusive")

@@ -199,6 +199,7 @@ def run_incremental(
     encoder: str = "cnn",
     graph_root: str | None = None,
     pad_mode: str = "window",
+    graph_keep_versions: int = 1,
 ) -> PipelineResult:
     """Absorb a document delta into an existing materialized run.
 
@@ -367,7 +368,10 @@ def run_incremental(
     if graph_root:
         from ..sources import catalog
 
-        catalog.materialize_graph(canon, assertions, triples_canon, graph_root)
+        catalog.materialize_graph(
+            canon, assertions, triples_canon, graph_root,
+            keep_versions=graph_keep_versions,
+        )
 
     # every returned DataFrame is a stage read-back (materialize /
     # append_stage return reads of the written data), so THIS call's
@@ -410,6 +414,7 @@ def run_retraction(
     encoder: str = "cnn",
     graph_root: str | None = None,
     pad_mode: str = "window",
+    graph_keep_versions: int = 1,
 ) -> PipelineResult:
     """Remove documents from a materialized run — the DELETE side of
     incremental maintenance (right-to-erasure / bad-crawl rollback):
@@ -583,7 +588,10 @@ def run_retraction(
     if graph_root:
         from ..sources import catalog
 
-        catalog.materialize_graph(canon, assertions, triples_canon, graph_root)
+        catalog.materialize_graph(
+            canon, assertions, triples_canon, graph_root,
+            keep_versions=graph_keep_versions,
+        )
 
     lineage.release_pins(_pin_mark)
     return PipelineResult(

@@ -53,6 +53,7 @@ def run(
     encoder: str = "cnn",
     graph_root: str | None = None,
     pad_mode: str = "window",
+    graph_keep_versions: int = 1,
 ) -> PipelineResult:
     """Run the full pipeline. If out_dir is given, every stage is
     materialized with a lineage manifest and re-runs resume — each
@@ -161,7 +162,10 @@ def run(
     if graph_root:
         from ..sources import catalog
 
-        catalog.materialize_graph(canon, assertions, triples_canon, graph_root)
+        catalog.materialize_graph(
+            canon, assertions, triples_canon, graph_root,
+            keep_versions=graph_keep_versions,
+        )
 
     return PipelineResult(
         mentions=ment,

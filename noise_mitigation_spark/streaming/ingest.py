@@ -319,6 +319,7 @@ def streaming_kg_maintenance(
     vocab: dict,
     emb,
     out_dir: str,
+    compact_every: int = 50,
     **pipeline_params,
 ):
     """CONTINUOUS KG construction: every microbatch of arriving
@@ -385,6 +386,12 @@ def streaming_kg_maintenance(
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
         _lineage.cleanup_pins()  # drop the batch's temp-parquet snapshots
+        # periodic small-file maintenance: each absorbed batch appends
+        # its own part files to parsed/scored; compact behind a
+        # file-count trigger (content/ledger/fingerprint-preserving)
+        if compact_every and (len(ledger) % compact_every == 0):
+            for stage in ("parsed", "scored"):
+                _lineage.compact_stage(spark, out_dir, stage)
 
     _os.makedirs(out_dir, exist_ok=True)
     return (
