@@ -811,12 +811,12 @@ def run_cleaning_retraction(
     exactly what batch(remaining) does with the promoted survivor.
 
     Additive fingerprints SUBTRACT, so a full resubmit over the
-    remaining corpus RESUMES. Crash-replay convergence is
-    STATE-DERIVED: whether the fingerprint already reflects the
-    removal is decided by probing doc_hashes for removed ids (a
-    ledger could lag the rewrite); rewrites are anti-joins,
-    materializes fingerprint-keyed, and the doc_hashes rewrite
-    carries the absorption delta ledger through.
+    remaining corpus RESUMES. Crash-replay convergence: an INTENT
+    entry (pre/post fingerprint) lands in the doc_hashes ledger
+    BEFORE any rewrite, so a replay resolves the correct target
+    fingerprint wherever the previous attempt died; rewrites are
+    anti-joins, materializes fingerprint-keyed, and the doc_hashes
+    rewrite carries the absorption delta ledger through.
 
     Caveat (the mirror of absorption's documented one): near-dup
     equality holds over the STORED verified pairs — if a removal
@@ -834,25 +834,19 @@ def run_cleaning_retraction(
     _pin_mark = lineage.pin_mark()
     rem_hashes = removed_docs.select("doc_id", F.md5("text").alias("h"))
     r_fp = lineage.fingerprint_df(rem_hashes)
-    old_docs_fp = _stage_fp(out_dir, "doc_hashes")
-    n_cur, h_cur = (int(x) for x in old_docs_fp.split(":"))
     n_r, h_r = (int(x) for x in r_fp.split(":"))
     rem_ids = removed_docs.select("doc_id")
 
-    # data probe, not a ledger: does doc_hashes still hold removed ids?
-    still_present = (
-        _read_stage(spark, out_dir, "doc_hashes")
-        .join(rem_ids, "doc_id", "semi")
-        .limit(1)
-        .count()
-        > 0
+    # INTENT ledger (written before any rewrite; pre/post-scoped so a
+    # retract→re-absorb cycle gets a fresh entry) — the replay reads
+    # the recorded post fingerprint instead of probing mutable state
+    from .incremental import _retraction_intent
+
+    fp_docs = _retraction_intent(
+        out_dir, "doc_hashes", r_fp, r_fp, n_r
     )
-    if still_present:
-        fp_docs = f"{n_cur - n_r}:{h_cur - h_r}"
-        pre_fp = old_docs_fp
-    else:
-        fp_docs = old_docs_fp  # rewrite already happened (replay)
-        pre_fp = f"{n_cur + n_r}:{h_cur + h_r}"
+    n_p, h_p = (int(x) for x in fp_docs.split(":"))
+    pre_fp = f"{n_p + n_r}:{h_p + h_r}"
     old_flags_fp = _stage_fp(out_dir, "doc_flags")
     if old_flags_fp not in (
         f"{pre_fp}:{params}",
@@ -1035,18 +1029,6 @@ def run_cleaning_retraction(
     lineage.materialize(
         spark, hashes_new, out_dir, "doc_hashes", fp_docs, carry_deltas=True
     )
-    mp = _os.path.join(out_dir, "doc_hashes", "_manifest.json")
-    with open(mp) as f:
-        manifest = _json.load(f)
-    if not any(
-        d.get("delta_id") == r_fp and d.get("retraction")
-        for d in manifest.get("deltas", [])
-    ):
-        manifest.setdefault("deltas", []).append(
-            {"delta_id": r_fp, "rows": -int(n_r), "retraction": True}
-        )
-        with open(mp, "w") as f:
-            _json.dump(manifest, f, indent=1)
     lineage.materialize(spark, band_new, out_dir, "band_keys", fp_docs)
     lineage.materialize(
         spark, pairs_new, out_dir, "near_pairs",

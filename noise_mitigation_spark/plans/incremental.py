@@ -70,10 +70,13 @@ def _combine_doc_fp(old_fp: str, delta_fp: str) -> str:
 def delta_already_absorbed(out_dir: str, stage: str, delta_id: str) -> bool:
     """True iff an increment with this identity fingerprint was fully
     absorbed into the stage (its manifest entry is written AFTER the
-    data, so presence implies completion)."""
+    data, so presence implies completion). RETRACTION entries do not
+    count — re-absorbing previously retracted documents is a fresh
+    append, not a resume."""
     manifest = _read_manifest(out_dir, stage)
     return any(
-        d.get("delta_id") == delta_id for d in manifest.get("deltas", [])
+        d.get("delta_id") == delta_id and not d.get("retraction")
+        for d in manifest.get("deltas", [])
     )
 
 
@@ -390,6 +393,45 @@ def run_incremental(
     )
 
 
+def _retraction_intent(
+    out_dir: str, stage: str, removal_id: str, removed_fp: str, n_removed: int
+) -> str:
+    """INTENT log for a retraction: written into the stage's delta
+    ledger BEFORE any rewrite, recording the pre/post fingerprints.
+    A replay reads the recorded post fingerprint instead of guessing
+    from mutable state — sound even when a crash lands between the
+    data rewrite and the manifest write, and for removed documents
+    that never produced a stage row (where a data probe is blind).
+    An entry is only honored while the stage fingerprint still sits
+    inside ITS window (pre or post) — after a retract→re-absorb cycle
+    moves history past it, a fresh intent with fresh pre/post is
+    appended (the additive algebra makes pre/post matching exact).
+    Returns the post-retraction fingerprint for the stage."""
+    manifest = _read_manifest(out_dir, stage)
+    cur = manifest["input_fingerprint"]
+    for d in reversed(manifest.get("deltas", [])):
+        if (
+            d.get("delta_id") == removal_id
+            and d.get("retraction")
+            and cur in (d.get("pre_fp"), d.get("post_fp"))
+        ):
+            return d["post_fp"]
+    pre = manifest["input_fingerprint"]
+    post = _subtract_doc_fp(pre, removed_fp)
+    manifest.setdefault("deltas", []).append(
+        {
+            "delta_id": removal_id,
+            "retraction": True,
+            "rows": -int(n_removed),
+            "pre_fp": pre,
+            "post_fp": post,
+        }
+    )
+    with open(_manifest_path(out_dir, stage), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return post
+
+
 def _subtract_doc_fp(combined_fp: str, removed_fp: str) -> str:
     """Inverse of _combine_doc_fp: additive fingerprints subtract
     exactly, so the post-retraction doc fingerprint equals what a
@@ -436,16 +478,15 @@ def run_retraction(
     instance lost with a document always touches two affected
     entities, so the merge covers every change).
 
-    Crash-replay convergence rests on three STATE-INDEPENDENT facts:
-    the affected set derives from re-PARSING the removed documents
-    (not from the mutable stage, which a completed rewrite has
-    already emptied of them); whether the fingerprint already
-    reflects the removal is decided by probing the stage DATA for
-    removed keys (not a ledger entry that may lag the rewrite); and
-    every rewrite is an anti-join with a fingerprint-keyed
-    materialize. The parsed/scored rewrites carry the absorption
-    delta ledgers through (materialize carry_deltas) so streamed
-    increments stay absorbed-once."""
+    Crash-replay convergence: an INTENT entry (pre/post fingerprint)
+    lands in the parsed delta ledger BEFORE any rewrite, so a replay
+    always resolves the correct target fingerprint no matter where
+    the previous attempt died; the affected set derives from
+    re-PARSING the removed documents (not the mutable stage); every
+    rewrite is an anti-join with a fingerprint-keyed materialize;
+    and the rewrites carry the absorption delta ledgers through
+    (materialize carry_deltas) so streamed increments stay
+    absorbed-once."""
     import hashlib
 
     sc = spark.sparkContext
@@ -466,19 +507,16 @@ def run_retraction(
     removed_fp = lineage.fingerprint_documents(removed_documents)
     removal_id = delta_identity(removed_documents)
     keys = removed_documents.select("repo", "path", "commit").distinct()
+    n_removed = removed_documents.count()
 
-    # Is the removal already reflected in the parsed stage? Probe the
-    # DATA, not a ledger: a crash between the rewrite and any marker
-    # write cannot desynchronize a data probe.
+    # INTENT ledger, written before any rewrite: the replay reads the
+    # recorded post fingerprint instead of inferring it from mutable
+    # state (a data probe is blind to a crash between the data
+    # rewrite and the manifest write, and to removed docs with no
+    # stage rows).
     parsed_cur = spark.read.parquet(os.path.join(out_dir, "parsed", "data"))
-    still_present = (
-        parsed_cur.join(keys, ["repo", "path", "commit"], "semi").limit(1).count()
-        > 0
-    )
-    fp_parsed = (
-        _subtract_doc_fp(old_fp_parsed, removed_fp)
-        if still_present
-        else old_fp_parsed
+    fp_parsed = _retraction_intent(
+        out_dir, "parsed", removal_id, removed_fp, n_removed
     )
     fp_scored = f"{fp_parsed}|enc:{encoder}"
     fp_att = f"{fp_scored}|salt:{n_salt}"
@@ -514,24 +552,22 @@ def run_retraction(
         spark, scored_keep, out_dir, "scored", fp_scored, carry_deltas=True
     )
 
-    # audit record (idempotent on presence — NOT the convergence
-    # mechanism; the data probe above is)
-    n_removed = removed_documents.count()
-    for stage in ("parsed", "scored"):
-        manifest = _read_manifest(out_dir, stage)
-        if not any(
-            d.get("delta_id") == removal_id and d.get("retraction")
-            for d in manifest.get("deltas", [])
-        ):
-            manifest.setdefault("deltas", []).append(
-                {
-                    "delta_id": removal_id,
-                    "rows": -int(n_removed),
-                    "retraction": True,
-                }
-            )
-            with open(_manifest_path(out_dir, stage), "w") as f:
-                json.dump(manifest, f, indent=1)
+    # mirror the intent record into the scored ledger for audit
+    # symmetry (idempotent on presence)
+    sm = _read_manifest(out_dir, "scored")
+    if not any(
+        d.get("delta_id") == removal_id and d.get("retraction")
+        for d in sm.get("deltas", [])
+    ):
+        sm.setdefault("deltas", []).append(
+            {
+                "delta_id": removal_id,
+                "retraction": True,
+                "rows": -int(n_removed),
+            }
+        )
+        with open(_manifest_path(out_dir, "scored"), "w") as f:
+            json.dump(sm, f, indent=1)
 
     # 3-4. re-bag affected entities over their REMAINING mentions
     scored_aff = scored_full.join(affected, "entity_id", "semi")

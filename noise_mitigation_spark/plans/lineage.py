@@ -168,6 +168,20 @@ def stage_file_count(out_dir: str, stage: str) -> int:
     )
 
 
+def heal_compaction(out_dir: str, stage: str) -> bool:
+    """Recover the one non-atomic window in compact_stage's swap: a
+    crash between the two renames leaves the data under
+    ``__precompact`` and no data dir — rename it back. Called at
+    compact_stage entry and by the maintenance sinks before each
+    batch. Returns True if a heal happened."""
+    data_dir = os.path.join(out_dir, stage, "data")
+    old = data_dir + "__precompact"
+    if not os.path.isdir(data_dir) and os.path.isdir(old):
+        os.rename(old, data_dir)
+        return True
+    return False
+
+
 def compact_stage(
     spark: SparkSession,
     out_dir: str,
@@ -181,28 +195,34 @@ def compact_stage(
     dominates scan planning. Compaction rewrites the data into
     ``target_files`` files when the count exceeds ``min_files``,
     CONTENT- and LINEAGE-preserving: same rows, same manifest
-    fingerprint (the input did not change — the physical layout did),
-    absorption/retraction delta ledgers untouched, so resume and
-    future increments behave identically.
+    fingerprint and delta ledger (the input did not change — the
+    physical layout did); the manifest's per-partition metrics are
+    REFRESHED from the rewritten layout so auditors keep verifying.
 
-    The rewrite goes through a temp spill + atomic-ish swap (write
-    aside, then replace the data dir) — a crash leaves either the old
-    layout or the new one, both valid. On an Iceberg/Delta catalog
-    this is ``rewrite_data_files`` and runs without the swap."""
+    Crash safety: the rewrite lands BESIDE the data dir (same
+    filesystem — an atomic rename, never a cross-device copy), the
+    swap is two renames, and the only non-atomic window (between
+    them) is healed by ``heal_compaction`` at the next entry. On an
+    Iceberg/Delta catalog this is ``rewrite_data_files`` and needs
+    none of it."""
     import shutil
-    import tempfile
 
+    heal_compaction(out_dir, stage)
     data_dir = os.path.join(out_dir, stage, "data")
     n_files = stage_file_count(out_dir, stage)
     if n_files <= min_files:
         return {"stage": stage, "files": n_files, "compacted": False}
     t0 = time.time()
     df = spark.read.parquet(data_dir)
-    tmp = tempfile.mkdtemp(prefix=f"nm_compact_{stage}_")
+    tmp = data_dir + "__compact_tmp"  # same fs as data_dir: real rename
+    shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    # verify the rewrite before swapping (cheap: row count)
-    n_rows = spark.read.parquet(tmp).count()
-    manifest = None
+    # verify the rewrite before swapping, and refresh the partition
+    # metrics from the NEW layout (the old block described partitions
+    # that no longer exist)
+    written = spark.read.parquet(tmp)
+    parts = partition_metrics(written)
+    n_rows = int(sum(p["rows"] for p in parts))
     mp = os.path.join(out_dir, stage, "_manifest.json")
     with open(mp) as f:
         manifest = json.load(f)
@@ -215,12 +235,11 @@ def compact_stage(
     old = data_dir + "__precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(data_dir, old)
-    try:
-        os.rename(tmp, data_dir)
-    except OSError:  # cross-device: copy instead
-        shutil.copytree(tmp, data_dir)
-        shutil.rmtree(tmp, ignore_errors=True)
+    os.rename(tmp, data_dir)  # heal_compaction covers a crash between
     shutil.rmtree(old, ignore_errors=True)
+    manifest["partitions"] = parts
+    with open(mp, "w") as f:
+        json.dump(manifest, f, indent=1)
     return {
         "stage": stage,
         "files": n_files,

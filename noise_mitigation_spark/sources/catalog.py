@@ -155,6 +155,8 @@ def write_audit_publish(
         legacy = f"{table_path}__v_{0:020d}_legacy"
         os.rename(table_path, legacy)
         prior_versions.append(legacy)
+        prior_versions.sort()  # legacy sorts OLDEST — retention slices
+        # assume oldest→newest order
     _swap_pointer(table_path, version)
     # retention: keep the newest (keep_versions - 1) prior snapshots
     # beside the published one; expire the rest

@@ -385,7 +385,8 @@ def streaming_kg_maintenance(
         ledger[str(batch_id)] = {"rows": n, "mode": "inc" if bootstrapped else "bootstrap"}
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
-        _lineage.cleanup_pins()  # drop the batch's temp-parquet snapshots
+        # (pins: the incremental plans release their own — a pop-all
+        # here would race another stream's live pins)
         # periodic small-file maintenance: each absorbed batch appends
         # its own part files to parsed/scored; compact behind a
         # file-count trigger (content/ledger/fingerprint-preserving)
@@ -434,8 +435,13 @@ def streaming_kg_retraction(
     batch converges regardless of where the previous attempt died;
     the batch-id ledger here only short-circuits the replay. The
     retraction rewrites carry the absorption delta ledgers through,
-    so interleaving with streaming_kg_maintenance on the same out_dir
-    keeps absorbed batches absorbed-once."""
+    so SEQUENTIAL interleaving with streaming_kg_maintenance on the
+    same out_dir keeps absorbed batches absorbed-once. Do NOT run
+    both sinks CONCURRENTLY against one out_dir: foreachBatch
+    callbacks on separate query threads would race the manifest
+    read-modify-writes and each other's stage rewrites — one
+    maintenance stream per out_dir at a time (an Iceberg catalog's
+    optimistic commit protocol is what lifts this restriction)."""
     import json as _json
     import os as _os
 
@@ -465,7 +471,6 @@ def streaming_kg_retraction(
         ledger[str(batch_id)] = {"rows": n}
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
-        _lineage.cleanup_pins()
 
     return (
         removals_stream.writeStream.foreachBatch(_retract)
@@ -553,7 +558,7 @@ def streaming_cleaning_maintenance(
         }
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
-        _lineage.cleanup_pins()  # drop the batch's temp-parquet snapshots
+        # (pins: the incremental plans release their own)
 
     _os.makedirs(out_dir, exist_ok=True)
     return (

@@ -618,9 +618,10 @@ def test_retraction_promotes_keeper_into_near_dup_graph(spark, tmp_path):
 
 def test_retraction_partial_crash_replay_converges(spark, tmp_path):
     """Crash after the doc_hashes rewrite (fingerprint subtracted,
-    nothing else done): the replay must detect the state by probing
-    the DATA — not wedge on the parameter guard, not double-subtract
-    — and converge to batch(remaining)."""
+    nothing else done): the replay must resolve the state from the
+    INTENT ledger entry the real run writes BEFORE any rewrite — not
+    wedge on the parameter guard, not double-subtract — and converge
+    to batch(remaining)."""
     docs = _mk_docs()
     A = docs[docs.doc_id < 30]
     B = docs[docs.doc_id >= 30]
@@ -640,12 +641,19 @@ def test_retraction_partial_crash_replay_converges(spark, tmp_path):
     n0, h0 = (int(x) for x in old.split(":"))
     n1, h1 = (int(x) for x in r_fp.split(":"))
     sub_fp = f"{n0 - n1}:{h0 - h1}"
+    from noise_mitigation_spark.plans.incremental import _retraction_intent
+
+    # the real run writes the intent BEFORE the rewrite and the
+    # rewrite carries the delta ledger — simulate exactly that
+    assert _retraction_intent(out, "doc_hashes", r_fp, r_fp, n1) == sub_fp
     kept_hashes = (
         spark.read.parquet(os.path.join(out, "doc_hashes", "data"))
         .join(rem.select("doc_id"), "doc_id", "anti")
         .localCheckpoint(eager=True)
     )
-    _lin.materialize(spark, kept_hashes, out, "doc_hashes", sub_fp)
+    _lin.materialize(
+        spark, kept_hashes, out, "doc_hashes", sub_fp, carry_deltas=True
+    )
     # replay the whole retraction
     ret = cleaning.run_cleaning_retraction(
         spark,

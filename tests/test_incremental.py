@@ -403,9 +403,12 @@ def test_mixed_append_retract_append_composes(spark, corpus, tmp_path):
 
 def test_retraction_partial_crash_replay_converges(spark, corpus, tmp_path):
     """Crash after the parsed rewrite (fingerprint subtracted, scored
-    /bags untouched): the replay must derive the affected set from
-    re-parsing the REMOVED docs (the stage no longer contains them)
-    and converge to the from-scratch run on the remainder."""
+    /bags untouched): the real run writes an INTENT ledger entry
+    before the rewrite — the replay must resolve the target
+    fingerprint from it, derive the affected set by re-parsing the
+    REMOVED docs (the stage no longer contains them), and converge
+    to the from-scratch run on the remainder with the CORRECT final
+    fingerprint (no double subtraction)."""
     from noise_mitigation_spark.plans import lineage as _lin
 
     docs = corpus.documents
@@ -425,6 +428,11 @@ def test_retraction_partial_crash_replay_converges(spark, corpus, tmp_path):
         open(os.path.join(out, "parsed", "_manifest.json"))
     )["input_fingerprint"]
     sub_fp = incremental._subtract_doc_fp(old, removed_fp)
+    removal_id = incremental.delta_identity(rem)
+    got_fp = incremental._retraction_intent(
+        out, "parsed", removal_id, removed_fp, 50
+    )
+    assert got_fp == sub_fp
     keys = rem.select("repo", "path", "commit").distinct()
     kept = (
         spark.read.parquet(os.path.join(out, "parsed", "data"))
@@ -452,6 +460,12 @@ def test_retraction_partial_crash_replay_converges(spark, corpus, tmp_path):
     assert _rows(ret.triples_canon, cols) == _rows(want.triples_canon, cols)
     acols = ["entity_id", "type_id", "score"]
     assert _rows(ret.assertions, acols) == _rows(want.assertions, acols)
+    # the final fingerprint is the TRUE subtracted value (no double
+    # subtraction) — a resubmit over the remainder resumes
+    final_fp = json.load(
+        open(os.path.join(out, "parsed", "_manifest.json"))
+    )["input_fingerprint"]
+    assert final_fp == sub_fp
 
 
 def test_retraction_preserves_absorption_ledger(spark, corpus, tmp_path):
