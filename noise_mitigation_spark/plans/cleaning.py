@@ -905,8 +905,20 @@ def run_cleaning_retraction(
     )
     promoted_docs = remaining_docs.join(promoted_ids, "doc_id", "left_semi")
     promoted_band = _pin(band_keys_for(promoted_docs))
+    # Crash-replay dedup: if the prior attempt died between the
+    # band_keys and near_pairs materializes, the stored band_keys
+    # stage ALREADY contains the promoted keepers' keys — a plain
+    # union would double-count (doc_id, band, band_key) rows and
+    # inflate bucket sizes m in _hybrid_pairs_from_keys, which can
+    # flip a bucket near the max_bucket cap from all-pairs to the
+    # star rule and make the replay diverge from batch(remaining).
+    # band_keys_for is deterministic per doc, so distinct() restores
+    # exactly the single-attempt table.
+    band_with_promoted = _pin(
+        band_new.unionByName(promoted_band).distinct()
+    )
     promo_buckets = promoted_band.select("band", "band_key").distinct()
-    keyed_touched_p = band_new.unionByName(promoted_band).join(
+    keyed_touched_p = band_with_promoted.join(
         promo_buckets, ["band", "band_key"], "left_semi"
     )
     pc = _pin(_hybrid_pairs_from_keys(keyed_touched_p, n_hubs=n_hubs))
@@ -932,7 +944,7 @@ def run_cleaning_retraction(
         promo_partner_ids, "doc_id", "left_semi"
     ).select("doc_id", "text")
     promo_pairs = _pin(near_dup_pairs_df(promo_docs_v, promo_cands, near_dup_tau))
-    band_new = _pin(band_new.unionByName(promoted_band))
+    band_new = band_with_promoted
     pairs_new = _pin(pairs_new.unionByName(promo_pairs).distinct())
 
     # --- near-dup: re-solve components touched by a removed node OR a

@@ -68,16 +68,18 @@ def _combine_doc_fp(old_fp: str, delta_fp: str) -> str:
 
 
 def delta_already_absorbed(out_dir: str, stage: str, delta_id: str) -> bool:
-    """True iff an increment with this identity fingerprint was fully
-    absorbed into the stage (its manifest entry is written AFTER the
-    data, so presence implies completion). RETRACTION entries do not
-    count — re-absorbing previously retracted documents is a fresh
-    append, not a resume."""
+    """True iff an increment with this identity fingerprint is
+    CURRENTLY absorbed into the stage (its manifest entry is written
+    AFTER the data, so presence implies completion). The ledger is
+    append-only and a delta may cycle absorb → retract → absorb, so
+    only the MOST RECENT entry for this delta_id decides: a stale
+    pre-retraction absorption record must not mask a re-absorption
+    (that would silently drop the fresh append as a "resume")."""
     manifest = _read_manifest(out_dir, stage)
-    return any(
-        d.get("delta_id") == delta_id and not d.get("retraction")
-        for d in manifest.get("deltas", [])
-    )
+    for d in reversed(manifest.get("deltas", [])):
+        if d.get("delta_id") == delta_id:
+            return not d.get("retraction")
+    return False
 
 
 def delta_identity(documents: DataFrame) -> str:
@@ -135,20 +137,21 @@ def append_stage(
     fingerprint — the historical data is NOT rescanned (corpus-sized
     at scale).
 
-    Idempotent per increment: a delta_id already in the ledger means
-    this exact delta was fully absorbed (manifest written AFTER the
-    data), so the call is a resume no-op — re-running a crashed
-    increment skips completed stages exactly like
-    lineage.materialize. Remaining crash window: files appended but
+    Idempotent per increment: a delta_id whose LATEST ledger entry is
+    an absorption means this exact delta is currently absorbed
+    (manifest written AFTER the data), so the call is a resume no-op —
+    re-running a crashed increment skips completed stages exactly like
+    lineage.materialize. Latest-entry, not any-entry: after an
+    absorb → retract cycle the stale absorption record (carried
+    through the retraction rewrite for audit) must not mask a fresh
+    re-absorption. Remaining crash window: files appended but
     manifest unwritten would duplicate on retry — the plain-parquet
     cost of not having Iceberg's atomic snapshot commit, which closes
     it for free."""
     stage_dir = os.path.join(out_dir, stage)
     data_dir = os.path.join(stage_dir, "data")
     manifest = _read_manifest(out_dir, stage)
-    if any(
-        d.get("delta_id") == delta_id for d in manifest.get("deltas", [])
-    ):
+    if delta_already_absorbed(out_dir, stage, delta_id):
         return spark.read.parquet(data_dir)
     t0 = time.time()
     delta_df.write.mode("append").parquet(data_dir)

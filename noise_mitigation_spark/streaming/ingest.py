@@ -358,6 +358,14 @@ def streaming_kg_maintenance(
         ledger = _applied()
         if str(batch_id) in ledger:
             return  # crash-replayed batch: already absorbed
+        # Heal a crashed compaction BEFORE touching stage data: a kill
+        # inside compact_stage's two-rename window leaves <stage>/data
+        # missing, and the replayed batch reads parsed/scored inside
+        # run_incremental long before the every-Nth compact_stage call
+        # would self-heal — without this the stream is permanently
+        # wedged (heal_compaction's documented sink contract).
+        for _stage in ("parsed", "scored"):
+            _lineage.heal_compaction(out_dir, _stage)
         batch_df = batch_df.localCheckpoint(eager=True)
         n = batch_df.count()
         if n == 0:

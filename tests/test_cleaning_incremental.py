@@ -669,3 +669,117 @@ def test_retraction_partial_crash_replay_converges(spark, tmp_path):
         near_dup_tau=TAU,
     )
     assert _flag_rows(ret) == _flag_rows(want)
+
+
+def test_cleaning_reabsorb_after_retraction_is_fresh_append(spark, tmp_path):
+    """ADVICE r3 (high), cleaning twin: absorb(B) → retract(B) →
+    absorb(B) must treat the re-absorption as a fresh append — the
+    stale pre-retraction absorption entry carried through the
+    doc_hashes rewrite decides NOTHING once a newer retraction entry
+    exists. Final flags ≡ batch over A∪B."""
+    docs = _mk_docs()
+    A = docs[docs.doc_id < 30]
+    B = docs[docs.doc_id >= 30]
+    out = str(tmp_path / "creabsorb")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(A), out, near_dup_tau=TAU
+    )
+    cleaning.run_cleaning_incremental(
+        spark, spark.createDataFrame(B), spark.createDataFrame(A), out,
+        near_dup_tau=TAU,
+    )
+    from noise_mitigation_spark.plans.incremental import (
+        delta_already_absorbed,
+    )
+
+    b_id = cleaning.cleaning_delta_identity(spark.createDataFrame(B))
+    assert delta_already_absorbed(out, "doc_hashes", b_id)
+    cleaning.run_cleaning_retraction(
+        spark, spark.createDataFrame(B), spark.createDataFrame(A), out,
+        near_dup_tau=TAU,
+    )
+    assert not delta_already_absorbed(out, "doc_hashes", b_id), (
+        "retraction must invalidate the absorption entry"
+    )
+    res = cleaning.run_cleaning_incremental(
+        spark, spark.createDataFrame(B), spark.createDataFrame(A), out,
+        near_dup_tau=TAU,
+    )
+    want = cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), str(tmp_path / "cbatch"),
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(res) == _flag_rows(want)
+    assert res.stats == want.stats
+    assert delta_already_absorbed(out, "doc_hashes", b_id)
+
+
+def test_retraction_band_replay_no_duplicate_band_keys(spark, tmp_path):
+    """ADVICE r3 (low): retraction crash between the band_keys and
+    near_pairs materializes. The replay reads a band_keys stage that
+    ALREADY holds the promoted keeper's keys, recomputes
+    promoted_band fresh, and unions — without dedup the duplicated
+    (doc_id, band, band_key) rows inflate bucket sizes m in
+    _hybrid_pairs_from_keys (an m near the max_bucket cap flips
+    all-pairs → star rule) and the stored stage keeps the dupes.
+    Uses the keeper-promotion corpus (removing doc 1 promotes its
+    never-banded exact copy 8)."""
+    from noise_mitigation_spark.plans import lineage as _lin
+    from noise_mitigation_spark.plans.incremental import _retraction_intent
+
+    v1 = _version(0, "a")
+    rows = {
+        1: v1,                      # keeper of the exact group {1, 8}
+        3: v1 + " tail3",           # near-dup of v1 (cluster {1, 3})
+        8: v1,                      # exact dup of 1 — NOT banded
+    }
+    for i in (2, 4, 5, 6, 7):
+        rows[i] = " ".join(f"s{i}_{k}" for k in range(40))
+    docs = pd.DataFrame(
+        {"doc_id": sorted(rows), "text": [rows[k] for k in sorted(rows)]}
+    )
+    out = str(tmp_path / "bandreplay")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), out, near_dup_tau=TAU
+    )
+    removed = docs[docs.doc_id == 1]
+    remaining = docs[docs.doc_id != 1]
+    rem = spark.createDataFrame(removed)
+    rem_hashes = rem.select("doc_id", F.md5("text").alias("h"))
+    r_fp = _lin.fingerprint_df(rem_hashes)
+    # simulate the crashed attempt: intent written, doc_hashes and
+    # band_keys rewritten (band stage already contains doc 8's fresh
+    # keys), near_pairs and everything after untouched
+    fp_docs = _retraction_intent(out, "doc_hashes", r_fp, r_fp, 1)
+    kept_hashes = (
+        spark.read.parquet(os.path.join(out, "doc_hashes", "data"))
+        .join(rem.select("doc_id"), "doc_id", "anti")
+        .localCheckpoint(eager=True)
+    )
+    _lin.materialize(
+        spark, kept_hashes, out, "doc_hashes", fp_docs, carry_deltas=True
+    )
+    crashed_band = (
+        spark.read.parquet(os.path.join(out, "band_keys", "data"))
+        .join(rem.select("doc_id"), "doc_id", "anti")
+        .unionByName(
+            cleaning.band_keys_for(
+                spark.createDataFrame(docs[docs.doc_id == 8])
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    _lin.materialize(spark, crashed_band, out, "band_keys", fp_docs)
+    # replay the whole retraction
+    ret = cleaning.run_cleaning_retraction(
+        spark, rem, spark.createDataFrame(remaining), out, near_dup_tau=TAU
+    )
+    want = cleaning.run_cleaning(
+        spark, spark.createDataFrame(remaining), str(tmp_path / "bandbatch"),
+        near_dup_tau=TAU,
+    )
+    assert _flag_rows(ret) == _flag_rows(want)
+    band_after = spark.read.parquet(os.path.join(out, "band_keys", "data"))
+    assert band_after.count() == band_after.distinct().count(), (
+        "replay must not store duplicate (doc_id, band, band_key) rows"
+    )

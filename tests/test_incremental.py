@@ -552,3 +552,89 @@ def test_streaming_kg_retraction(spark, corpus, tmp_path):
     assert _rows(got, cols) == _rows(want.triples_canon, cols)
     ledger = json.load(open(os.path.join(out_dir, "_stream_retracted.json")))
     assert sum(v["rows"] for v in ledger.values()) == 90
+
+
+def test_reabsorb_after_retraction_is_fresh_append(spark, corpus, tmp_path):
+    """ADVICE r3 (high): absorb(B) → retract(B) → absorb(B). The
+    retraction rewrite CARRIES the old absorption ledger entry for B
+    (audit trail), so the re-absorption must resolve B's state from
+    the MOST RECENT ledger entry — honoring the stale pre-retraction
+    absorption record would silently drop the re-append as a
+    "resume" (data loss, no error). Final state ≡ full run on A∪B,
+    and the ledgers flip absorbed(B): True → False → True."""
+    docs = corpus.documents
+    A, B = docs.iloc[:150], docs.iloc[150:]
+    out = str(tmp_path / "reabsorb")
+    ali = spark.createDataFrame(corpus.aliases)
+    pipeline.run(
+        spark, spark.createDataFrame(A), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    incremental.run_incremental(
+        spark, spark.createDataFrame(B), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    b_id = incremental.delta_identity(spark.createDataFrame(B))
+    for stage in ("parsed", "scored"):
+        assert incremental.delta_already_absorbed(out, stage, b_id), stage
+    incremental.run_retraction(
+        spark, spark.createDataFrame(B), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    for stage in ("parsed", "scored"):
+        assert not incremental.delta_already_absorbed(out, stage, b_id), (
+            f"{stage}: retraction must invalidate the absorption entry"
+        )
+    res = incremental.run_incremental(
+        spark, spark.createDataFrame(B), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    want = pipeline.run(
+        spark, spark.createDataFrame(docs), ali, corpus.vocab, corpus.emb,
+    )
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(res.triples_canon, cols) == _rows(want.triples_canon, cols)
+    acols = ["entity_id", "type_id", "score"]
+    assert _rows(res.assertions, acols) == _rows(want.assertions, acols)
+    for stage in ("parsed", "scored"):
+        assert incremental.delta_already_absorbed(out, stage, b_id), stage
+
+
+def test_stream_heals_crashed_compaction_before_batch(spark, corpus, tmp_path):
+    """ADVICE r3 (medium): a kill inside compact_stage's two-rename
+    window leaves <stage>/data missing (rows live under
+    data__precompact). The NEXT batch reads parsed/scored inside
+    run_incremental long before the every-Nth compact_stage call
+    would self-heal — the sink must call heal_compaction at the top
+    of every foreachBatch or the stream wedges permanently."""
+    from noise_mitigation_spark.streaming import ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = corpus.documents
+    docs.iloc[:100].to_parquet(src / "part-0.parquet", index=False)
+    out_dir = str(tmp_path / "kg")
+    ali = spark.createDataFrame(corpus.aliases)
+    q = ingest.streaming_kg_maintenance(
+        spark, ingest.stream_documents(spark, str(src)), ali,
+        corpus.vocab, corpus.emb, out_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+    # simulate the crash window: data dir renamed away, no data dir
+    for stage in ("parsed", "scored"):
+        data = os.path.join(out_dir, stage, "data")
+        os.rename(data, data + "__precompact")
+    docs.iloc[100:].to_parquet(src / "part-1.parquet", index=False)
+    q = ingest.streaming_kg_maintenance(
+        spark, ingest.stream_documents(spark, str(src)), ali,
+        corpus.vocab, corpus.emb, out_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = pipeline.run(
+        spark, spark.createDataFrame(docs), ali, corpus.vocab, corpus.emb,
+    )
+    got = spark.read.parquet(os.path.join(out_dir, "triples_canon", "data"))
+    cols = ["subj", "pred", "obj", "conf"]
+    assert _rows(got, cols) == _rows(want.triples_canon, cols)

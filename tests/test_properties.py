@@ -353,3 +353,87 @@ def test_pq_ann_approximates_true_neighbors(spark):
     ranks.sort()
     assert ranks[len(ranks) // 2] < 50, ranks
     assert ranks[-1] < 0.4 * len(X), ranks
+
+
+def test_ivf_pq_ann_approximates_true_neighbors(spark):
+    """IVF-PQ composes the coarse-cell rung with the code rung and
+    must hold PLAIN PQ's quality bar while scanning only nprobe=2 of
+    8 cells (~4× less work per query): median true-L2 rank of the
+    ADC top-1 < 50 and worst-case < 0.4·N — the same bounds
+    test_pq_ann_approximates_true_neighbors pins (measured: median 21
+    vs plain PQ's 19, max 148 vs 153 — residual coding buys back what
+    cell pruning costs)."""
+    import numpy as np
+    import pandas as pd
+
+    from noise_mitigation_spark import queries as Q
+
+    got = Q.q_ivf_pq_ann(spark, "/root/testdata/sf0.01").toPandas()
+    emb = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    X = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    ranks = []
+    for qid, grp in got.groupby("qid"):
+        d2 = ((X - X[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.inf
+        order = np.argsort(d2, kind="stable")
+        top1 = int(grp.loc[grp["rnk"] == 1, "cid"].iloc[0])
+        ranks.append(int(np.where(order == top1)[0][0]))
+    ranks.sort()
+    assert ranks[len(ranks) // 2] < 50, ranks
+    assert ranks[-1] < 0.4 * len(X), ranks
+
+
+def test_embedding_near_dup_production_adapts_planes(spark, tmp_path):
+    """The driver gate only sees sf0.01 (500 vecs → the 6-plane
+    floor), so pin the ADAPTIVE branch here: at N=4097 the rule gives
+    n_planes = 7 ≠ 6, and the Spark plan must still match the DuckDB
+    oracle bit-for-bit — i.e. the oracle's count(*)-derived plane mask
+    tracks the Spark side's count()-derived planes above the floor."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from noise_mitigation_spark import queries as Q
+
+    n = 4097
+    assert max(6, math.ceil(math.log2(max(n / 64, 2.0)))) == 7
+    rng = np.random.Generator(np.random.PCG64(77))
+    base = rng.normal(size=(64,)).astype(np.float32)
+    X = rng.normal(size=(n, 64)).astype(np.float32)
+    # plant some near-dups of a shared template so pairs exist
+    for i in range(0, 40, 2):
+        X[i] = base + 0.05 * rng.normal(size=(64,)).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row for row in X],
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.to_parquet(sf / "embeddings.parquet", index=False)
+    got = (
+        Q.q_embedding_near_dup_production(spark, str(sf))
+        .toPandas()
+        .sort_values(["v1", "v2"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = (
+        con.execute(Q.ORACLES["embedding_near_dup_production"])
+        .df()
+        .sort_values(["v1", "v2"], ignore_index=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for c in ("v1", "v2", "keep_id", "drop_id"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    np.testing.assert_allclose(
+        got["cos"].to_numpy(), want["cos"].to_numpy(), atol=1e-4
+    )
