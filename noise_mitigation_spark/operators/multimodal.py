@@ -119,6 +119,119 @@ def _decode_ppm_features(payload: bytes) -> np.ndarray | None:
     return _pixel_features(parsed[0])
 
 
+def parse_png(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """REAL pure-stdlib decode of PNG (round-3 verdict item 8 — PNG
+    needs no codec library: zlib inflate of the IDAT stream + per-
+    scanline filter reconstruction, RFC 2083). Supports the common
+    profile: bit depth 8, color types 0/2/3/4/6, non-interlaced.
+    Returns ([h, w, 3] uint8 RGB, w, h) — alpha is dropped (the same
+    thing PIL's convert("RGB") does) so the PIL-backed path and this
+    one feed _pixel_features identical pixels. None if not a
+    well-formed PNG in the supported profile (16-bit / Adam7 stay
+    with the PIL tier)."""
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, idat, palette = 8, [], None
+    w = h = channels = color_type = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, comp, filt, interlace = data[8:13]
+            if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+            if color_type not in (0, 2, 3, 4, 6):
+                return None
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        elif typ == b"PLTE":
+            if ln % 3:
+                return None
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if w is None or w <= 0 or h <= 0 or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    # scanline filter reconstruction: each row is prefixed by its
+    # filter type; Sub/Average/Paeth are inherently sequential per
+    # pixel (each byte depends on the just-reconstructed left
+    # neighbor), Up is vectorized. int16/int32 intermediates keep the
+    # mod-256 arithmetic explicit.
+    bpp = channels
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += stride + 1
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            return None
+        out[y] = line.astype(np.uint8)
+        prev = line
+    px = out.reshape(h, w, channels)
+    if color_type == 2:
+        rgb = px
+    elif color_type == 6:
+        rgb = px[:, :, :3]
+    elif color_type == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color_type == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if palette is None or int(px.max()) >= len(palette):
+            return None
+        rgb = palette[px[:, :, 0]]
+    return np.ascontiguousarray(rgb), w, h
+
+
+def _decode_png_features(payload: bytes) -> np.ndarray | None:
+    """PNG → FEATURE_DIM floats via the SAME _pixel_features recipe
+    as PPM/PIL — pure stdlib decode, no codec library."""
+    parsed = parse_png(payload)
+    if parsed is None:
+        return None
+    return _pixel_features(parsed[0])
+
+
 def _audio_features(x: np.ndarray, nch: int, sr: int) -> np.ndarray:
     """Mono float samples in [-1, 1] → FEATURE_DIM floats: rms,
     mean |x|, peak, zero-crossing rate, n_channels, sample_rate (kHz),
@@ -184,8 +297,9 @@ def _decode_wav_features(payload: bytes) -> np.ndarray | None:
 
 def _auto_decode(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: REAL decoders for codec-free formats
-    (P6 PPM, RIFF/WAVE), deterministic fake otherwise."""
-    for dec in (_decode_ppm_features, _decode_wav_features):
+    (P6 PPM, RIFF/WAVE, and common-profile PNG via pure stdlib zlib),
+    deterministic fake otherwise."""
+    for dec in (_decode_ppm_features, _decode_wav_features, _decode_png_features):
         feats = dec(payload)
         if feats is not None:
             return feats
@@ -250,6 +364,13 @@ def codec_backed_decoder(pil_image_mod=None, soundfile_mod=None):
                 )
             except Exception:  # not audio this backend can read
                 pass
+        # pure-stdlib PNG sits BELOW the PIL tier: when PIL is present
+        # it handles PNG (incl. 16-bit/interlaced); without it the
+        # common profile still decodes for real — same pixels, same
+        # _pixel_features, so the two tiers are feature-identical
+        feats = _decode_png_features(payload)
+        if feats is not None:
+            return feats
         return _fake_decode_features(payload)
 
     _decode.backends = {

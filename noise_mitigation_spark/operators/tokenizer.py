@@ -137,6 +137,128 @@ def segment_documents(
     )
 
 
+def _pair_scores(vocab: DataFrame) -> DataFrame:
+    """(a, b, score): freq-weighted adjacent-symbol pair counts over a
+    (word, freq, symbols) table — the statistic both trainers argmax.
+    Size-≥2 guard: sequence(1, 0) would DESCEND and emit null pairs
+    for fully-merged single-symbol words."""
+    pairs = vocab.filter(F.size("symbols") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(symbols) - 1),"
+                " i -> struct(symbols[i-1] AS a, symbols[i] AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("score"))
+    )
+
+
+def _contains_adjacent(symbols_col: str, a: str, b: str):
+    """Predicate: the symbol array contains (a, b) adjacent — exactly
+    the words the greedy merge fold would CHANGE."""
+
+    def _esc(x: str) -> str:
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
+    a_l, b_l = _esc(a), _esc(b)
+    return F.expr(
+        f"size({symbols_col}) >= 2 AND "
+        f"exists(sequence(1, size({symbols_col}) - 1),"
+        f" i -> {symbols_col}[i-1] = '{a_l}' AND {symbols_col}[i] = '{b_l}')"
+    )
+
+
+def train_bpe_incremental(
+    word_freqs: DataFrame, n_merges: int = 50, min_pair_freq: int = 2
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """``train_bpe`` with INCREMENTAL pair-stat maintenance — the
+    classic Sennrich-trainer optimization (round-3 verdict item 4):
+    after merging (a, b) → ab only the pairs ADJACENT to an occurrence
+    change, so instead of re-exploding every symbol position of every
+    word per merge (the full trainer's per-iteration corpus-vocab-wide
+    shuffle), each iteration
+
+    - filters the AFFECTED words (symbol array contains adjacent
+      (a, b) — exactly the words the greedy fold changes),
+    - computes the pair-count delta from that affected slice only
+      (old affected stats vs re-merged affected stats),
+    - applies the merge fold to the affected rows alone (unaffected
+      rows pass through untouched), and
+    - folds the delta into the maintained (a, b, score) table with a
+      pair-vocab-sized join — never a corpus-vocab explode.
+
+    Bit-equal to ``train_bpe``: same argmax statistic, same (score
+    desc, a, b) tiebreak, same greedy fold — the incremental stats
+    table equals the full recompute at every step because unaffected
+    words contribute identical pair multisets. Per-iteration work
+    drops from O(Σ|word|) exploded rows to O(affected + |pairs|);
+    the 1-row argmax collect per merge remains (inherently
+    sequential), which is why wall grows sub-linearly in merges while
+    the full trainer's grows linearly in merges × vocab size."""
+    vocab = word_freqs.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("symbols"),
+    ).localCheckpoint(eager=True)
+    stats = _pair_scores(vocab).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            stats.filter(F.col("score") >= min_pair_freq)
+            .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        pred = _contains_adjacent("symbols", a, b)
+        affected = vocab.filter(pred).localCheckpoint(eager=True)
+        unaffected = vocab.filter(~pred)
+        merged = affected.select(
+            "word", "freq", _apply_merge("symbols", a, b).alias("symbols")
+        )
+        old_p = _pair_scores(affected).withColumnRenamed("score", "old_s")
+        new_p = _pair_scores(merged).withColumnRenamed("score", "new_s")
+        delta = (
+            old_p.join(new_p, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce("new_s", F.lit(0))
+                    - F.coalesce("old_s", F.lit(0))
+                ).alias("diff"),
+            )
+            .filter(F.col("diff") != 0)
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            stats.join(delta, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce("score", F.lit(0))
+                    + F.coalesce("diff", F.lit(0))
+                ).alias("score"),
+            )
+            .filter(F.col("score") > 0)
+            .localCheckpoint(eager=True)
+        )
+        vocab = unaffected.unionByName(merged).localCheckpoint(eager=True)
+    return merges, vocab
+
+
 def train_bpe(
     word_freqs: DataFrame, n_merges: int = 50, min_pair_freq: int = 2
 ) -> tuple[list[tuple[str, str]], DataFrame]:

@@ -473,3 +473,128 @@ def test_real_pil_backend_decodes_png():
     np.testing.assert_array_equal(
         dec(buf.getvalue()), multimodal._pixel_features(px)
     )
+
+
+def _encode_png(
+    px: np.ndarray, color_type: int, filters: list[int], palette=None
+) -> bytes:
+    """Hand-rolled PNG encoder (test oracle for parse_png): applies
+    the REQUESTED filter per scanline, deflates, wraps in chunks."""
+    import struct
+    import zlib
+
+    h, w = px.shape[0], px.shape[1]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    flat = px.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for i in range(len(line)):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = line[i] - a
+            elif ft == 2:
+                v = line[i] - b
+            elif ft == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[i] - pr
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_pure_python_png_decode_all_filters_and_color_types():
+    """parse_png must reconstruct EXACT pixels through every scanline
+    filter (None/Sub/Up/Average/Paeth) and every supported color type
+    — the hand-rolled encoder is the oracle."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = multimodal.parse_png(_encode_png(rgb, 2, filters))
+        assert got is not None, filters
+        assert got[1] == 7 and got[2] == 9
+        np.testing.assert_array_equal(got[0], rgb)
+    # grayscale: replicated into RGB
+    gray = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    got = multimodal.parse_png(_encode_png(gray, 0, [0, 1, 2, 3, 4]))
+    np.testing.assert_array_equal(got[0], np.repeat(gray, 3, axis=2))
+    # RGBA: alpha dropped (what PIL convert("RGB") does)
+    rgba = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    got = multimodal.parse_png(_encode_png(rgba, 6, [4, 3, 2, 1, 0]))
+    np.testing.assert_array_equal(got[0], rgba[:, :, :3])
+    # gray+alpha
+    ga = rng.integers(0, 256, size=(4, 4, 2), dtype=np.uint8)
+    got = multimodal.parse_png(_encode_png(ga, 4, [2]))
+    np.testing.assert_array_equal(got[0], np.repeat(ga[:, :, :1], 3, axis=2))
+    # palette
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 6, 1), dtype=np.uint8)
+    got = multimodal.parse_png(_encode_png(idx, 3, [1, 4], palette=pal))
+    np.testing.assert_array_equal(got[0], pal[idx[:, :, 0]])
+
+
+def test_png_decode_feeds_shared_feature_recipe():
+    """A PNG payload must produce _pixel_features of its true pixels
+    through BOTH decode chains (default auto + codec chain with no
+    backends) — and agree with the PIL tier when PIL is importable."""
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    payload = _encode_png(rgb, 2, [0, 1, 2, 3, 4])
+    want = multimodal._pixel_features(rgb)
+    np.testing.assert_array_equal(multimodal._auto_decode(payload), want)
+    chain = multimodal.codec_backed_decoder(
+        pil_image_mod=False, soundfile_mod=False
+    )
+    np.testing.assert_array_equal(chain(payload), want)
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        chain_pil = multimodal.codec_backed_decoder(soundfile_mod=False)
+        np.testing.assert_array_equal(chain_pil(payload), want)
+
+
+def test_png_unsupported_profile_rejected_not_garbled():
+    """16-bit depth / truncated streams must return None (→ PIL tier
+    or labeled fake), never wrong pixels."""
+    import struct
+    import zlib as _z
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = _encode_png(rgb, 2, [0])
+    # corrupt bit depth to 16 in IHDR (offset: 8 sig + 8 hdr + 8 w/h)
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    assert multimodal.parse_png(bytes(bad_depth)) is None
+    # truncated IDAT payload
+    assert multimodal.parse_png(good[: len(good) - 20]) is None
+    # not a png at all
+    assert multimodal.parse_png(b"\x89PNG\r\n\x1a\nJUNK") is None

@@ -180,3 +180,39 @@ def test_heldout_segmentation_applies_merges(spark):
     assert got == want
     # the merges genuinely compressed at least one held-out word
     assert any(len(_encode(w)) < len(w) for w in ["lowly", "power", "mower"])
+
+
+def test_incremental_trainer_matches_full_trainer(spark, word_freqs):
+    """round-3 verdict item 4: the incremental-pair-stat trainer must
+    produce the SAME merges and final vocab as the full-recompute
+    trainer (and therefore the python reference) — the delta algebra
+    (only pairs adjacent to a merged occurrence change) has to be
+    exact, including words that merge multiple occurrences and pairs
+    whose count drops to zero."""
+    wf_dict = {r["word"]: r["freq"] for r in word_freqs.collect()}
+    want_merges, want_vocab = _python_bpe(wf_dict, n_merges=12)
+    got_merges, got_vocab_df = tokenizer.train_bpe_incremental(
+        word_freqs, n_merges=12
+    )
+    assert got_merges == want_merges
+    got_vocab = {
+        r["word"]: list(r["symbols"]) for r in got_vocab_df.collect()
+    }
+    assert got_vocab == want_vocab
+
+
+def test_incremental_trainer_edge_cases(spark):
+    """Overlapping runs (aaaa), pairs that vanish, early stop — the
+    delta update must track the greedy fold exactly."""
+    rows = [("aaaa", 3), ("aabb", 2), ("abab", 2), ("zz", 1)]
+    wf = spark.createDataFrame(rows, "word string, freq long")
+    wf_dict = dict(rows)
+    want_merges, want_vocab = _python_bpe(wf_dict, n_merges=6, min_pair_freq=2)
+    got_merges, got_vocab_df = tokenizer.train_bpe_incremental(
+        wf, n_merges=6, min_pair_freq=2
+    )
+    assert got_merges == want_merges
+    got_vocab = {
+        r["word"]: list(r["symbols"]) for r in got_vocab_df.collect()
+    }
+    assert got_vocab == want_vocab
