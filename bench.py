@@ -68,7 +68,8 @@ HEADLINE = [
     "tpch_q3", "tpch_q18", "quality_classifier", "kmeans_assign",
     "ivf_ann_trained", "joint_cost", "pagerank", "triangle_count",
     "rolling_fingerprint", "winnow_fingerprint", "lm_perplexity",
-    "bpe_merge", "pq_ann",
+    "bpe_merge", "pq_ann", "embedding_near_dup_production", "ivf_pq_ann",
+    "lm_perplexity_bigram",
 ]  # fmt: skip
 
 

@@ -47,7 +47,9 @@ from ..queries import (
     doc_word4grams_df,
     minhash_signatures_df,
     near_dup_pairs_df,
+    pairs_with_cap,
     repetition_filter_df,
+    shingle_band_keys,
 )
 from . import lineage
 
@@ -62,6 +64,18 @@ REASONS = ("exact_dup", "near_dup", "repetitive", "contaminated")
 # proportional to REAL near-dups instead of template noise.
 _NEARDUP_PARAMS = _minhash_params(32)
 _NEARDUP_ROWS_PER_BAND = 8
+_MAX_BUCKET = 64  # hybrid giant-bucket cap, shared with the rescue layer
+
+# Giant-bucket RESCUE layer (round-3 verdict item 2): members of giant
+# LSH buckets are re-keyed by minhash over their BIGRAM SHINGLES (the
+# verifier's own space — see queries.shingle_band_keys for the measured
+# why) and the same cap rule generates candidates in the sub-buckets.
+# Measured at sf0.1: hybrid pair recall 0.577 → 1.000 for +0.6%
+# candidates. The (doc_id, sband, skey) table is STATE, exactly like
+# band_keys: per-doc and stateless, so incremental absorption buckets
+# new members against the stored table without rescanning history.
+_RESCUE_PERMS = 16
+_RESCUE_ROWS = 4
 
 
 def band_keys_for(docs: DataFrame) -> DataFrame:
@@ -84,6 +98,36 @@ def band_keys_for_rowlocal(
     )
 
 
+def giant_members_of(band: DataFrame) -> DataFrame:
+    """(doc_id) of every member of a giant LSH bucket — the rescue
+    layer's population."""
+    stats = band.groupBy("band", "band_key").agg(F.count("*").alias("m"))
+    return (
+        band.join(
+            stats.filter(F.col("m") > _MAX_BUCKET), ["band", "band_key"]
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def rescue_keys_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, sband, skey) shingle-minhash keys with the cleaning
+    plan's rescue parameters — per-doc and stateless (the incremental
+    state-table property)."""
+    return shingle_band_keys(
+        docs, n_perms=_RESCUE_PERMS, sub_rows=_RESCUE_ROWS
+    )
+
+
+def rescue_pairs_from_keys(keyed: DataFrame, n_hubs: int = 1) -> DataFrame:
+    """Candidate pairs from a rescue-key table under the same
+    linear-growth cap rule as the primary hybrid generator."""
+    return pairs_with_cap(
+        keyed, ["sband", "skey"], max_bucket=_MAX_BUCKET, n_hubs=n_hubs
+    )
+
+
 def near_dup_pairs_for(
     docs: DataFrame, tau: float, n_hubs: int = 1
 ) -> DataFrame:
@@ -93,18 +137,22 @@ def near_dup_pairs_for(
     edges through the bucket min for giant buckets.
 
     Measured trade (sf0.1, 5k docs, τ=0.5): all-pairs candidates are
-    3.4M pairs (one 1801-doc template-collision bucket) and find ~230
-    transitive drops in 80s+; the hybrid generates ~41k candidates and
-    finds ~135 drops in ~25s. The residual links are borderline-τ
-    pairs reachable only by quadratic enumeration INSIDE the giant
-    collision bucket — at 10^12 docs that enumeration does not exist,
-    so the linear generator is the design point, exact-duplicate
-    cliques are always recovered (hub jaccard = 1), and recall on
-    borderline pairs is the documented cost. ``n_hubs`` buys recall
-    back K-linearly (K star hubs per giant bucket instead of one);
-    neardup_recall_report measures the trade and bench.py tracks
-    it per round as ``neardup_recall``."""
-    cands = _hybrid_pairs_from_keys(band_keys_for(docs), n_hubs=n_hubs)
+    3.4M pairs (one 1801-doc template-collision bucket); the hybrid
+    alone generates ~41k candidates at pair recall 0.577 — the missed
+    pairs are NEAR-IDENTICAL docs (J ≈ 0.98) invisible to token-set
+    keys inside the giant bucket. The SHINGLE RESCUE layer (r4:
+    shingle-minhash sub-keys for giant members, same cap rule) closes
+    that: recall 1.000 for +0.6% candidates, still linear. ``n_hubs``
+    remains the knob for K star hubs per giant bucket;
+    neardup_recall_report measures the trade and bench.py tracks it
+    per round as ``neardup_recall``."""
+    band = band_keys_for(docs)
+    giant_docs = docs.join(giant_members_of(band), "doc_id", "left_semi")
+    cands = (
+        _hybrid_pairs_from_keys(band, n_hubs=n_hubs)
+        .union(rescue_pairs_from_keys(rescue_keys_for(giant_docs), n_hubs))
+        .distinct()
+    )
     return near_dup_pairs_df(docs, cands, tau)
 
 
@@ -138,8 +186,15 @@ def neardup_recall_report(
         comp = connected_components(nodes, edges)
         return comp.filter(F.col("node") != F.col("component")).count()
 
+    giant_docs = docs.join(giant_members_of(band), "doc_id", "left_semi")
+    rkeys = _pin(rescue_keys_for(giant_docs))
+
     def _hybrid_side(k: int) -> dict:
-        hybrid_c = _pin(_hybrid_pairs_from_keys(band, n_hubs=k))
+        hybrid_c = _pin(
+            _hybrid_pairs_from_keys(band, n_hubs=k)
+            .union(rescue_pairs_from_keys(rkeys, k))
+            .distinct()
+        )
         hybrid_p = _pin(near_dup_pairs_df(docs, hybrid_c, tau))
         n_hit = hybrid_p.join(all_p, ["d1", "d2"], "semi").count()
         return {
@@ -182,22 +237,31 @@ def _exact_dup_flags(docs: DataFrame) -> DataFrame:
 
 def _near_dup_state(
     docs: DataFrame, tau: float, n_hubs: int = 1
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(band_keys, verified pairs, components) over the given docs:
-    LSH candidates → Jaccard ≥ τ pairs → connected components. The
-    three tables ARE the state an incremental absorption needs: band
-    keys to bucket new docs against history without rescanning it,
-    pairs to rebuild only the components a delta touches, components
-    to find which those are."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(band_keys, rescue_keys, verified pairs, components) over the
+    given docs: LSH candidates (+ the shingle rescue layer for giant
+    buckets) → Jaccard ≥ τ pairs → connected components. The FOUR
+    tables ARE the state an incremental absorption needs: band keys
+    to bucket new docs against history without rescanning it, rescue
+    keys to bucket new GIANT-BUCKET members the same way, pairs to
+    rebuild only the components a delta touches, components to find
+    which those are."""
     band = band_keys_for(docs)
-    cands = _hybrid_pairs_from_keys(band, n_hubs=n_hubs)
+    rkeys = rescue_keys_for(
+        docs.join(giant_members_of(band), "doc_id", "left_semi")
+    )
+    cands = (
+        _hybrid_pairs_from_keys(band, n_hubs=n_hubs)
+        .union(rescue_pairs_from_keys(rkeys, n_hubs))
+        .distinct()
+    )
     pairs = near_dup_pairs_df(docs, cands, tau)
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     comp = connected_components(nodes, edges)
-    return band, pairs, comp
+    return band, rkeys, pairs, comp
 
 
 def _near_flags_from_components(comp: DataFrame) -> DataFrame:
@@ -230,7 +294,7 @@ def run_cleaning(
         "doc_id",
         "left_semi",
     )
-    band, pairs, comp = _near_dup_state(survivors, near_dup_tau, n_hubs)
+    band, rkeys, pairs, comp = _near_dup_state(survivors, near_dup_tau, n_hubs)
     grams = doc_word4grams_df(docs)
     bench_grams = (
         grams.filter(F.col("doc_id") % benchmark_mod == 0)
@@ -240,6 +304,7 @@ def run_cleaning(
     params = (
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
         f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
+        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
     )
     if out_dir is not None:
         fp_docs = lineage.fingerprint_df(
@@ -255,6 +320,9 @@ def run_cleaning(
             out_dir, "doc_hashes", fp_docs,
         )
         band = lineage.materialize(spark, band, out_dir, "band_keys", fp_docs)
+        rkeys = lineage.materialize(
+            spark, rkeys, out_dir, "rescue_keys", fp_docs
+        )
         pairs = lineage.materialize(
             spark, pairs, out_dir, "near_pairs",
             f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
@@ -458,6 +526,7 @@ def run_cleaning_incremental(
     params = (
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
         f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
+        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
     )
     _pin_mark = lineage.pin_mark()
     dh = delta_docs.select("doc_id", F.md5("text").alias("h"))
@@ -581,6 +650,59 @@ def run_cleaning_incremental(
     cands = _hybrid_pairs_from_keys(keyed_touched, n_hubs=n_hubs).join(
         delta_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
     )
+
+    # --- rescue layer: shingle sub-keys for NEW giant-bucket members --
+    # members_new = members of currently-giant buckets that were NOT
+    # giant members pre-delta — derived from the BAND state (whose
+    # stage reads exclude this delta), NOT from stored-key presence,
+    # so a crash between the rescue_keys append and the near_pairs
+    # append replays to the same set. Covers both delta docs landing
+    # in giant buckets and historical members of buckets the delta
+    # pushed over the cap (their keys are computed once, here).
+    hist_rescue = _pin(
+        _read_stage(spark, out_dir, "rescue_keys").join(
+            delta_ids_all, "doc_id", "anti"
+        )
+    )
+    members_prev = giant_members_of(hist_band)
+    members_now = giant_members_of(hist_band.unionByName(delta_band))
+    members_new = _pin(members_now.join(members_prev, "doc_id", "anti"))
+    keys_new = _pin(
+        rescue_keys_for(
+            delta_surv.join(members_new, "doc_id", "left_semi")
+            .select("doc_id", "text")
+            .unionByName(
+                historical_docs.join(members_new, "doc_id", "left_semi")
+                .select("doc_id", "text")
+            )
+        )
+    )
+    touched_sub = keys_new.select("sband", "skey").distinct()
+    # distinct(): a crash-replay may find keys of newly-giant HIST
+    # members already appended to the stage (they are not excludable
+    # by the delta anti-join) — dedup restores single-attempt counts
+    r_keyed_touched = (
+        hist_rescue.unionByName(keys_new)
+        .distinct()
+        .join(touched_sub, ["sband", "skey"], "left_semi")
+    )
+    r_cands = rescue_pairs_from_keys(r_keyed_touched, n_hubs=n_hubs)
+    # only pairs involving a NEW member: old-old pairs in these
+    # sub-buckets were generated when those members got their keys
+    r_cands = (
+        r_cands.join(
+            members_new.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
+        )
+        .unionByName(
+            r_cands.join(
+                members_new.withColumnRenamed("doc_id", "d2"),
+                "d2",
+                "left_semi",
+            )
+        )
+        .distinct()
+    )
+    cands = cands.unionByName(r_cands).distinct()
     partner_ids = (
         cands.select(F.col("d1").alias("doc_id"))
         .union(cands.select(F.col("d2").alias("doc_id")))
@@ -729,8 +851,15 @@ def run_cleaning_incremental(
     # --- advance the materialized state -------------------------------
     append_stage(spark, dh, out_dir, "doc_hashes", fp_docs, d_fp)
     append_stage(spark, delta_band, out_dir, "band_keys", fp_docs, d_fp)
+    append_stage(spark, keys_new, out_dir, "rescue_keys", fp_docs, d_fp)
+    # anti-join before append: a newly-giant bucket's rescue pass
+    # re-verifies historical-historical pairs that batch(A) already
+    # stored (its bucket was under the cap then, all-pairs) — without
+    # the anti they would append as duplicate rows
     append_stage(
-        spark, new_pairs, out_dir, "near_pairs",
+        spark,
+        new_pairs.join(hist_pairs.select("d1", "d2"), ["d1", "d2"], "left_anti"),
+        out_dir, "near_pairs",
         f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}", d_fp,
     )
     append_stage(
@@ -830,6 +959,7 @@ def run_cleaning_retraction(
     params = (
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
         f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
+        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
     )
     _pin_mark = lineage.pin_mark()
     rem_hashes = removed_docs.select("doc_id", F.md5("text").alias("h"))
@@ -935,6 +1065,48 @@ def run_cleaning_retraction(
         )
         .distinct()
     )
+    # --- rescue layer: prune keys to current giant membership, key
+    # the promoted / newly-giant members, candidates from their
+    # sub-buckets (same state discipline as absorption: keys are
+    # per-doc stable, membership derives from the band state) --------
+    hist_rescue_r = _pin(
+        _read_stage(spark, out_dir, "rescue_keys").join(
+            rem_ids, "doc_id", "anti"
+        )
+    )
+    members_now_r = giant_members_of(band_with_promoted)
+    keys_kept = hist_rescue_r.join(members_now_r, "doc_id", "left_semi")
+    need_keys = _pin(
+        members_now_r.join(
+            keys_kept.select("doc_id").distinct(), "doc_id", "anti"
+        )
+    )
+    keys_fresh = _pin(
+        rescue_keys_for(
+            remaining_docs.join(need_keys, "doc_id", "left_semi").select(
+                "doc_id", "text"
+            )
+        )
+    )
+    rkeys_new = _pin(keys_kept.unionByName(keys_fresh).distinct())
+    touched_sub_r = keys_fresh.select("sband", "skey").distinct()
+    rc = rescue_pairs_from_keys(
+        rkeys_new.join(touched_sub_r, ["sband", "skey"], "left_semi"),
+        n_hubs=n_hubs,
+    )
+    rc = (
+        rc.join(
+            need_keys.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
+        )
+        .unionByName(
+            rc.join(
+                need_keys.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
+            )
+        )
+        .distinct()
+    )
+    promo_cands = promo_cands.unionByName(rc).distinct()
+
     promo_partner_ids = (
         promo_cands.select(F.col("d1").alias("doc_id"))
         .union(promo_cands.select(F.col("d2").alias("doc_id")))
@@ -950,11 +1122,36 @@ def run_cleaning_retraction(
     # --- near-dup: re-solve components touched by a removed node OR a
     # promoted keeper's new edges ---------------------------------------
     hist_comp = _pin(_read_stage(spark, out_dir, "components"))
+    # tp_linked: pairs (stored OR fresh) involving any member of a
+    # promo-touched bucket — a REPLAY-STABLE superset of the rescue
+    # pairs. A crash after the rescue_keys materialize makes the
+    # replay's need_keys empty (keys already stored), so promo_pairs
+    # would miss the rescue edges — but they are in the stored
+    # near_pairs, and this term pulls their components into the
+    # re-solve either way. Over-inclusion only re-solves a component
+    # to the same answer.
+    tp_ids = keyed_touched_p.select("doc_id").distinct()
+    tp_linked = (
+        pairs_new.join(
+            tp_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
+        )
+        .unionByName(
+            pairs_new.join(
+                tp_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
+            )
+        )
+        .distinct()
+    )
     touch_nodes = (
         rem_ids.withColumnRenamed("doc_id", "node")
         .unionByName(
             promo_pairs.select(F.col("d1").alias("node"))
             .unionByName(promo_pairs.select(F.col("d2").alias("node")))
+        )
+        .unionByName(
+            tp_linked.select(F.col("d1").alias("node")).unionByName(
+                tp_linked.select(F.col("d2").alias("node"))
+            )
         )
         .distinct()
     )
@@ -1046,6 +1243,11 @@ def run_cleaning_retraction(
         spark, pairs_new, out_dir, "near_pairs",
         f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
     )
+    # rescue_keys AFTER near_pairs: a crash between them leaves keys
+    # unwritten and pairs stored — the replay regenerates need_keys
+    # from the band state and converges (see tp_linked for the
+    # opposite window)
+    lineage.materialize(spark, rkeys_new, out_dir, "rescue_keys", fp_docs)
     lineage.materialize(
         spark, bench_new, out_dir, "bench_grams",
         f"{fp_docs}:mod:{benchmark_mod}",

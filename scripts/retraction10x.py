@@ -1,0 +1,135 @@
+"""Retraction at 10× scale (round-3 verdict item 7): the scale proof
+covered the APPEND side; this measures the DELETE side at the same
+scale — run_retraction on the 200k-doc KG run and
+run_cleaning_retraction on the 50k-doc cleaning run, each at two
+retraction fractions so the cost ∝ affected-fraction claim is a
+measurement, not prose.
+
+Usage: python scripts/retraction10x.py [--skip-kg] [--skip-clean]
+Prints one JSON blob; summary goes to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+N_KG_DOCS = int(os.environ.get("NM_RET10_KG_DOCS", "200000"))
+SCALE10_DOCS = "/tmp/nm_scale10/documents.parquet"  # scripts/scale10.py
+
+
+def main() -> None:
+    from noise_mitigation_spark import corpus as corpus_mod
+    from noise_mitigation_spark.plans import cleaning, incremental, pipeline
+    from noise_mitigation_spark.session import get_spark
+
+    skip_kg = "--skip-kg" in sys.argv
+    skip_clean = "--skip-clean" in sys.argv
+    out: dict = {"scale": "10x retraction"}
+
+    if not skip_kg:
+        corpus_dir = f"/tmp/nm_bench_corpus_{N_KG_DOCS}"
+        if not os.path.exists(os.path.join(corpus_dir, "documents.parquet")):
+            c = corpus_mod.generate(
+                n_docs=N_KG_DOCS, n_entities=max(2000, N_KG_DOCS // 25)
+            )
+            corpus_mod.write_parquet(c, corpus_dir)
+        spark = get_spark("nm-ret10-kg", cores=32, shuffle_partitions=64)
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        aliases = spark.read.parquet(f"{corpus_dir}/aliases.parquet")
+        emb_pdf = pd.read_parquet(
+            f"{corpus_dir}/embeddings.parquet"
+        ).sort_values("idx")
+        vocab = dict(zip(emb_pdf["token"], emb_pdf["idx"]))
+        emb = np.stack(emb_pdf["vector"].to_numpy()).astype(np.float32)
+        kg_dir = "/tmp/nm_ret10_kg"
+        shutil.rmtree(kg_dir, ignore_errors=True)
+        t0 = time.time()
+        pipeline.run(spark, docs, aliases, vocab, emb, out_dir=kg_dir)
+        full_wall = round(time.time() - t0, 1)
+
+        docs_pdf = pd.read_parquet(
+            f"{corpus_dir}/documents.parquet"
+        ).sort_values("doc_id")
+        walls = {}
+        lo = len(docs_pdf)
+        for frac in (0.02, 0.08):
+            n = int(len(docs_pdf) * frac)
+            chunk = docs_pdf.iloc[lo - n : lo]
+            lo -= n
+            t0 = time.time()
+            incremental.run_retraction(
+                spark,
+                spark.createDataFrame(chunk),
+                aliases,
+                vocab,
+                emb,
+                out_dir=kg_dir,
+            )
+            walls[f"retract_{int(frac * 100)}pct"] = {
+                "n_docs": n,
+                "wall_sec": round(time.time() - t0, 1),
+            }
+        out["kg"] = {
+            "n_docs": N_KG_DOCS,
+            "full_run_wall_sec": full_wall,
+            **walls,
+        }
+        spark.stop()
+
+    if not skip_clean:
+        if not os.path.exists(SCALE10_DOCS):
+            raise SystemExit(
+                "run scripts/scale10.py first (builds /tmp/nm_scale10)"
+            )
+        spark = get_spark("nm-ret10-clean", cores=32, shuffle_partitions=64)
+        docs_pdf = pd.read_parquet(SCALE10_DOCS)[["doc_id", "text"]]
+        clean_dir = "/tmp/nm_ret10_clean"
+        shutil.rmtree(clean_dir, ignore_errors=True)
+        t0 = time.time()
+        cleaning.run_cleaning(
+            spark,
+            spark.createDataFrame(docs_pdf),
+            out_dir=clean_dir,
+        )
+        full_wall = round(time.time() - t0, 1)
+        walls = {}
+        remaining = docs_pdf
+        for frac in (0.02, 0.08):
+            n = int(len(docs_pdf) * frac)
+            # remove a spread slice (every replica loses docs) so the
+            # near-dup/benchmark re-solve hits real components
+            removed = remaining.iloc[:: max(1, len(remaining) // n)][:n]
+            rem_after = remaining[~remaining.doc_id.isin(set(removed.doc_id))]
+            t0 = time.time()
+            cleaning.run_cleaning_retraction(
+                spark,
+                spark.createDataFrame(removed),
+                spark.createDataFrame(rem_after),
+                clean_dir,
+            )
+            walls[f"retract_{int(frac * 100)}pct"] = {
+                "n_docs": int(len(removed)),
+                "wall_sec": round(time.time() - t0, 1),
+            }
+            remaining = rem_after
+        out["cleaning"] = {
+            "n_docs": int(len(docs_pdf)),
+            "full_run_wall_sec": full_wall,
+            **walls,
+        }
+        spark.stop()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

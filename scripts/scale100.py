@@ -1,0 +1,177 @@
+"""100× scale rung (round-3 verdict item 5): re-run the queries that
+grew ≈linear at 10× — ivf_ann (9.1×), decontaminate (6.0×),
+triangle_count (6.6×) — plus the full cleaning plan, at 100×-sf0.1
+(500k docs / 2M vectors / 3M events), and report per-query walls and
+the 100×/1× ratio plus per-stage cleaning walls.
+
+Replica construction differs from scale10.py where its trick cannot
+stretch to K=100:
+
+- documents: per-replica TOKEN SUFFIX ("tok" → "tok_k") instead of
+  the 26-letter alphabet rotation (which collides at K ≥ 26 and would
+  create cross-replica exact-dup mega-groups) — within-replica
+  dup/near-dup/gram structure is preserved exactly, across replicas
+  token spaces are disjoint, so hygiene structure grows LINEARLY;
+- embeddings: np.roll(v, k % 64) with a sign flip for k ≥ 64 (only
+  64 distinct rotations exist; the flip keeps cosine structure within
+  a replica and makes replica pairs distinct);
+- events: id/user offsets + week-shifted timestamps (as scale10).
+
+Usage: python scripts/scale100.py [--skip-clean] [--skip-queries]
+Prints one JSON blob; summary goes to BASELINE.md "measured at 100×".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/nm_scale100"
+K = 100
+
+SMALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+]  # fmt: skip
+
+LINEAR_GROWERS = ["ivf_ann", "decontaminate", "triangle_count"]
+
+
+def build_tables() -> None:
+    if os.path.exists(os.path.join(DST, "_done")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t in SMALL_TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    docs = pd.read_parquet(f"{SRC}/documents.parquet")
+    n_docs = len(docs)
+    reps = []
+    for k in range(K):
+        r = docs.copy()
+        r["doc_id"] = r["doc_id"] + k * n_docs
+        if k > 0:
+            # suffix every token: same within-replica structure,
+            # disjoint token space across replicas
+            sfx = f"_{k}"
+            r["text"] = r["text"].map(
+                lambda t, sfx=sfx: " ".join(
+                    w + sfx for w in t.split(" ") if w
+                )
+            )
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        f"{DST}/documents.parquet", index=False
+    )
+    del reps
+
+    ev = pd.read_parquet(f"{SRC}/events.parquet")
+    n_ev, n_users = len(ev), int(ev["user_id"].max()) + 1
+    reps = []
+    for k in range(K):
+        r = ev.copy()
+        r["event_id"] = r["event_id"] + k * n_ev
+        r["user_id"] = r["user_id"] + k * n_users
+        r["ts"] = r["ts"] + pd.Timedelta(days=7 * k)
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        f"{DST}/events.parquet",
+        index=False,
+        coerce_timestamps="us",  # Spark cannot read TIMESTAMP(NANOS)
+        allow_truncated_timestamps=True,
+    )
+    del reps
+
+    emb = pd.read_parquet(f"{SRC}/embeddings.parquet")
+    n_vec = len(emb)
+    reps = []
+    for k in range(K):
+        r = emb.copy()
+        r["vec_id"] = r["vec_id"] + k * n_vec
+        if k > 0:
+            sign = np.float32(1.0 if k < 64 else -1.0)
+            r["embedding"] = r["embedding"].map(
+                lambda v, k=k, sign=sign: sign
+                * np.roll(np.asarray(v, dtype=np.float32), k % 64)
+            )
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        f"{DST}/embeddings.parquet", index=False
+    )
+    open(os.path.join(DST, "_done"), "w").write("ok")
+
+
+def stage_walls(out_dir: str) -> dict:
+    walls = {}
+    for stage in sorted(os.listdir(out_dir)):
+        mp = os.path.join(out_dir, stage, "_manifest.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            walls[stage] = {"wall_sec": m.get("wall_sec"), "rows": m.get("rows")}
+    return walls
+
+
+def main() -> None:
+    from noise_mitigation_spark import queries as Q
+    from noise_mitigation_spark.plans import cleaning
+    from noise_mitigation_spark.session import get_spark
+
+    skip_clean = "--skip-clean" in sys.argv
+    skip_queries = "--skip-queries" in sys.argv
+    out: dict = {"scale": "100x-sf0.1", "k": K}
+
+    t0 = time.time()
+    build_tables()
+    out["build_tables_sec"] = round(time.time() - t0, 1)
+
+    if not skip_queries:
+        spark = get_spark("nm-scale100", cores=32, shuffle_partitions=64)
+        Q.QUERIES["tpch_q1"](spark, DST).count()  # warm
+
+        def _run_set(sf_dir):
+            walls = {}
+            for name in LINEAR_GROWERS:
+                t0 = time.time()
+                n = Q.QUERIES[name](spark, sf_dir).count()
+                walls[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+            return walls
+
+        q1 = _run_set(SRC)
+        q100 = _run_set(DST)
+        out["queries_1x"] = q1
+        out["queries_100x"] = q100
+        out["wall_ratio_100x_over_1x"] = {
+            k: round(q100[k]["sec"] / max(q1[k]["sec"], 0.01), 1) for k in q100
+        }
+        spark.stop()
+
+    if not skip_clean:
+        spark = get_spark("nm-scale100-clean", cores=32, shuffle_partitions=128)
+        docs = spark.read.parquet(f"{DST}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        clean_dir = "/tmp/nm_scale100_clean"
+        shutil.rmtree(clean_dir, ignore_errors=True)
+        t0 = time.time()
+        res = cleaning.run_cleaning(spark, docs, out_dir=clean_dir)
+        out["cleaning_500k"] = {
+            "wall_sec": round(time.time() - t0, 1),
+            "stats": res.stats,
+            "stages": stage_walls(clean_dir),
+        }
+        spark.stop()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,7 @@ MISMATCHES: [] for all queries.
 
     python scripts/strict_gate.py
 """
+import os
 import sys
 sys.path.insert(0, "/root/repo")
 import duckdb, numpy as np, pandas as pd
@@ -34,23 +35,43 @@ def canon(df):
 
 qs, orc = entry.queries(), entry.oracle_sql()
 mismatches = []
+results = {}
 e = entry.entry(spark)
 assert e.count() >= 0
 for name in sorted(qs):
+    rec = {
+        "rows_match": False, "schema_match": False, "hash_match": False,
+        "spark_rows": None, "oracle_rows": None, "err": None,
+    }
+    results[name] = rec
     try:
         got = canon(qs[name](spark, SF).toPandas())
         want = canon(con.execute(orc[name]).df())
-        if list(got.columns) != list(want.columns):
+        rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
+        rec["schema_match"] = list(got.columns) == list(want.columns)
+        rec["rows_match"] = len(got) == len(want)
+        if not rec["schema_match"]:
             mismatches.append((name, "cols", list(got.columns), list(want.columns))); continue
-        if len(got) != len(want):
+        if not rec["rows_match"]:
             mismatches.append((name, "rows", len(got), len(want))); continue
+        ok = True
         for c in got.columns:
             g, w = got[c].to_numpy(), want[c].to_numpy()
             if not (pd.Series(g).astype(str).values == pd.Series(w).astype(str).values).all():
                 bad = int((pd.Series(g).astype(str).values != pd.Series(w).astype(str).values).sum())
-                mismatches.append((name, f"values:{c}:{bad}")); break
+                mismatches.append((name, f"values:{c}:{bad}")); ok = False; break
+        rec["hash_match"] = ok
     except Exception as ex:
+        rec["err"] = repr(ex)[:200]
         mismatches.append((name, "error", repr(ex)[:200]))
 print("N_QUERIES:", len(qs))
 print("MISMATCHES:", mismatches)
+# CORRECTNESS-schema artifact covering ALL registry queries (the
+# driver snapshot caps at 50) — committed per round as GATE_r{N}.json
+out_path = os.environ.get("NM_GATE_OUT")
+if out_path:
+    import json
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("WROTE:", out_path)
 spark.stop()

@@ -138,8 +138,10 @@ def test_neardup_recall_floor_and_hub_knob(spark, docs):
     r1 = cleaning.neardup_recall_report(
         docs.select("doc_id", "text"), tau=0.5, n_hubs=1, extra_hubs=(3,)
     )
-    assert r1["pair_recall"] >= 0.8, r1
-    assert r1["drops_hybrid"] >= 0.8 * r1["drops_allpairs"], r1
+    # floor tightened 0.8 → 0.95 with the r4 shingle rescue layer
+    # (measured 1.0 at sf0.01 AND sf0.1)
+    assert r1["pair_recall"] >= 0.95, r1
+    assert r1["drops_hybrid"] >= 0.95 * r1["drops_allpairs"], r1
     assert r1["candidates_hybrid"] < r1["candidates_allpairs"]
     r3 = r1["k3"]  # ground truth computed once, hybrid side re-run
     assert r3["pair_recall"] >= r1["pair_recall"]

@@ -783,3 +783,204 @@ def test_retraction_band_replay_no_duplicate_band_keys(spark, tmp_path):
     assert band_after.count() == band_after.distinct().count(), (
         "replay must not store duplicate (doc_id, band, band_key) rows"
     )
+
+
+# ---------------------------------------------------------------------------
+# Giant-bucket SHINGLE RESCUE layer (r4): permutation corpus — all docs
+# share one token SET (identical minhash signatures → one giant LSH
+# bucket in every band at N > 64) but differ in word ORDER; near-dup
+# pairs are order-preserving copies with one local swap, invisible to
+# token-set keys, found only through the shingle sub-keys.
+# ---------------------------------------------------------------------------
+
+_PERM_TOKENS = [f"t{i:02d}" for i in range(50)]
+
+
+def _perm_corpus(n_pairs: int, start_id: int = 0, seed: int = 5):
+    """2·n_pairs docs: each base doc is a seeded permutation of the
+    shared token set; its partner swaps ONE adjacent token pair
+    (shingle-J ≈ 0.94, token-set-J = 1.0)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    did = start_id
+    for _ in range(n_pairs):
+        toks = list(_PERM_TOKENS)
+        rng.shuffle(toks)
+        base = " ".join(toks)
+        j = rng.randrange(len(toks) - 1)
+        toks[j], toks[j + 1] = toks[j + 1], toks[j]
+        rows.append((did, base))
+        rows.append((did + 1, " ".join(toks)))
+        did += 2
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_giant_bucket_rescue_finds_order_level_near_dups(spark, tmp_path):
+    """Batch: 80 permutation docs form one giant bucket (> 64 cap);
+    the 40 swap-pairs verify at τ=0.8 but the hub star misses almost
+    all of them — the rescue layer must flag exactly one of each
+    pair. Also pins that the rescue is WHY: hybrid-only candidates
+    find strictly fewer verified pairs."""
+    docs = _perm_corpus(40)
+    sdf = spark.createDataFrame(docs)
+    res = cleaning.run_cleaning(
+        spark, sdf, str(tmp_path / "g"), near_dup_tau=0.8
+    )
+    flags = {r["doc_id"]: r["near_dup"] for r in res.flags.collect()}
+    # every base is its pair's min id → never dropped; partners drop
+    # when their pair collided in ≥1 of the 4 shingle sub-bands
+    # (p ≈ 0.987 per pair — allow the deterministic tail)
+    assert not any(flags[b] for b in range(0, 80, 2))
+    n_flagged = sum(bool(flags[b + 1]) for b in range(0, 80, 2))
+    assert n_flagged >= 36, n_flagged
+    # rescue necessity: primary hybrid alone misses most pairs
+    from noise_mitigation_spark.queries import (
+        _hybrid_pairs_from_keys,
+        near_dup_pairs_df,
+    )
+
+    band = cleaning.band_keys_for(sdf)
+    hybrid_only = near_dup_pairs_df(
+        sdf, _hybrid_pairs_from_keys(band, n_hubs=1), 0.8
+    ).count()
+    with_rescue = cleaning.near_dup_pairs_for(sdf, 0.8).count()
+    assert with_rescue >= 36 > hybrid_only, (with_rescue, hybrid_only)
+    # state: rescue_keys stage materialized for the giant members
+    rk = spark.read.parquet(
+        os.path.join(str(tmp_path / "g"), "rescue_keys", "data")
+    )
+    assert rk.select("doc_id").distinct().count() == 80
+
+
+def test_giant_bucket_rescue_incremental_giant_grows(spark, tmp_path):
+    """Absorption into an ALREADY-giant bucket: batch(A) has 71
+    members (> 64 — rescue keys stored), absorb(B) grows it to 88.
+    The delta members get keys, bucket against the STORED rescue-key
+    table, and flags land bit-equal to batch(A∪B) — including delta
+    pairs that span history (partner in B of a base in A)."""
+    A = _perm_corpus(34, start_id=0)            # ids 0..67
+    # 3 bases in A whose partners arrive in B + 7 full pairs in B
+    extra = _perm_corpus(3, start_id=68, seed=9)
+    A2 = pd.concat([A, extra.iloc[[0, 2, 4]]])  # bases only (even rows)
+    B = pd.concat(
+        [
+            extra.iloc[[1, 3, 5]].assign(
+                doc_id=lambda d: d.doc_id + 46
+            ),  # partners: ids > all A ids
+            _perm_corpus(7, start_id=120, seed=11),
+        ]
+    )
+    out = str(tmp_path / "inc")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(A2), out, near_dup_tau=0.8
+    )
+    n_keys = spark.read.parquet(
+        os.path.join(out, "rescue_keys", "data")
+    ).select("doc_id").distinct().count()
+    assert n_keys == 71, "already-giant: every member keyed"
+    res = cleaning.run_cleaning_incremental(
+        spark, spark.createDataFrame(B), spark.createDataFrame(A2), out,
+        near_dup_tau=0.8,
+    )
+    want = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(pd.concat([A2, B])),
+        str(tmp_path / "batch"),
+        near_dup_tau=0.8,
+    )
+    assert _flag_rows(res) == _flag_rows(want)
+    assert res.stats == want.stats
+
+
+def test_giant_bucket_cap_crossing_keeps_documented_caveat(spark, tmp_path):
+    """Absorption pushing the bucket ACROSS the cap (57 → 74): while
+    under the cap, batch(A) verified ALL-PAIRS edges; once giant,
+    batch(A∪B) only has star + rescue edges, so the incremental run
+    may keep strictly MORE verified pairs — the plan's documented
+    caveat says 'merge MORE true near-dups than the batch run, never
+    fewer'. Pin exactly that direction: every flag difference is an
+    extra incremental near_dup=True, and the newly-giant path still
+    keys every member."""
+    A = _perm_corpus(27, start_id=0)            # 54 docs
+    extra = _perm_corpus(3, start_id=54, seed=9)
+    A2 = pd.concat([A, extra.iloc[[0, 2, 4]]])  # 57 members, under cap
+    B = pd.concat(
+        [
+            extra.iloc[[1, 3, 5]].assign(doc_id=lambda d: d.doc_id + 46),
+            _perm_corpus(7, start_id=106, seed=11),
+        ]
+    )
+    out = str(tmp_path / "cross")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(A2), out, near_dup_tau=0.8
+    )
+    assert (
+        spark.read.parquet(
+            os.path.join(out, "rescue_keys", "data")
+        ).count() == 0
+    ), "bucket under cap: no rescue keys yet"
+    res = cleaning.run_cleaning_incremental(
+        spark, spark.createDataFrame(B), spark.createDataFrame(A2), out,
+        near_dup_tau=0.8,
+    )
+    want = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(pd.concat([A2, B])),
+        str(tmp_path / "batch"),
+        near_dup_tau=0.8,
+    )
+    got_rows = {r[0]: r for r in _flag_rows(res)}
+    want_rows = {r[0]: r for r in _flag_rows(want)}
+    assert set(got_rows) == set(want_rows)
+    extra_drops = 0
+    for did, wrow in want_rows.items():
+        grow = got_rows[did]
+        if grow != wrow:
+            # only direction allowed: incremental keeps a stored
+            # all-pairs edge → near_dup True where batch says False;
+            # every other flag agrees
+            assert grow[2] and not wrow[2], (grow, wrow)
+            assert (grow[1], grow[3], grow[4]) == (
+                wrow[1], wrow[3], wrow[4],
+            ), (grow, wrow)
+            extra_drops += 1
+    assert extra_drops <= 4, "caveat affects the tail only"
+    # newly-giant path keyed every member despite the caveat
+    n_keys = spark.read.parquet(
+        os.path.join(out, "rescue_keys", "data")
+    ).select("doc_id").distinct().count()
+    assert n_keys == 74
+
+
+def test_giant_bucket_rescue_retraction(spark, tmp_path):
+    """DELETE side over the giant bucket: retracting bases (keepers)
+    must promote partners and converge to batch(remaining) — the
+    rescue state prunes removed members and the re-solve covers the
+    rescue edges."""
+    docs = _perm_corpus(40)
+    out = str(tmp_path / "ret")
+    cleaning.run_cleaning(
+        spark, spark.createDataFrame(docs), out, near_dup_tau=0.8
+    )
+    removed = docs[docs.doc_id.isin({0, 2, 4, 17})]  # 3 bases + 1 partner
+    remaining = docs[~docs.doc_id.isin({0, 2, 4, 17})]
+    ret = cleaning.run_cleaning_retraction(
+        spark,
+        spark.createDataFrame(removed),
+        spark.createDataFrame(remaining),
+        out,
+        near_dup_tau=0.8,
+    )
+    want = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(remaining),
+        str(tmp_path / "batchR"),
+        near_dup_tau=0.8,
+    )
+    assert _flag_rows(ret) == _flag_rows(want)
+    # retracted bases' partners are now keepers
+    f = {r[0]: r[2] for r in _flag_rows(ret)}  # doc_id -> near_dup
+    for pid in (1, 3, 5):
+        assert not f[pid], pid
