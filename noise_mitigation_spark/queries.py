@@ -1261,17 +1261,25 @@ FROM keyed a JOIN keyed b
 
 def doc_shingles_df(d: DataFrame) -> DataFrame:
     """Distinct bigram shingles per doc — DataFrame core, also
-    composed by the cleaning plan."""
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    ).filter(F.col("token") != "")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.withColumn("nxt", F.lead("token").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("shingle"))
-        .distinct()
-    )
+    composed by the cleaning plan (rescue layer included, where this
+    runs over every giant-bucket member). NARROW by construction:
+    adjacent pairs of the empty-filtered token array via a single
+    array transform — identical output to the lead()-over-window
+    formulation it replaced, without the per-doc Exchange+Sort that
+    shuffled every token row."""
+    tl = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 2)
+    return tl.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1),"
+                " i -> concat_ws(' ', t[i-1], t[i]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
 
 
 def _doc_shingles(spark, sf_dir, max_doc: int = 60):
@@ -4050,6 +4058,309 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixture sampling weights — the corpus mixer's other half
+    (q_hash_sample APPLIES per-row rates; this DERIVES them): per
+    source, token volume and a temperature-scaled sampling weight
+    w(s) ∝ n_tokens(s)^0.3 (the multilingual/UniMax-style α-sampling
+    rule: α < 1 upsamples small domains without letting the head
+    dominate). Plan shape: one map-side tokenize + partial-agg
+    groupBy down to |sources| rows, then the normalizer is a
+    broadcast 1-row aggregate over that TINY table — the 100 TB side
+    is touched exactly once, everything after is domain-cardinality
+    sized."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "n"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    z = per.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))).alias("z")
+    )
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)) / F.col("z"), 6
+        ).alias("weight"),
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), z AS (SELECT sum(power(n_tokens, 0.3)) AS z FROM per)
+SELECT source, n_docs, n_tokens,
+       round(power(n_tokens, 0.3) / z, 6) AS weight
+FROM per CROSS JOIN z
+"""
+
+
+_DSIR_BUCKETS = 256
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every document by the log importance ratio of a TARGET
+    domain's hashed-bigram distribution over the RAW pool's — the
+    standard recipe for picking pretraining data that "looks like"
+    a high-quality target. Target slice = lang='en'; features =
+    word bigrams hashed into 256 buckets (the same stateless
+    md5-prefix hash as the dedup family — no vocab table); bucket
+    distributions are add-1 smoothed; a doc's score is its
+    gram-count-weighted mean of log p_target(b) − log p_raw(b).
+    Plan shape: bigrams are a narrow map-side explode; BOTH
+    distributions collapse to ≤256-row tables that broadcast; the
+    scoring join is map-side — the raw corpus never shuffles wider
+    than its per-doc bucket counts."""
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 2)
+    grams = tl.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1),"
+                " i -> concat_ws(' ', t[i-1], t[i]))"
+            )
+        ).alias("g"),
+    )
+    gb = grams.withColumn("b", _tokhash_spark("g") % _DSIR_BUCKETS)
+    ct = gb.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    cr = gb.groupBy("b").agg(F.count("*").alias("cr"))
+    tot = ct.agg(F.sum("ct").alias("Nt")).crossJoin(
+        cr.agg(F.sum("cr").alias("Nr"))
+    )
+    dom = spark.range(_DSIR_BUCKETS).select(F.col("id").alias("b"))
+    w = (
+        dom.join(ct, "b", "left")
+        .join(cr, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("Nt") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + 1)
+                    / (F.col("Nr") + _DSIR_BUCKETS).cast("double")
+                )
+            ).alias("lw"),
+        )
+    )
+    db = gb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        db.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.round(
+                F.sum(F.col("c") * F.col("lw")) / F.sum("c"), 6
+            ).alias("avg_logw"),
+        )
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH tl AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+  FROM (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tl WHERE len(t) >= 2)
+),
+gb AS (
+  SELECT doc_id, lang, ({_tokhash_sql("g")}) % {_DSIR_BUCKETS} AS b
+  FROM grams
+),
+ct AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+cr AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+tot AS (SELECT (SELECT sum(ct) FROM ct) AS Nt,
+               (SELECT sum(cr) FROM cr) AS Nr),
+dom AS (SELECT unnest(generate_series(0, {_DSIR_BUCKETS - 1})) AS b),
+w AS (
+  SELECT dom.b,
+         ln((coalesce(ct, 0) + 1)
+            / CAST(Nt + {_DSIR_BUCKETS} AS DOUBLE))
+         - ln((coalesce(cr, 0) + 1)
+              / CAST(Nr + {_DSIR_BUCKETS} AS DOUBLE)) AS lw
+  FROM dom LEFT JOIN ct ON ct.b = dom.b
+           LEFT JOIN cr ON cr.b = dom.b
+           CROSS JOIN tot
+),
+db AS (SELECT doc_id, b, count(*) AS c FROM gb GROUP BY doc_id, b)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       round(sum(c * lw) / sum(c), 6) AS avg_logw
+FROM db JOIN w USING (b) GROUP BY doc_id
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): within a cluster, members that are
+    cosine-near-duplicates of each other are pruned down to the one
+    FARTHEST from the cluster centroid (low centroid-similarity =
+    the more extreme/informative example survives — the paper's
+    keeper rule, and the opposite of min-id). Clusters here are the
+    N-adaptive sign-LSH buckets (the same count(*)-derived plane
+    rule as q_embedding_near_dup_production, so within-bucket work
+    stays ~linear; production swaps in trained k-means cells of the
+    q_ivf_ann_trained shape without changing the plan). Emits one
+    row per member of any cos ≥ τ pair: its bucket-centroid cosine
+    (rounded 6 — the comparable both engines agree on), partner
+    count, and dropped = 1 iff some partner has strictly lower
+    rounded centroid-cos (vec_id breaks exact ties)."""
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
+    planes = _ann_planes(n_planes)
+    b = e.select(
+        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+    )
+    pos = b.select("vec_id", "bucket", F.posexplode("embedding").alias("i", "x"))
+    cent = pos.groupBy("bucket", "i").agg(F.avg("x").alias("cx"))
+    cnorm = cent.groupBy("bucket").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nc")
+    )
+    cc = (
+        pos.join(cent, ["bucket", "i"])
+        .groupBy("vec_id", "bucket")
+        .agg(
+            F.sum(F.col("x") * F.col("cx")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+        )
+        .join(cnorm, "bucket")
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias(
+                "cent_cos"
+            ),
+        )
+    )
+    a1 = b.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    a2 = b.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    pairs = (
+        a1.join(a2, "bucket")
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(_cosine(F.col("e1"), F.col("e2")) >= 0.4)
+        .select("v1", "v2")
+        .join(cc.select(F.col("vec_id").alias("v1"), F.col("cent_cos").alias("cc1")), "v1")
+        .join(cc.select(F.col("vec_id").alias("v2"), F.col("cent_cos").alias("cc2")), "v2")
+        .withColumn(
+            "loser",
+            F.when(F.col("cc1") > F.col("cc2"), F.col("v1"))
+            .when(F.col("cc2") > F.col("cc1"), F.col("v2"))
+            .otherwise(F.greatest("v1", "v2")),
+        )
+    )
+    lf = pairs.select(
+        F.col("v1").alias("vec_id"),
+        F.col("cc1").alias("cent_cos"),
+        (F.col("loser") == F.col("v1")).cast("int").alias("isl"),
+    ).unionByName(
+        pairs.select(
+            F.col("v2").alias("vec_id"),
+            F.col("cc2").alias("cent_cos"),
+            (F.col("loser") == F.col("v2")).cast("int").alias("isl"),
+        )
+    )
+    return lf.groupBy("vec_id", "cent_cos").agg(
+        F.count("*").alias("n_partners"), F.max("isl").alias("dropped")
+    )
+
+
+def _sql_semdedup() -> str:
+    planes = _ann_planes(_NEARDUP_PLANES_MAX)
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH np AS (
+  SELECT greatest(6, CAST(ceil(log2(greatest(count(*) / 64.0, 2.0)))
+                          AS INT)) AS n
+  FROM embeddings
+), planes(i, p) AS (VALUES
+  {plane_rows}
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl CROSS JOIN np
+  WHERE pl.i < np.n
+  GROUP BY e.vec_id, e.embedding
+), pos AS (
+  SELECT vec_id, bucket, i, embedding[i]::DOUBLE AS x
+  FROM bucketed, (SELECT unnest(generate_series(1, 64)) AS i) s
+), cent AS (
+  SELECT bucket, i, avg(x) AS cx FROM pos GROUP BY bucket, i
+), cnorm AS (
+  SELECT bucket, sqrt(sum(cx * cx)) AS nc FROM cent GROUP BY bucket
+), cc AS (
+  SELECT d.vec_id,
+         round(d.dot / (d.nv * cn.nc), 6) AS cent_cos
+  FROM (SELECT p.vec_id, p.bucket,
+               sum(p.x * c.cx) AS dot, sqrt(sum(p.x * p.x)) AS nv
+        FROM pos p JOIN cent c ON c.bucket = p.bucket AND c.i = p.i
+        GROUP BY p.vec_id, p.bucket) d
+  JOIN cnorm cn ON cn.bucket = d.bucket
+), pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, c1.cent_cos AS cc1,
+         c2.cent_cos AS cc2,
+         CASE WHEN c1.cent_cos > c2.cent_cos THEN a.vec_id
+              WHEN c2.cent_cos > c1.cent_cos THEN b.vec_id
+              ELSE greatest(a.vec_id, b.vec_id) END AS loser
+  FROM bucketed a
+  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN cc c1 ON c1.vec_id = a.vec_id
+  JOIN cc c2 ON c2.vec_id = b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= 0.4
+), lf AS (
+  SELECT v1 AS vec_id, cc1 AS cent_cos,
+         CASE WHEN loser = v1 THEN 1 ELSE 0 END AS isl FROM pairs
+  UNION ALL
+  SELECT v2 AS vec_id, cc2 AS cent_cos,
+         CASE WHEN loser = v2 THEN 1 ELSE 0 END AS isl FROM pairs
+)
+SELECT vec_id, cent_cos, count(*) AS n_partners,
+       CAST(max(isl) AS INT) AS dropped
+FROM lf GROUP BY vec_id, cent_cos
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_max": q_miml_max,
     "miml_avg": q_miml_avg,
@@ -4123,6 +4434,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_production": q_embedding_near_dup_production,
     "ivf_pq_ann": q_ivf_pq_ann,
     "lm_perplexity_bigram": q_lm_perplexity_bigram,
+    "mixture_weights": q_mixture_weights,
+    "dsir_importance": q_dsir_importance,
+    "semdedup": q_semdedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4198,4 +4512,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_production": SQL_EMBEDDING_NEAR_DUP_PRODUCTION,
     "ivf_pq_ann": SQL_IVF_PQ_ANN,
     "lm_perplexity_bigram": SQL_LM_PERPLEXITY_BIGRAM,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "dsir_importance": SQL_DSIR_IMPORTANCE,
+    "semdedup": SQL_SEMDEDUP,
 }

@@ -1,0 +1,62 @@
+"""BPE trainer wall-vs-merges measurement (round-3 verdict item 4's
+"done" criterion): the full trainer re-explodes every symbol position
+per merge, so its wall grows ~linearly in merges; the incremental
+trainer maintains the pair-stat table (only pairs adjacent to a merged
+occurrence change), so its per-merge cost decays as merges get rarer
+and wall grows SUB-linearly. Measure both at n_merges in {64, 256}
+over the sf0.1 documents word-frequency table and report walls, the
+256/64 growth ratios, and the incremental speedup at 256.
+
+Usage: python scripts/bpe_bench.py
+Prints one JSON blob; summary goes to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from noise_mitigation_spark.operators import tokenizer as T
+    from noise_mitigation_spark.session import get_spark
+
+    spark = get_spark("nm-bpe-bench", cores=32, shuffle_partitions=32)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    wf = T.word_freq_table(docs).localCheckpoint(eager=True)
+    out: dict = {"sf_dir": SF_DIR, "n_words": wf.count()}
+
+    for name, fn in (("full", T.train_bpe), ("incremental", T.train_bpe_incremental)):
+        walls = {}
+        merges_by_n = {}
+        for n in (64, 256):
+            t0 = time.time()
+            merges, _ = fn(wf, n_merges=n, min_pair_freq=2)
+            walls[n] = round(time.time() - t0, 1)
+            merges_by_n[n] = merges
+        out[name] = {
+            "wall_64": walls[64],
+            "wall_256": walls[256],
+            "growth_256_over_64": round(walls[256] / max(walls[64], 0.01), 2),
+            "n_merges_done": len(merges_by_n[256]),
+        }
+        out.setdefault("_merges", {})[name] = merges_by_n[256]
+
+    same = out["_merges"]["full"] == out["_merges"]["incremental"]
+    out["merges_identical"] = same
+    del out["_merges"]
+    out["incremental_speedup_at_256"] = round(
+        out["full"]["wall_256"] / max(out["incremental"]["wall_256"], 0.01), 2
+    )
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,7 @@ def main() -> None:
 
         docs_pdf = pd.read_parquet(
             f"{corpus_dir}/documents.parquet"
-        ).sort_values("doc_id")
+        ).sort_values(["repo", "path"])  # corpus docs key on provenance
         walls = {}
         lo = len(docs_pdf)
         for frac in (0.02, 0.08):
