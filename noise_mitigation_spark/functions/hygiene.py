@@ -1,0 +1,78 @@
+"""Code-corpus hygiene: secret scanning and PII redaction.
+
+The north-rule input is an Iceberg table of source-code repositories
+(repo, path, commit, lang, content) — before any of that content is
+usable as training data, leaked credentials and personal data must be
+flagged or scrubbed (the standard pre-release steps in code-corpus
+pipelines à la The Stack / StarCoder). Both operators here are pure
+JVM-side regexp expressions (`regexp_count` / `regexp_replace`) — one
+narrow map stage, no UDF, no shuffle — so they compose into any scan
+at zero plan cost and survive 100 TB trivially.
+
+Patterns are deliberately conservative (high-precision): an
+entropy-based second pass is the usual production companion, but the
+regex tier is the one every pipeline runs on all bytes.
+
+The synthetic benchmark corpus contains no secrets/PII by
+construction, so these are verified by fixture-injected unit tests
+(tests/test_hygiene.py) rather than a DuckDB gate row — the honest
+oracle for "did the regex hit exactly the planted spans".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- secret patterns (Java regex, anchored to high-precision shapes) ----
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key id: fixed prefix + 16 uppercase base36 chars
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    # PEM private-key block header (RSA/EC/OPENSSH/unqualified)
+    "pem_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    # assigned credential: key-ish name, = or :, then a long opaque value
+    "assigned": (
+        r"(?i)\b(?:api[_-]?key|secret|token|passwd|password)\b"
+        r"\s*[=:]\s*['\"]?[A-Za-z0-9_\-/+=]{8,}"
+    ),
+    # long hex blob (32+ chars): digests/keys pasted into code
+    "hex_blob": r"\b[0-9a-fA-F]{32,}\b",
+}
+
+# --- PII patterns -------------------------------------------------------
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # pattern -> replacement tag
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 9+ digit runs (phone/ssn/account-number shaped); shorter runs are
+    # overwhelmingly line numbers / constants in code
+    "long_digits": (r"\b\d{9,}\b", "<NUM>"),
+}
+
+
+def scan_secrets(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append one ``n_<kind>`` count column per secret pattern plus a
+    ``has_secret`` flag. Narrow per-row expressions only."""
+    out = df
+    total: Column = F.lit(0)
+    for kind, pat in SECRET_PATTERNS.items():
+        c = F.regexp_count(F.col(col), F.lit(pat))
+        out = out.withColumn(f"n_{kind}", c)
+        total = total + c
+    return out.withColumn("has_secret", (total > 0).cast("int"))
+
+
+def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """Replace each PII pattern with its tag and append per-kind match
+    counts (counted BEFORE replacement, so overlapping rules — an
+    email whose local part is digits — report what they each saw on
+    the original text). Emails are replaced before digit runs so the
+    narrower rule cannot eat part of a wider match."""
+    out = df
+    red: Column = F.col(col)
+    for kind, (pat, tag) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn(f"{col}_redacted", red)

@@ -4361,6 +4361,231 @@ FROM lf GROUP BY vec_id, cent_cos
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+# --------------------------------------------------------------------------
+# Sparse retrieval (tf-idf / BM25) — the lexical counterpart of the
+# dense ANN family; a training-data pipeline needs both (dense for
+# near-dup/semantic search, sparse for decontamination-style "find the
+# docs that mention X" and quality-slice retrieval).
+# --------------------------------------------------------------------------
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (smooth idf,
+    ln((N+1)/(df+1)) + 1 — the sklearn convention). Plan shape: one
+    tokenize pass feeds BOTH aggregates — tf shuffles on (doc_id,
+    token) with map-side partials, df collapses to a vocab-sized
+    table that joins back via maybe_broadcast, and the corpus-size
+    scalar N rides a broadcast 1-row aggregate. The per-doc top-3 cut
+    is a doc-partitioned window over rows already shrunk to distinct
+    (doc, term) — never a global sort. Ranking compares the ROUNDED
+    score (the cross-engine comparable) with a token tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    from .operators.joins import maybe_broadcast
+
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(maybe_broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1))
+                    + 1.0
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "score", "rnk")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         round(tf * (ln((n + 1) / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS score
+  FROM tf JOIN dft USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score, rnk
+FROM (SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+_BM25_QUERY_TERMS = ["spark", "hash", "join", "table", "scan"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 top-20 docs for a fixed term query — sparse lexical
+    retrieval (Robertson-Walker idf, k1=1.2, b=0.75). Plan shape: doc
+    lengths are a map-side projection; the query-term filter lands
+    BEFORE the tf aggregate, so only rows whose token is one of the
+    |q| query terms (a broadcast-trivial IN list) ever shuffle; df and
+    avgdl are vocab/1-row-sized broadcasts; the final cut is
+    TakeOrderedAndProject via _global_topk (k-heaps, no global sort).
+    Scores compare on the rounded-6 value with a doc_id tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    dl = tl.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    qtf = (
+        tl.select("doc_id", F.explode("t").alias("token"))
+        .filter(F.col("token").isin(_BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    return _global_topk(scored, 20, F.desc("score"), F.asc("doc_id"))
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qtf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM tl)
+  WHERE token IN ({terms})
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, count(*) AS df FROM qtf GROUP BY token),
+scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * ({_BM25_K1} + 1))
+           / (tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+         ), 6) AS score
+  FROM qtf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         AS rnk
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+SQL_BM25_RETRIEVAL = _sql_bm25()
+
+
+def q_doc_entropy(spark, sf_dir):
+    """Per-document token entropy + type-token ratio — the two
+    cheapest gibberish/boilerplate quality signals (low entropy =
+    repeated-token spam, low TTR = template text; both standard
+    pretraining-corpus filters next to the Gopher repetition rules).
+    Plan shape: one tokenize, one (doc, token) partial-agg count, one
+    per-doc fold — all keyed on doc_id, no corpus-wide state."""
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    tcn = tc.withColumn("n", F.sum("c").over(W.partitionBy("doc_id")))
+    g = tcn.groupBy("doc_id", "n").agg(
+        F.count("*").alias("n_types"),
+        F.round(
+            -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))),
+            6,
+        ).alias("entropy"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        F.round((F.col("n_types") / F.col("n")).cast("double"), 6).alias(
+            "ttr"
+        ),
+        "entropy",
+    )
+
+
+SQL_DOC_ENTROPY = """
+WITH tc AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id)
+SELECT tc.doc_id, CAST(n AS BIGINT) AS n_tokens, count(*) AS n_types,
+       round(count(*) / CAST(n AS DOUBLE), 6) AS ttr,
+       round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
+         AS entropy
+FROM tc JOIN tot USING (doc_id)
+GROUP BY tc.doc_id, n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_max": q_miml_max,
     "miml_avg": q_miml_avg,
@@ -4437,6 +4662,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "dsir_importance": q_dsir_importance,
     "semdedup": q_semdedup,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_retrieval": q_bm25_retrieval,
+    "doc_entropy": q_doc_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -4515,4 +4743,7 @@ ORACLES: dict[str, str] = {
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "dsir_importance": SQL_DSIR_IMPORTANCE,
     "semdedup": SQL_SEMDEDUP,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "bm25_retrieval": SQL_BM25_RETRIEVAL,
+    "doc_entropy": SQL_DOC_ENTROPY,
 }
