@@ -207,6 +207,11 @@ def train_bpe_incremental(
             "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
         ).alias("symbols"),
     ).localCheckpoint(eager=True)
+    # unaffected ∪ merged would DOUBLE the partition count every merge
+    # (2^n_merges blank tasks by merge ~19 — measured as a 524k-task
+    # stage at sf0.1); coalesce back to the starting layout each round
+    # (narrow — no shuffle) keeps every iteration the same size.
+    n_parts = vocab.rdd.getNumPartitions()
     stats = _pair_scores(vocab).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
@@ -221,8 +226,15 @@ def train_bpe_incremental(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        # NO eager checkpoint on affected/delta: each is consumed once
+        # downstream of the checkpointed `vocab`, so the stats/vocab
+        # checkpoints below materialize them in the SAME job — the two
+        # extra eager jobs per merge made the incremental trainer
+        # SLOWER than the full one at toy vocab sizes (measured 5 vs 2
+        # jobs/merge; per-job fixed overhead dominates until the
+        # corpus-vocab explode is the bottleneck).
         pred = _contains_adjacent("symbols", a, b)
-        affected = vocab.filter(pred).localCheckpoint(eager=True)
+        affected = vocab.filter(pred)
         unaffected = vocab.filter(~pred)
         merged = affected.select(
             "word", "freq", _apply_merge("symbols", a, b).alias("symbols")
@@ -240,7 +252,6 @@ def train_bpe_incremental(
                 ).alias("diff"),
             )
             .filter(F.col("diff") != 0)
-            .localCheckpoint(eager=True)
         )
         stats = (
             stats.join(delta, ["a", "b"], "full_outer")
@@ -255,7 +266,11 @@ def train_bpe_incremental(
             .filter(F.col("score") > 0)
             .localCheckpoint(eager=True)
         )
-        vocab = unaffected.unionByName(merged).localCheckpoint(eager=True)
+        vocab = (
+            unaffected.unionByName(merged)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
     return merges, vocab
 
 

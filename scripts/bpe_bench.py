@@ -23,13 +23,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+N_VOCAB = int(os.environ.get("NM_BPE_VOCAB", "20000"))
+
+
+def _synthetic_word_freqs(spark, n: int):
+    """Deterministic Zipfian (word, freq) table with a REALISTIC word
+    inventory — the sf0.1 synthetic corpus has only 30 distinct words
+    (its token alphabet is tiny by construction), which exhausts both
+    trainers after ~90 merges and hides the full trainer's per-merge
+    corpus-vocab explode behind fixed overheads. Real corpora carry
+    1e5+ word types; the trainer's input IS a (word, freq) table, so
+    benching on a synthesized one measures exactly the production
+    shape. Words = md5(i) hex mapped to letters a..p, length 6-12;
+    freq = Zipf 1/(i+1)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"bpe-{i}".encode()).hexdigest()
+        length = 6 + (int(h[:2], 16) % 7)
+        word = "".join(
+            "abcdefghijklmnop"[int(c, 16)] for c in h[2 : 2 + length]
+        )
+        rows.append((word, 1 + 200000 // (i + 1)))
+    df = spark.createDataFrame(rows, ["word", "freq"])
+    # duplicate hex-words collapse; re-aggregate to keep (word) unique
+    return df.groupBy("word").agg(F.sum("freq").alias("freq"))
+
+
 def main() -> None:
     from noise_mitigation_spark.operators import tokenizer as T
     from noise_mitigation_spark.session import get_spark
 
     spark = get_spark("nm-bpe-bench", cores=32, shuffle_partitions=32)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
-    wf = T.word_freq_table(docs).localCheckpoint(eager=True)
+    wf = _synthetic_word_freqs(spark, N_VOCAB).repartition(32)
+    wf = wf.localCheckpoint(eager=True)
     out: dict = {"sf_dir": SF_DIR, "n_words": wf.count()}
 
     for name, fn in (("full", T.train_bpe), ("incremental", T.train_bpe_incremental)):
