@@ -4586,6 +4586,265 @@ GROUP BY tc.doc_id, n
 """
 
 
+def q_context_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: documents are
+    concatenated in a fixed total order (doc_id) and the token stream
+    is cut into fixed-capacity training contexts (cap=256); each doc
+    reports its global token offset, the context it starts in, and
+    whether it straddles a context boundary (the attention-mask /
+    document-leakage accounting every packed-pretraining loader
+    needs). The global offset is operators/ranking.global_rank_prefix
+    — a two-pass range-partitioned prefix sum, NO single-task global
+    sort (the same substrate as pr_curve; at 10^10 docs the naive
+    ``Window.orderBy(doc_id)`` is the outage). All arithmetic is
+    integer, so cross-engine equality is exact."""
+    from .operators.ranking import global_rank_prefix
+
+    cap = 256
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    ranked = global_rank_prefix(
+        tl, [F.asc("doc_id")], "n_tokens", rank_name="rn", cum_name="cum"
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        start.cast("long").alias("start_off"),
+        F.floor(start / cap).cast("long").alias("seq_id"),
+        (F.floor(start / cap) != F.floor((F.col("cum") - 1) / cap))
+        .cast("int")
+        .alias("crosses"),
+    )
+
+
+SQL_CONTEXT_PACK = """
+WITH tl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tl WHERE n_tokens >= 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_off,
+       CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+       CASE WHEN floor((cum - n_tokens) / 256.0) <> floor((cum - 1) / 256.0)
+            THEN 1 ELSE 0 END AS crosses
+FROM r
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking with overlap (window=32
+    tokens, stride=24 — the standard RAG-indexing / long-doc
+    pretraining splitter): n_chunks = 1 + max(0, ceil((n−W)/S)), so
+    every token is covered, consecutive chunks overlap by W−S, and
+    the final chunk is the tail window. Map-side only — one array
+    split, one bounded explode per doc, zero shuffles; chunk text via
+    array slice (never re-tokenized). Integer + string output, exact
+    cross-engine."""
+    win, stride = 32, 24
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 1)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((F.size("t") - win) / F.lit(float(stride)))
+    ).cast("int")
+    sl = F.slice("t", F.col("chunk_id") * stride + 1, win)
+    return (
+        tl.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+            F.size(sl).cast("long").alias("chunk_len"),
+            F.array_join(sl, " ").alias("chunk_text"),
+        )
+    )
+
+
+SQL_DOC_CHUNKS = """
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM (SELECT doc_id, t,
+               1 + greatest(0, CAST(ceil((len(t) - 32) / 24.0) AS INT))
+                 AS n_chunks
+        FROM tl WHERE len(t) >= 1)
+)
+SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+       len(t[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS chunk_len,
+       array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def q_cluster_quality_keeper(spark, sf_dir):
+    """Quality-aware canonical-document selection: near-dup clusters
+    (the q_near_dup_clusters components) keep their HIGHEST-QUALITY
+    member — longest token count, doc_id as the total tiebreak —
+    instead of min-id (the FineWeb/CCNet keeper rule: when a template
+    family collapses to one survivor, keep the most content-bearing
+    variant). Composition: verified pairs → iterative CC
+    (operators/linking.py) → broadcast-sized cluster table joined to
+    per-doc token counts → one per-cluster window. The window
+    partitions by cluster_id, so no global sort; cluster count is
+    near-dup-bounded, not corpus-bounded."""
+    from .operators.linking import connected_components
+
+    pairs = q_near_dup_pairs(spark, sf_dir).select("d1", "d2")
+    nodes = (
+        pairs.select(F.col("d1").alias("node"))
+        .union(pairs.select(F.col("d2").alias("node")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    )
+    d = _t(spark, sf_dir, "documents")
+    ntok = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    m = comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(ntok, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        m.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_tokens",
+            (F.col("rnk") == 1).cast("int").alias("is_keeper"),
+        )
+    )
+
+
+SQL_CLUSTER_QUALITY_KEEPER = f"""
+WITH nd AS ({SQL_NEAR_DUP_PAIRS}),
+edges AS (
+  SELECT d1, d2 FROM nd UNION SELECT d2, d1 FROM nd
+),
+nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.src, e.d2 FROM r JOIN edges e ON r.dst = e.d1
+  )
+  SELECT * FROM r
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+ntok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, cluster_id, n_tokens,
+       CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_tokens DESC, doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS is_keeper
+FROM comp JOIN ntok USING (doc_id)
+"""
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC decontamination — the embedding-space twin of
+    q_decontaminate's exact 13-gram rule: corpus vectors that are
+    cosine-near a held-out BENCHMARK vector (vec_id % 50 == 0, the
+    same eval-slice convention as the ANN queries) are flagged even
+    when their text shares no n-gram (paraphrased leakage, the gap
+    exact decontamination cannot see). Scale shape: both sides get
+    the count(*)-adaptive sign-LSH bucket (expected occupancy ≈ 64,
+    the q_embedding_near_dup_production rule), the probe is a bucket
+    equi-join — benchmark vectors are |N|/50 and AQE broadcasts them
+    when small; the corpus side never shuffles by anything wider
+    than its bucket id. Dot-product folds are fixed-order on both
+    engines, so the cos ≥ 0.25 boundary and max_cos agree exactly."""
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
+    planes = _ann_planes(n_planes)
+    b = e.select(
+        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+    )
+    bench = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"), "bucket"
+    )
+    corpus = b.filter(F.col("vec_id") % 50 != 0)
+    hits = (
+        corpus.join(bench, "bucket")
+        .withColumn("cos", _cosine(F.col("embedding"), F.col("bv")))
+        .filter(F.col("cos") >= 0.25)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count("*").alias("n_hits"), F.round(F.max("cos"), 6).alias("max_cos")
+    )
+
+
+def _sql_semantic_decontaminate() -> str:
+    planes = _ann_planes(_NEARDUP_PLANES_MAX)
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH np AS (
+  SELECT greatest(6, CAST(ceil(log2(greatest(count(*) / 64.0, 2.0)))
+                          AS INT)) AS n
+  FROM embeddings
+), planes(i, p) AS (VALUES
+  {plane_rows}
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl CROSS JOIN np
+  WHERE pl.i < np.n
+  GROUP BY e.vec_id, e.embedding
+), hits AS (
+  SELECT c.vec_id,
+         list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS cos
+  FROM bucketed c JOIN bucketed b ON c.bucket = b.bucket
+  WHERE c.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+)
+SELECT vec_id, count(*) AS n_hits, round(max(cos), 6) AS max_cos
+FROM hits WHERE cos >= 0.25 GROUP BY vec_id
+"""
+
+
+SQL_SEMANTIC_DECONTAMINATE = _sql_semantic_decontaminate()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_max": q_miml_max,
     "miml_avg": q_miml_avg,
@@ -4665,6 +4924,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_retrieval": q_bm25_retrieval,
     "doc_entropy": q_doc_entropy,
+    "context_pack": q_context_pack,
+    "doc_chunks": q_doc_chunks,
+    "cluster_quality_keeper": q_cluster_quality_keeper,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -4746,4 +5009,8 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "doc_entropy": SQL_DOC_ENTROPY,
+    "context_pack": SQL_CONTEXT_PACK,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "cluster_quality_keeper": SQL_CLUSTER_QUALITY_KEEPER,
+    "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
 }

@@ -258,3 +258,22 @@ def test_graph_queries_plan_shapes(spark):
     for name in ("triangle_count", "degree_stats"):
         plan = _plan(Q.QUERIES[name](spark, SF))
         assert "], true, 0" not in plan, name
+
+
+def test_packing_chunking_family_plan_shapes(spark):
+    """Round-4 packing/chunking/selection family: context_pack rides
+    the same materialized range-partitioned prefix sum as pr_curve
+    (ExistingRDD, no single-task global sort); doc_chunks is pure
+    map-side (ZERO Exchange — one array slice + bounded explode per
+    doc); the keeper selection and semantic decontamination never
+    introduce a global sort (their windows/joins are keyed by
+    cluster_id / bucket)."""
+    plan = _plan(Q.q_context_pack(spark, SF))
+    assert "ExistingRDD" in plan
+    assert "], true, 0" not in plan
+    plan = _plan(Q.q_doc_chunks(spark, SF))
+    assert "Exchange" not in plan
+    assert "], true, 0" not in plan
+    for name in ("cluster_quality_keeper", "semantic_decontaminate"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "], true, 0" not in plan, name
