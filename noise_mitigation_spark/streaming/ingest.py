@@ -495,6 +495,7 @@ def streaming_cleaning_maintenance(
     docs_stream: DataFrame,
     out_dir: str,
     history_path: str,
+    compact_every: int = 50,
     **cleaning_params,
 ):
     """CONTINUOUS corpus hygiene: every microbatch of arriving
@@ -525,10 +526,23 @@ def streaming_cleaning_maintenance(
                 return _json.load(f)
         return {}
 
+    # every incremental absorption appends its own part files to these
+    _APPEND_STAGES = (
+        "doc_hashes", "band_keys", "rescue_keys", "near_pairs",
+        "bench_grams",
+    )
+
     def _absorb(batch_df: DataFrame, batch_id: int) -> None:
         ledger = _applied()
         if str(batch_id) in ledger:
             return
+        # heal a crashed compaction BEFORE touching stage data (same
+        # sink contract as streaming_kg_maintenance: a kill inside
+        # compact_stage's two-rename window leaves <stage>/data
+        # missing and run_cleaning_incremental reads these stages
+        # long before the every-Nth compact call would self-heal)
+        for _stage in _APPEND_STAGES:
+            _lineage.heal_compaction(out_dir, _stage)
         batch_df = batch_df.localCheckpoint(eager=True)
         n = batch_df.count()
         if n == 0:
@@ -567,6 +581,13 @@ def streaming_cleaning_maintenance(
         with open(ledger_path, "w") as f:
             _json.dump(ledger, f, indent=1)
         # (pins: the incremental plans release their own)
+        # periodic small-file maintenance, same trigger as the KG
+        # sink: after thousands of micro-batches the per-batch part
+        # files — not the bytes — dominate scan planning for the
+        # append stages (content/ledger/fingerprint-preserving)
+        if compact_every and (len(ledger) % compact_every == 0):
+            for stage in _APPEND_STAGES:
+                _lineage.compact_stage(spark, out_dir, stage)
 
     _os.makedirs(out_dir, exist_ok=True)
     return (

@@ -984,3 +984,70 @@ def test_giant_bucket_rescue_retraction(spark, tmp_path):
     f = {r[0]: r[2] for r in _flag_rows(ret)}  # doc_id -> near_dup
     for pid in (1, 3, 5):
         assert not f[pid], pid
+
+
+def test_cleaning_stream_heals_crashed_compaction(spark, tmp_path):
+    """Same sink contract as streaming_kg_maintenance: a kill inside
+    compact_stage's two-rename window leaves an append stage's data
+    dir missing (rows live under data__precompact), and the next
+    batch reads doc_hashes/band_keys/rescue_keys/near_pairs inside
+    run_cleaning_incremental long before the every-Nth compact call
+    would self-heal — the sink must heal at the top of every
+    foreachBatch or the stream wedges permanently."""
+    from noise_mitigation_spark.streaming import ingest
+
+    docs = _mk_docs()
+    src = tmp_path / "src"
+    src.mkdir()
+    hist = str(tmp_path / "history")
+    out_dir = str(tmp_path / "clean")
+    docs.iloc[:20].to_parquet(src / "part-0.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = ingest.streaming_cleaning_maintenance(
+        spark, stream, out_dir, hist, near_dup_tau=TAU
+    )
+    q.processAllAvailable()
+    q.stop()
+    # simulate the crash window on every append stage that exists
+    healed = []
+    for stage in (
+        "doc_hashes", "band_keys", "rescue_keys", "near_pairs",
+        "bench_grams",
+    ):
+        data = os.path.join(out_dir, stage, "data")
+        if os.path.isdir(data):
+            os.rename(data, data + "__precompact")
+            healed.append(stage)
+    assert "doc_hashes" in healed and "band_keys" in healed
+    docs.iloc[20:].to_parquet(src / "part-1.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = ingest.streaming_cleaning_maintenance(
+        spark, stream, out_dir, hist, near_dup_tau=TAU
+    )
+    q.processAllAvailable()
+    q.stop()
+    full = cleaning.run_cleaning(
+        spark,
+        spark.createDataFrame(docs),
+        str(tmp_path / "batch"),
+        near_dup_tau=TAU,
+    )
+    got = sorted(
+        (r["doc_id"], tuple(r["reasons"]), r["keep"])
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "doc_flags", "data")
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["reasons"]), r["keep"])
+        for r in full.flags.collect()
+    )
+    assert got == want
