@@ -69,7 +69,8 @@ HEADLINE = [
     "ivf_ann_trained", "joint_cost", "pagerank", "triangle_count",
     "rolling_fingerprint", "winnow_fingerprint", "lm_perplexity",
     "bpe_merge", "pq_ann", "embedding_near_dup_production", "ivf_pq_ann",
-    "lm_perplexity_bigram",
+    "lm_perplexity_bigram", "context_pack", "doc_chunks",
+    "cluster_quality_keeper", "semantic_decontaminate",
 ]  # fmt: skip
 
 
@@ -223,7 +224,7 @@ def measure_scaling(corpus_dir: str, n_docs: int) -> dict:
     # a second pair runs only when the first one looks degraded.
     ratio = SCALE_BIG / SCALE_SMALL
     pairs = []
-    for _ in range(2):
+    for _ in range(3):
         w_small = _scale_wall(corpus_dir, SCALE_SMALL)
         w_big = _scale_wall(corpus_dir, SCALE_BIG)
         pairs.append((w_small, w_big, (w_small / w_big) / ratio))

@@ -437,3 +437,118 @@ def test_embedding_near_dup_production_adapts_planes(spark, tmp_path):
     np.testing.assert_allclose(
         got["cos"].to_numpy(), want["cos"].to_numpy(), atol=1e-4
     )
+
+
+def test_context_pack_offsets_are_contiguous_and_flags_exact(spark):
+    """Packing laws, independent of the oracle: offsets in doc_id
+    order tile the token stream with no gap or overlap (start_off of
+    doc k = start_off + n_tokens of doc k−1), seq_id = start_off div
+    cap, and the crosses flag is set exactly when a doc's [start,
+    end) span touches two different cap-sized contexts."""
+    from noise_mitigation_spark import queries as Q
+
+    cap = 256
+    rows = sorted(
+        Q.q_context_pack(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        assert r["seq_id"] == off // cap
+        end = off + r["n_tokens"]
+        assert r["crosses"] == int(off // cap != (end - 1) // cap)
+        off = end
+
+
+def test_doc_chunks_cover_every_token_with_fixed_overlap(spark):
+    """Chunking laws: chunk k starts at k·stride; every token index is
+    inside ≥1 chunk; consecutive chunks overlap by window−stride
+    (except a shorter tail); re-joining chunk 0 reproduces the doc's
+    first `window` tokens verbatim."""
+    from noise_mitigation_spark import queries as Q
+
+    win, stride = 32, 24
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in Q._t(spark, sf, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in Q.q_doc_chunks(spark, sf).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in docs.items():
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        covered = set()
+        for k, r in enumerate(chunks):
+            assert r["chunk_id"] == k and r["start_tok"] == k * stride
+            got = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            want = toks[k * stride : k * stride + win]
+            assert got == want and r["chunk_len"] == len(want)
+            covered.update(range(k * stride, k * stride + len(want)))
+        assert covered == set(range(len(toks)))
+        # the final chunk starts before the doc ends (no empty tail)
+        assert chunks[-1]["start_tok"] < len(toks)
+
+
+def test_cluster_quality_keeper_picks_longest_per_cluster(spark):
+    """Exactly one keeper per cluster, and no member is strictly
+    longer than its cluster's keeper (doc_id breaks length ties)."""
+    from noise_mitigation_spark import queries as Q
+
+    rows = Q.q_cluster_quality_keeper(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    clusters: dict = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for members in clusters.values():
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1
+        k = keepers[0]
+        best = min(members, key=lambda r: (-r["n_tokens"], r["doc_id"]))
+        assert (k["doc_id"], k["n_tokens"]) == (best["doc_id"], best["n_tokens"])
+
+
+def test_semantic_decontaminate_agrees_with_bruteforce_within_buckets(spark):
+    """The bucketed probe must flag exactly the corpus vectors whose
+    best same-bucket benchmark cosine clears τ — verified against a
+    brute-force numpy recomputation of the same bucketing."""
+    import math
+
+    import numpy as np
+
+    from noise_mitigation_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in Q._t(spark, sf, "embeddings").collect()
+    }
+    n = len(emb)
+    planes = np.asarray(
+        Q._ann_planes(max(6, math.ceil(math.log2(max(n / 64, 2.0)))))
+    )
+    def bucket(v):
+        return sum(1 << i for i, p in enumerate(planes) if float(p @ v) > 0)
+
+    want = {}
+    for vid, v in emb.items():
+        if vid % 50 == 0:
+            continue
+        hits = [
+            float(v @ b / (np.linalg.norm(v) * np.linalg.norm(b)))
+            for bid, b in emb.items()
+            if bid % 50 == 0 and bucket(b) == bucket(v)
+        ]
+        hits = [h for h in hits if h >= 0.25]
+        if hits:
+            want[vid] = (len(hits), round(max(hits), 6))
+    got = {
+        r["vec_id"]: (r["n_hits"], round(r["max_cos"], 6))
+        for r in Q.q_semantic_decontaminate(spark, sf).collect()
+    }
+    assert got == want
