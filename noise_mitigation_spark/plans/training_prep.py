@@ -1,0 +1,149 @@
+"""Training-data preparation plan — corpus → packed training contexts
+as ONE composable, resumable Spark job.
+
+Composes the individually DuckDB-verified operators from queries.py
+into the standard LLM-pretraining prep recipe (the FineWeb/Dolma
+shape), each stage feeding the next:
+
+  documents(doc_id, text[, lang, source, ...])
+    ├─ 1. hygiene: plans/cleaning.run_cleaning (exact dup → LSH/
+    │     Jaccard/CC near-dup with the giant-bucket rescue layer →
+    │     repetition → decontamination) → clean_docs
+    ├─ 2. quality gate: doc_entropy_df (unigram entropy + type-token
+    │     ratio) over the clean survivors; docs below either floor
+    │     drop (gibberish / template boilerplate)
+    ├─ 3. mixture: mixture_weights_df — per-source token volume and
+    │     UniMax-style α-sampling weight over what actually survived
+    │     (weights computed on the pre-filter corpus would over-
+    │     sample domains the hygiene stages decimated)
+    └─ 4. packing: context_pack_df — global token offsets via the
+          range-partitioned prefix sum, training-context ids at
+          ``seq_cap`` tokens, boundary-straddle accounting
+  → TrainingPrepResult(clean_docs, quality_docs, mixture, packed)
+
+Every kernel is the SAME function its gated query runs (never
+forked — the CLAUDE.md rule), so the driver's DuckDB gate transitively
+verifies this plan's arithmetic; the composition itself is tested by
+re-deriving each stage from the queries in tests/test_training_prep.py.
+
+Scale shape: stages 1-2 are hash aggregations and equi/semi-joins
+keyed on doc_id (the cleaning plan's 100 TB story is documented at
+its own header), stage 3 collapses to |sources| rows before its only
+cross-join (a broadcast 1-row normalizer), and stage 4 is the
+pr_curve prefix-sum substrate — no single-task global sort anywhere.
+
+With ``out_dir`` set, the cleaning stages materialize under
+``<out_dir>/cleaning`` and the prep stages (quality_flags,
+mixture_weights, packed_contexts) under ``out_dir`` through
+plans/lineage.py, fingerprint-chained on corpus content AND every
+threshold, so a resubmit resumes from manifests and a changed
+threshold recomputes exactly the affected tables.
+
+Reference contact: the reference trains on pre-packed ClueWeb
+extracts (src/typing/make_fuel_dataset.py builds fixed-width context
+windows); this plan is the corpus-side production of that input at
+scale, part of the training-data-pipeline surface the build brief
+mandates.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import context_pack_df, doc_entropy_df, mixture_weights_df
+from . import lineage
+from .cleaning import CleaningResult, run_cleaning
+
+
+@dataclass
+class TrainingPrepResult:
+    cleaning: CleaningResult
+    quality_flags: DataFrame  # doc_id, n_tokens, n_types, ttr, entropy, keep
+    quality_docs: DataFrame  # input columns, hygiene+quality survivors
+    mixture: DataFrame | None  # source, n_docs, n_tokens, weight (None if no source col)
+    packed: DataFrame  # doc_id, n_tokens, start_off, seq_id, crosses
+    stats: dict = field(default_factory=dict)
+
+
+def run_training_prep(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str | None = None,
+    *,
+    seq_cap: int = 256,
+    min_entropy: float = 1.0,
+    min_ttr: float = 0.05,
+    **cleaning_params,
+) -> TrainingPrepResult:
+    cleaning = run_cleaning(
+        spark,
+        docs.select("doc_id", "text"),
+        out_dir=os.path.join(out_dir, "cleaning") if out_dir else None,
+        **cleaning_params,
+    )
+    # keep the caller's full schema (lang/source/...) for the
+    # survivors — the cleaning plan only needs (doc_id, text)
+    clean_full = docs.join(
+        cleaning.clean_docs.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    qf = doc_entropy_df(clean_full).withColumn(
+        "keep",
+        (F.col("entropy") >= min_entropy) & (F.col("ttr") >= min_ttr),
+    )
+    params = f"cap:{seq_cap}:ent:{min_entropy}:ttr:{min_ttr}"
+    fp = None
+    if out_dir is not None:
+        fp = lineage.fingerprint_df(
+            docs.select("doc_id", F.md5("text").alias("h"))
+        )
+        qf = lineage.materialize(
+            spark, qf, out_dir, "quality_flags", f"{fp}:{params}"
+        )
+    quality_docs = clean_full.join(
+        qf.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    mixture = None
+    if "source" in docs.columns:
+        mixture = mixture_weights_df(quality_docs)
+        if out_dir is not None:
+            mixture = lineage.materialize(
+                spark, mixture, out_dir, "mixture_weights", f"{fp}:{params}"
+            )
+
+    packed = context_pack_df(quality_docs, cap=seq_cap)
+    if out_dir is not None:
+        packed = lineage.materialize(
+            spark, packed, out_dir, "packed_contexts", f"{fp}:{params}"
+        )
+
+    total = docs.count()
+    n_clean = cleaning.stats.get("kept", 0)
+    n_quality = qf.filter(F.col("keep")).count()
+    pk = packed.agg(
+        F.coalesce(F.max(F.col("seq_id")) + 1, F.lit(0)).alias("n_contexts"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.sum("crosses"), F.lit(0)).alias("n_straddlers"),
+    ).collect()[0]
+    stats = {
+        "total": total,
+        "clean": n_clean,
+        "quality": n_quality,
+        "n_contexts": int(pk["n_contexts"]),
+        "n_tokens": int(pk["n_tokens"]),
+        "n_straddlers": int(pk["n_straddlers"]),
+        "seq_cap": seq_cap,
+    }
+    return TrainingPrepResult(
+        cleaning=cleaning,
+        quality_flags=qf,
+        quality_docs=quality_docs,
+        mixture=mixture,
+        packed=packed,
+        stats=stats,
+    )

@@ -4069,7 +4069,12 @@ def q_mixture_weights(spark, sf_dir):
     broadcast 1-row aggregate over that TINY table — the 100 TB side
     is touched exactly once, everything after is domain-cardinality
     sized."""
-    d = _t(spark, sf_dir, "documents")
+    return mixture_weights_df(_t(spark, sf_dir, "documents"))
+
+
+def mixture_weights_df(d: DataFrame) -> DataFrame:
+    """DataFrame core of q_mixture_weights — also composed by
+    plans/training_prep.py (shared kernel, never forked)."""
     per = (
         d.select(
             "source",
@@ -4537,7 +4542,12 @@ def q_doc_entropy(spark, sf_dir):
     pretraining-corpus filters next to the Gopher repetition rules).
     Plan shape: one tokenize, one (doc, token) partial-agg count, one
     per-doc fold — all keyed on doc_id, no corpus-wide state."""
-    d = _t(spark, sf_dir, "documents")
+    return doc_entropy_df(_t(spark, sf_dir, "documents"))
+
+
+def doc_entropy_df(d: DataFrame) -> DataFrame:
+    """DataFrame core of q_doc_entropy — also composed by
+    plans/training_prep.py (shared kernel, never forked)."""
     tc = (
         d.select(
             "doc_id",
@@ -4598,10 +4608,14 @@ def q_context_pack(spark, sf_dir):
     sort (the same substrate as pr_curve; at 10^10 docs the naive
     ``Window.orderBy(doc_id)`` is the outage). All arithmetic is
     integer, so cross-engine equality is exact."""
+    return context_pack_df(_t(spark, sf_dir, "documents"))
+
+
+def context_pack_df(d: DataFrame, cap: int = 256) -> DataFrame:
+    """DataFrame core of q_context_pack — also composed by
+    plans/training_prep.py (shared kernel, never forked)."""
     from .operators.ranking import global_rank_prefix
 
-    cap = 256
-    d = _t(spark, sf_dir, "documents")
     tl = d.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda x: x != ""))

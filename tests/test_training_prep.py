@@ -1,0 +1,143 @@
+"""Training-data prep plan (plans/training_prep.py): composition
+wiring, stage laws, and manifest resume. The ARITHMETIC of every
+stage is verified at its query twin (DuckDB gate); these tests pin
+the COMPOSITION — each stage consumes exactly the previous stage's
+survivors, thresholds act, and lineage resumes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.plans import training_prep
+from noise_mitigation_spark.queries import (
+    context_pack_df,
+    doc_entropy_df,
+)
+
+_WORDS = [f"w{i:03d}" for i in range(130)]
+
+
+def _mk_docs() -> pd.DataFrame:
+    rows = []
+    for i in range(40):
+        # varied docs: per-doc token slice so entropy/ttr differ
+        toks = [_WORDS[(i * 7 + k) % len(_WORDS)] for k in range(20 + i)]
+        rows.append((i, " ".join(toks), f"src{i % 4}"))
+    # exact dup pair (41 drops)
+    rows.append((41, rows[3][1], "src1"))
+    # low-entropy survivor bait: few types but long (ttr low)
+    rows.append((42, " ".join(["alpha", "beta"] * 30), "src2"))
+    # near-dup pair at high tau (43 keeps min-id 7? no — cluster keeper
+    # is min doc_id, so 43 drops)
+    rows.append((43, rows[7][1] + " tailword", "src3"))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+
+
+@pytest.fixture(scope="module")
+def prep(spark, tmp_path_factory):
+    docs = spark.createDataFrame(_mk_docs())
+    out = str(tmp_path_factory.mktemp("prep") / "run")
+    res = training_prep.run_training_prep(
+        spark, docs, out, min_entropy=1.2, min_ttr=0.05, near_dup_tau=0.8
+    )
+    return docs, out, res
+
+
+def test_stages_consume_previous_survivors(spark, prep):
+    docs, out, res = prep
+    clean_ids = {r["doc_id"] for r in res.cleaning.clean_docs.collect()}
+    q_ids = {r["doc_id"] for r in res.quality_docs.collect()}
+    packed_ids = {r["doc_id"] for r in res.packed.collect()}
+    assert q_ids <= clean_ids
+    assert packed_ids == q_ids  # every survivor has ≥1 token here
+    # hygiene acted: the exact dup and the near dup are gone
+    assert 41 not in clean_ids and 43 not in clean_ids
+    # quality acted: the 2-type doc fails the entropy floor
+    flags = {r["doc_id"]: r for r in res.quality_flags.collect()}
+    if 42 in clean_ids:
+        assert not flags[42]["keep"] and 42 not in q_ids
+
+
+def test_quality_gate_matches_kernel(spark, prep):
+    docs, out, res = prep
+    clean_full = docs.join(
+        res.cleaning.clean_docs.select("doc_id"), "doc_id", "left_semi"
+    )
+    want = {
+        r["doc_id"]
+        for r in doc_entropy_df(clean_full)
+        .filter((F.col("entropy") >= 1.2) & (F.col("ttr") >= 0.05))
+        .collect()
+    }
+    assert {r["doc_id"] for r in res.quality_docs.collect()} == want
+
+
+def test_packing_matches_kernel_and_stats(spark, prep):
+    docs, out, res = prep
+    want = sorted(
+        tuple(r) for r in context_pack_df(res.quality_docs).collect()
+    )
+    got = sorted(tuple(r) for r in res.packed.collect())
+    assert got == want
+    st = res.stats
+    assert st["quality"] == res.quality_docs.count()
+    assert st["n_tokens"] == sum(r[1] for r in got)
+    assert st["n_contexts"] == max(r[3] for r in got) + 1
+    assert st["n_straddlers"] == sum(r[4] for r in got)
+
+
+def test_mixture_over_survivors_only(spark, prep):
+    docs, out, res = prep
+    per_src = {
+        r["source"]: r["n_docs"]
+        for r in res.quality_docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .collect()
+    }
+    got = {r["source"]: r["n_docs"] for r in res.mixture.collect()}
+    assert got == per_src
+    w = sum(r["weight"] for r in res.mixture.collect())
+    assert abs(w - 1.0) < 1e-4
+
+
+def test_resume_reuses_manifests(spark, prep):
+    docs, out, res = prep
+    stages = ["quality_flags", "mixture_weights", "packed_contexts"]
+    mt0 = {
+        s: os.path.getmtime(os.path.join(out, s, "_manifest.json"))
+        for s in stages
+    }
+    res2 = training_prep.run_training_prep(
+        spark, docs, out, min_entropy=1.2, min_ttr=0.05, near_dup_tau=0.8
+    )
+    mt1 = {
+        s: os.path.getmtime(os.path.join(out, s, "_manifest.json"))
+        for s in stages
+    }
+    assert mt0 == mt1
+    assert res2.stats == res.stats
+
+
+def test_threshold_change_recomputes_only_prep_stages(spark, prep):
+    docs, out, res = prep
+    clean_manifest = os.path.join(
+        out, "cleaning", "doc_flags", "_manifest.json"
+    )
+    mt_clean = os.path.getmtime(clean_manifest)
+    res3 = training_prep.run_training_prep(
+        spark, docs, out, min_entropy=99.0, min_ttr=0.05, near_dup_tau=0.8
+    )
+    # cleaning untouched (same corpus + tau), prep stages recomputed
+    assert os.path.getmtime(clean_manifest) == mt_clean
+    assert res3.stats["quality"] == 0
+    assert res3.packed.count() == 0
+    # fingerprint chaining: the old threshold's manifest was replaced
+    mf = json.load(
+        open(os.path.join(out, "quality_flags", "_manifest.json"))
+    )
+    assert "ent:99.0" in mf["input_fingerprint"]
