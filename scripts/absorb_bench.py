@@ -1,0 +1,107 @@
+"""Steady-state absorption cost: the incremental-cleaning claim is
+"absorbing a delta costs ~the delta, not the history" — this measures
+it directly. K equal batches absorb sequentially into one state dir;
+if the claim holds, wall(batch k) stays ~flat while the stored state
+(hashes, band keys, rescue keys, pairs, components) grows k×. A
+from-scratch run over everything absorbed runs LAST in the same
+session for the honest denominator (same VM window).
+
+The corpus is the sf0.1 documents table (template-heavy — every batch
+touches the giant LSH collision bucket, so this is the ADVERSARIAL
+case for the rescue layer's incremental path, not a soft one).
+
+Usage: python scripts/absorb_bench.py [--batches 10] [--batch-size 500]
+Prints one JSON blob; paste the summary into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from noise_mitigation_spark.plans import cleaning
+from noise_mitigation_spark.session import get_spark
+
+SRC = os.environ.get("NM_ABSORB_SRC", "/root/testdata/sf0.1/documents.parquet")
+OUT = "/tmp/nm_absorb_bench"
+TAU = 0.5
+
+
+def main() -> None:
+    n_batches = 10
+    batch_size = 500
+    if "--batches" in sys.argv:
+        n_batches = int(sys.argv[sys.argv.index("--batches") + 1])
+    if "--batch-size" in sys.argv:
+        batch_size = int(sys.argv[sys.argv.index("--batch-size") + 1])
+
+    spark = get_spark("nm-absorb-bench", cores=32, shuffle_partitions=32)
+    docs = (
+        spark.read.parquet(SRC)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < n_batches * batch_size)
+        .localCheckpoint(eager=True)  # one read, stable batches
+    )
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    walls = []
+    t0 = time.time()
+    b0 = docs.filter(F.col("doc_id") < batch_size)
+    cleaning.run_cleaning(spark, b0, out_dir=OUT, near_dup_tau=TAU)
+    walls.append(round(time.time() - t0, 1))
+    for k in range(1, n_batches):
+        lo, hi = k * batch_size, (k + 1) * batch_size
+        delta = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        hist = docs.filter(F.col("doc_id") < lo)
+        t0 = time.time()
+        cleaning.run_cleaning_incremental(
+            spark, delta, hist, OUT, near_dup_tau=TAU
+        )
+        walls.append(round(time.time() - t0, 1))
+
+    # honest denominator: from-scratch over everything absorbed,
+    # same session, same window
+    t0 = time.time()
+    full = cleaning.run_cleaning(
+        spark, docs, out_dir=None, near_dup_tau=TAU
+    )
+    full_wall = round(time.time() - t0, 1)
+
+    state_rows = {}
+    for stage in (
+        "doc_hashes", "band_keys", "rescue_keys", "near_pairs", "components",
+    ):
+        p = os.path.join(OUT, stage, "data")
+        if os.path.isdir(p):
+            state_rows[stage] = spark.read.parquet(p).count()
+
+    print(
+        json.dumps(
+            {
+                "n_batches": n_batches,
+                "batch_size": batch_size,
+                "bootstrap_wall_sec": walls[0],
+                "absorb_walls_sec": walls[1:],
+                "first_absorb": walls[1] if len(walls) > 1 else None,
+                "last_absorb": walls[-1] if len(walls) > 1 else None,
+                "flatness_last_over_first": round(walls[-1] / walls[1], 2)
+                if len(walls) > 2
+                else None,
+                "full_recompute_same_window_sec": full_wall,
+                "final_state_rows": state_rows,
+                "full_stats": full.stats,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
