@@ -1,0 +1,62 @@
+"""spark-submit entrypoint for the training-data prep plan.
+
+    spark-submit --py-files nm_spark.zip jobs/run_training_prep.py \
+        --documents /data/corpus/documents.parquet \
+        --out       /data/prep_out
+
+Runs the composed corpus → packed-training-contexts pipeline
+(plans/training_prep.py): hygiene (exact dup → near-dup → repetition →
+decontamination, materialized under <out>/cleaning) → entropy/TTR
+quality gate → per-source UniMax mixture weights over the survivors →
+prefix-sum sequence packing at --seq-cap tokens. Every stage
+materializes with lineage manifests; a re-submit with the same
+inputs+thresholds resumes, a changed threshold recomputes exactly the
+affected stages. Prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="training-data prep pipeline")
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seq-cap", type=int, default=256)
+    ap.add_argument("--min-entropy", type=float, default=1.0)
+    ap.add_argument("--min-ttr", type=float, default=0.05)
+    ap.add_argument("--near-dup-tau", type=float, default=0.5)
+    ap.add_argument("--rep-dup-tri-max", type=float, default=0.02)
+    ap.add_argument("--rep-top-bi-max", type=float, default=0.08)
+    ap.add_argument("--benchmark-mod", type=int, default=17)
+    ap.add_argument("--n-hubs", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from noise_mitigation_spark.plans import training_prep
+    from noise_mitigation_spark.session import get_spark
+
+    spark = get_spark("nm-training-prep")
+    docs = spark.read.parquet(args.documents)
+    res = training_prep.run_training_prep(
+        spark,
+        docs,
+        args.out,
+        seq_cap=args.seq_cap,
+        min_entropy=args.min_entropy,
+        min_ttr=args.min_ttr,
+        near_dup_tau=args.near_dup_tau,
+        rep_dup_tri_max=args.rep_dup_tri_max,
+        rep_top_bi_max=args.rep_top_bi_max,
+        benchmark_mod=args.benchmark_mod,
+        n_hubs=args.n_hubs,
+    )
+    print(json.dumps({**res.stats, "out": args.out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
