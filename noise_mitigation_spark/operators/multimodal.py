@@ -171,10 +171,12 @@ def parse_png(payload: bytes) -> tuple[np.ndarray, int, int] | None:
     if len(raw) != h * (stride + 1):
         return None
     # scanline filter reconstruction: each row is prefixed by its
-    # filter type; Sub/Average/Paeth are inherently sequential per
-    # pixel (each byte depends on the just-reconstructed left
-    # neighbor), Up is vectorized. int16/int32 intermediates keep the
-    # mod-256 arithmetic explicit.
+    # filter type. Up is elementwise and Sub is a per-channel prefix
+    # sum mod 256 (out[i] = raw[i] + out[i-bpp] telescopes), so both
+    # vectorize; only Average and Paeth are inherently sequential per
+    # pixel (the predictor mixes the just-reconstructed left neighbor
+    # through a nonlinear function). int32/uint64 intermediates keep
+    # the mod-256 arithmetic explicit.
     bpp = channels
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
@@ -185,9 +187,12 @@ def parse_png(payload: bytes) -> tuple[np.ndarray, int, int] | None:
         p += stride + 1
         if ft == 0:
             pass
-        elif ft == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 1:  # Sub — cumsum per channel (Sub is the filter
+            # real encoders emit most, so this is the hot row type)
+            for c in range(bpp):
+                line[c::bpp] = (
+                    np.cumsum(line[c::bpp], dtype=np.uint64) & 0xFF
+                ).astype(np.int32)
         elif ft == 2:  # Up
             line = (line + prev) & 0xFF
         elif ft == 3:  # Average

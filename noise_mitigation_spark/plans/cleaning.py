@@ -149,7 +149,7 @@ def near_dup_pairs_for(
     band = band_keys_for(docs)
     giant_docs = docs.join(giant_members_of(band), "doc_id", "left_semi")
     cands = (
-        _hybrid_pairs_from_keys(band, n_hubs=n_hubs)
+        _hybrid_pairs_from_keys(band, max_bucket=_MAX_BUCKET, n_hubs=n_hubs)
         .union(rescue_pairs_from_keys(rescue_keys_for(giant_docs), n_hubs))
         .distinct()
     )
@@ -191,7 +191,7 @@ def neardup_recall_report(
 
     def _hybrid_side(k: int) -> dict:
         hybrid_c = _pin(
-            _hybrid_pairs_from_keys(band, n_hubs=k)
+            _hybrid_pairs_from_keys(band, max_bucket=_MAX_BUCKET, n_hubs=k)
             .union(rescue_pairs_from_keys(rkeys, k))
             .distinct()
         )
@@ -251,7 +251,7 @@ def _near_dup_state(
         docs.join(giant_members_of(band), "doc_id", "left_semi")
     )
     cands = (
-        _hybrid_pairs_from_keys(band, n_hubs=n_hubs)
+        _hybrid_pairs_from_keys(band, max_bucket=_MAX_BUCKET, n_hubs=n_hubs)
         .union(rescue_pairs_from_keys(rkeys, n_hubs))
         .distinct()
     )
@@ -534,7 +534,8 @@ def run_cleaning_incremental(
     from .incremental import append_stage, delta_already_absorbed
 
     # Crash-window bookkeeping: the append stages advance in order
-    # (doc_hashes → band_keys → near_pairs → bench_grams → rewrites),
+    # (doc_hashes → band_keys → rescue_keys → near_pairs → bench_grams
+    # → rewrites),
     # so a replay can find THIS delta partially absorbed. The
     # additive fingerprint lets us recover the PRE-delta doc
     # fingerprint by subtraction, and "fully absorbed" is judged by
@@ -647,7 +648,7 @@ def run_cleaning_incremental(
         .join(delta_buckets, ["band", "band_key"], "left_semi")
     )
     delta_ids = delta_surv.select("doc_id")
-    cands = _hybrid_pairs_from_keys(keyed_touched, n_hubs=n_hubs).join(
+    cands = _hybrid_pairs_from_keys(keyed_touched, max_bucket=_MAX_BUCKET, n_hubs=n_hubs).join(
         delta_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
     )
 
@@ -1051,7 +1052,7 @@ def run_cleaning_retraction(
     keyed_touched_p = band_with_promoted.join(
         promo_buckets, ["band", "band_key"], "left_semi"
     )
-    pc = _pin(_hybrid_pairs_from_keys(keyed_touched_p, n_hubs=n_hubs))
+    pc = _pin(_hybrid_pairs_from_keys(keyed_touched_p, max_bucket=_MAX_BUCKET, n_hubs=n_hubs))
     promo_cands = (
         pc.join(
             promoted_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"

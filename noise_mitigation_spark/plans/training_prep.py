@@ -95,14 +95,18 @@ def run_training_prep(
         "keep",
         (F.col("entropy") >= min_entropy) & (F.col("ttr") >= min_ttr),
     )
-    params = f"cap:{seq_cap}:ent:{min_entropy}:ttr:{min_ttr}"
+    # fingerprint only on what each stage DEPENDS on: quality_flags
+    # and mixture_weights do not read seq_cap, so a --seq-cap sweep
+    # (the knob most likely to be swept) resumes them and recomputes
+    # only packed_contexts
+    q_params = f"ent:{min_entropy}:ttr:{min_ttr}"
     fp = None
     if out_dir is not None:
         fp = lineage.fingerprint_df(
             docs.select("doc_id", F.md5("text").alias("h"))
         )
         qf = lineage.materialize(
-            spark, qf, out_dir, "quality_flags", f"{fp}:{params}"
+            spark, qf, out_dir, "quality_flags", f"{fp}:{q_params}"
         )
     quality_docs = clean_full.join(
         qf.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
@@ -113,28 +117,32 @@ def run_training_prep(
         mixture = mixture_weights_df(quality_docs)
         if out_dir is not None:
             mixture = lineage.materialize(
-                spark, mixture, out_dir, "mixture_weights", f"{fp}:{params}"
+                spark, mixture, out_dir, "mixture_weights", f"{fp}:{q_params}"
             )
 
     packed = context_pack_df(quality_docs, cap=seq_cap)
     if out_dir is not None:
         packed = lineage.materialize(
-            spark, packed, out_dir, "packed_contexts", f"{fp}:{params}"
+            spark, packed, out_dir, "packed_contexts",
+            f"{fp}:{q_params}:cap:{seq_cap}",
         )
 
     total = docs.count()
     n_clean = cleaning.stats.get("kept", 0)
     n_quality = qf.filter(F.col("keep")).count()
     pk = packed.agg(
-        F.coalesce(F.max(F.col("seq_id")) + 1, F.lit(0)).alias("n_contexts"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
         F.coalesce(F.sum("crosses"), F.lit(0)).alias("n_straddlers"),
     ).collect()[0]
+    # n_contexts = ceil(total_tokens / cap), NOT max(seq_id)+1: seq_id
+    # is the context a doc STARTS in, so contexts occupied only by the
+    # tail of the last (straddling) doc would be missed
+    n_contexts = int(-(-int(pk["n_tokens"]) // seq_cap))
     stats = {
         "total": total,
         "clean": n_clean,
         "quality": n_quality,
-        "n_contexts": int(pk["n_contexts"]),
+        "n_contexts": n_contexts,
         "n_tokens": int(pk["n_tokens"]),
         "n_straddlers": int(pk["n_straddlers"]),
         "seq_cap": seq_cap,

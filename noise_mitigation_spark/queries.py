@@ -1191,51 +1191,29 @@ def _hybrid_pairs_from_keys(
     borderline-τ pairs get K chances to verify through a shared hub.
     ``max_bucket=None`` disables the cap entirely — the ALL-PAIRS
     ground-truth generator the recall instrumentation compares
-    against (quadratic; bench/diagnostics only)."""
+    against (quadratic; bench/diagnostics only).
+
+    The capped path IS pairs_with_cap (one copy of the cap rule —
+    the primary and rescue layers must never drift apart); only the
+    uncapped ground-truth branch lives here."""
+    if max_bucket is not None:
+        return pairs_with_cap(
+            keyed, ["band", "band_key"], max_bucket=max_bucket, n_hubs=n_hubs
+        )
     stats = keyed.groupBy("band", "band_key").agg(
         F.count("*").alias("m")
     ).filter(F.col("m") >= 2)
     sized = keyed.join(stats, ["band", "band_key"])
-    small = sized if max_bucket is None else sized.filter(F.col("m") <= max_bucket)
-    small_pairs = (
-        small.select("band", "band_key", F.col("doc_id").alias("d1"))
+    return (
+        sized.select("band", "band_key", F.col("doc_id").alias("d1"))
         .join(
-            small.select("band", "band_key", F.col("doc_id").alias("d2")),
+            sized.select("band", "band_key", F.col("doc_id").alias("d2")),
             ["band", "band_key"],
         )
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
+        .distinct()
     )
-    if max_bucket is None:
-        return small_pairs.distinct()
-    giant = sized.filter(F.col("m") > max_bucket)
-    if n_hubs == 1:
-        # the single hub is the bucket min — a plain aggregate, no
-        # per-bucket window sort over the (by definition largest)
-        # buckets in the default production path
-        hubs = giant.groupBy("band", "band_key").agg(
-            F.min("doc_id").alias("hub")
-        )
-    else:
-        hubs = (
-            giant.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("band", "band_key").orderBy("doc_id")
-                ),
-            )
-            .filter(F.col("rn") <= n_hubs)
-            .select("band", "band_key", F.col("doc_id").alias("hub"))
-        )
-    giant_star = (
-        giant.join(hubs, ["band", "band_key"])
-        .filter(F.col("hub") != F.col("doc_id"))
-        .select(
-            F.least("hub", "doc_id").alias("d1"),
-            F.greatest("hub", "doc_id").alias("d2"),
-        )
-    )
-    return small_pairs.union(giant_star).distinct()
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):

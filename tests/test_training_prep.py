@@ -87,7 +87,10 @@ def test_packing_matches_kernel_and_stats(spark, prep):
     st = res.stats
     assert st["quality"] == res.quality_docs.count()
     assert st["n_tokens"] == sum(r[1] for r in got)
-    assert st["n_contexts"] == max(r[3] for r in got) + 1
+    # ceil(total/cap), not max(seq_id)+1 — a straddling final doc
+    # occupies contexts past the last START id
+    assert st["n_contexts"] == -(-st["n_tokens"] // 256)
+    assert st["n_contexts"] >= max(r[3] for r in got) + 1
     assert st["n_straddlers"] == sum(r[4] for r in got)
 
 
@@ -141,3 +144,34 @@ def test_threshold_change_recomputes_only_prep_stages(spark, prep):
         open(os.path.join(out, "quality_flags", "_manifest.json"))
     )
     assert "ent:99.0" in mf["input_fingerprint"]
+
+
+def test_seq_cap_change_resumes_quality_and_mixture(spark, tmp_path):
+    """quality_flags and mixture_weights do not depend on seq_cap —
+    sweeping --seq-cap must resume both and recompute only
+    packed_contexts."""
+    docs = spark.createDataFrame(_mk_docs())
+    out = str(tmp_path / "capsweep")
+    training_prep.run_training_prep(
+        spark, docs, out, seq_cap=256, near_dup_tau=0.8
+    )
+    mt_q = os.path.getmtime(os.path.join(out, "quality_flags", "_manifest.json"))
+    mt_m = os.path.getmtime(
+        os.path.join(out, "mixture_weights", "_manifest.json")
+    )
+    mt_p = os.path.getmtime(
+        os.path.join(out, "packed_contexts", "_manifest.json")
+    )
+    res = training_prep.run_training_prep(
+        spark, docs, out, seq_cap=64, near_dup_tau=0.8
+    )
+    assert os.path.getmtime(
+        os.path.join(out, "quality_flags", "_manifest.json")
+    ) == mt_q
+    assert os.path.getmtime(
+        os.path.join(out, "mixture_weights", "_manifest.json")
+    ) == mt_m
+    assert os.path.getmtime(
+        os.path.join(out, "packed_contexts", "_manifest.json")
+    ) > mt_p
+    assert res.stats["n_contexts"] == -(-res.stats["n_tokens"] // 64)
