@@ -4837,6 +4837,96 @@ FROM hits WHERE cos >= 0.25 GROUP BY vec_id
 SQL_SEMANTIC_DECONTAMINATE = _sql_semantic_decontaminate()
 
 
+def q_semantic_decontaminate_multiprobe(spark, sf_dir):
+    """Recall-hardened semantic decontamination — the multi-probe twin
+    of q_semantic_decontaminate (same relationship as q_ann_multiprobe
+    to q_ann_lsh): a contaminated vector whose benchmark neighbor sits
+    just across one hyperplane is invisible to the single-bucket
+    probe, so each CORPUS vector also probes the n_planes buckets at
+    Hamming distance 1. Candidates grow (n_planes+1)×, still
+    bucket-join-bounded — at 10^9 vectors that is |N|·(p+1)/2^p per
+    probe side, never the crossJoin. Multi-probe hits on the same
+    (corpus, benchmark) pair dedupe before counting, so n_hits stays
+    comparable with the single-probe twin (⊇, never reordered)."""
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
+    planes = _ann_planes(n_planes)
+    b = e.select(
+        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+    )
+    bench = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"), "bucket"
+    )
+    flips = spark.createDataFrame(
+        [(0,)] + [(2**i,) for i in range(n_planes)], "flip long"
+    )
+    corpus = (
+        b.filter(F.col("vec_id") % 50 != 0)
+        .crossJoin(F.broadcast(flips))
+        .withColumn("probe", F.col("bucket").bitwiseXOR(F.col("flip")))
+        .select("vec_id", "embedding", F.col("probe").alias("bucket"))
+    )
+    hits = (
+        corpus.join(bench, "bucket")
+        .select("vec_id", "bid", _cosine(F.col("embedding"), F.col("bv")).alias("cos"))
+        .filter(F.col("cos") >= 0.25)
+        .groupBy("vec_id", "bid")  # dedupe multi-probe hits per pair
+        .agg(F.max("cos").alias("cos"))
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count("*").alias("n_hits"), F.round(F.max("cos"), 6).alias("max_cos")
+    )
+
+
+def _sql_semantic_decontaminate_multiprobe() -> str:
+    planes = _ann_planes(_NEARDUP_PLANES_MAX)
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH np AS (
+  SELECT greatest(6, CAST(ceil(log2(greatest(count(*) / 64.0, 2.0)))
+                          AS INT)) AS n
+  FROM embeddings
+), planes(i, p) AS (VALUES
+  {plane_rows}
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl CROSS JOIN np
+  WHERE pl.i < np.n
+  GROUP BY e.vec_id, e.embedding
+), flips AS (
+  SELECT 0 AS flip
+  UNION ALL
+  SELECT CAST(power(2, i) AS BIGINT)
+  FROM (SELECT unnest(generate_series(0, n - 1)) AS i FROM np)
+), pair_hits AS (
+  SELECT c.vec_id, b.vec_id AS bid, max(
+           list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         ) AS cos
+  FROM bucketed c CROSS JOIN flips f
+  JOIN bucketed b ON xor(c.bucket, f.flip) = b.bucket
+  WHERE c.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+  GROUP BY c.vec_id, b.vec_id
+)
+SELECT vec_id, count(*) AS n_hits, round(max(cos), 6) AS max_cos
+FROM pair_hits WHERE cos >= 0.25 GROUP BY vec_id
+"""
+
+
+SQL_SEMANTIC_DECONTAMINATE_MULTIPROBE = (
+    _sql_semantic_decontaminate_multiprobe()
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "miml_max": q_miml_max,
     "miml_avg": q_miml_avg,
@@ -4920,6 +5010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "cluster_quality_keeper": q_cluster_quality_keeper,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "semantic_decontaminate_multiprobe": q_semantic_decontaminate_multiprobe,
 }
 
 ORACLES: dict[str, str] = {
@@ -5005,4 +5096,5 @@ ORACLES: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "cluster_quality_keeper": SQL_CLUSTER_QUALITY_KEEPER,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
+    "semantic_decontaminate_multiprobe": SQL_SEMANTIC_DECONTAMINATE_MULTIPROBE,
 }
