@@ -231,7 +231,13 @@ def measure_scaling(corpus_dir: str, n_docs: int) -> dict:
         pairs.append((w_small, w_big, (w_small / w_big) / ratio))
         if pairs[-1][2] >= 0.8:
             break
-    w_small, w_big, eff = max(pairs, key=lambda p: p[2])
+    # headline = MEDIAN pair (unbiased under the retry policy); the
+    # best pair is disclosed separately as the plan-attributable upper
+    # estimate under VM drift — never the headline (ADVICE r5: a
+    # max-of-retries headline is a favorable-selection estimator)
+    effs = sorted(p[2] for p in pairs)
+    eff_median = effs[len(effs) // 2]
+    w_small, w_big, eff_best = max(pairs, key=lambda p: p[2])
     out = {SCALE_SMALL: w_small, SCALE_BIG: w_big}
     thr_small = n_docs / out[SCALE_SMALL]
     thr_big = n_docs / out[SCALE_BIG]
@@ -245,7 +251,8 @@ def measure_scaling(corpus_dir: str, n_docs: int) -> dict:
         "wall_big_sec": round(out[SCALE_BIG], 2),
         "files_per_sec_small": round(thr_small, 1),
         "files_per_sec_big": round(thr_big, 1),
-        "efficiency": round(eff, 3),
+        "efficiency": round(eff_median, 3),
+        "efficiency_best_pair": round(eff_best, 3),
         "n_attempt_pairs": len(pairs),
         "all_pair_efficiencies": [round(p[2], 3) for p in pairs],
         # hardware ceilings measured on THIS box with coordination-free
@@ -332,25 +339,54 @@ def main() -> None:
         scaling = measure_scaling(scale_dir, SCALE_DOCS)
 
     total = round(sum(qtimes.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "kg": {
-                    "n_docs": n_docs,
-                    "n_triples": n_triples,
-                    "files_per_sec": round(n_docs / kg_wall, 1),
-                },
-                "fingerprint": fingerprint,
-                "neardup_recall": neardup,
-                "scaling": scaling,
-            }
-        )
+    kg = {
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "files_per_sec": round(n_docs / kg_wall, 1),
+    }
+    # Full detail goes to disk; stdout gets ONE compact line. The
+    # driver keeps only the TAIL of bench output (~2 KB) — round 4's
+    # all-in-one line outgrew it and the head (metric/value/queries)
+    # was truncated, so BENCH_r04 recorded parsed=null.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    detail = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg": kg,
+        "fingerprint": fingerprint,
+        "neardup_recall": neardup,
+        "scaling": scaling,
+    }
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 1) for k, v in qtimes.items()},
+        "sf": detail["sf"],
+        "kg_files_per_sec": kg["files_per_sec"],
+        "scaling_efficiency": scaling.get("efficiency"),
+        "scaling_efficiency_best_pair": scaling.get("efficiency_best_pair"),
+        "neardup_pair_recall": neardup.get("pair_recall"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact["queries"] = {
+            k: round(v, 1)
+            for k, v in sorted(
+                qtimes.items(), key=lambda kv: -kv[1]
+            )[:20]
+        }
+        compact["queries_truncated_to_top20_by_wall"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,35 @@ _RESCUE_PERMS = 16
 _RESCUE_ROWS = 4
 
 
+def cleaning_params_str(
+    near_dup_tau: float = 0.5,
+    rep_dup_tri_max: float = 0.02,
+    rep_top_bi_max: float = 0.08,
+    benchmark_mod: int = 17,
+    n_hubs: int = 1,
+) -> str:
+    """The canonical fingerprint string over EVERY cleaning threshold
+    (defaults mirror run_cleaning). Shared by run_cleaning, the
+    incremental/retraction paths, and downstream plans (training_prep)
+    whose stages depend on the cleaning survivor set — so a changed
+    threshold invalidates everything it actually affects."""
+    return (
+        f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
+        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
+        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
+    )
+
+
+def _pairs_params(near_dup_tau: float, n_hubs: int) -> str:
+    """Fingerprint suffix for the near_pairs/components stages — every
+    knob that changes their CONTENT, including the rescue-layer shape
+    (a pre-rescue state dir must recompute, not resume silently)."""
+    return (
+        f"tau:{near_dup_tau}:hubs:{n_hubs}"
+        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
+    )
+
+
 def band_keys_for(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) with the cleaning plan's banding —
     per-doc and stateless, so any subset produces the same rows the
@@ -301,10 +330,8 @@ def run_cleaning(
         .select("g")
         .distinct()
     )
-    params = (
-        f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
-        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
-        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
+    params = cleaning_params_str(
+        near_dup_tau, rep_dup_tri_max, rep_top_bi_max, benchmark_mod, n_hubs
     )
     if out_dir is not None:
         fp_docs = lineage.fingerprint_df(
@@ -325,11 +352,11 @@ def run_cleaning(
         )
         pairs = lineage.materialize(
             spark, pairs, out_dir, "near_pairs",
-            f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
+            f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}",
         )
         comp = lineage.materialize(
             spark, comp, out_dir, "components",
-            f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
+            f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}",
         )
         bench_grams = lineage.materialize(
             spark, bench_grams, out_dir, "bench_grams",
@@ -523,10 +550,8 @@ def run_cleaning_incremental(
     manifest advances to the combined additive fingerprint, so a full
     batch re-run over history ∪ delta RESUMES instead of recomputing.
     """
-    params = (
-        f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
-        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
-        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
+    params = cleaning_params_str(
+        near_dup_tau, rep_dup_tri_max, rep_top_bi_max, benchmark_mod, n_hubs
     )
     _pin_mark = lineage.pin_mark()
     dh = delta_docs.select("doc_id", F.md5("text").alias("h"))
@@ -861,7 +886,7 @@ def run_cleaning_incremental(
         spark,
         new_pairs.join(hist_pairs.select("d1", "d2"), ["d1", "d2"], "left_anti"),
         out_dir, "near_pairs",
-        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}", d_fp,
+        f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}", d_fp,
     )
     append_stage(
         spark, new_ev, out_dir, "bench_grams",
@@ -869,7 +894,7 @@ def run_cleaning_incremental(
     )
     comp_new = lineage.materialize(
         spark, comp_new, out_dir, "components",
-        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
+        f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}",
     )
     flags = lineage.materialize(
         spark, flags, out_dir, "doc_flags", f"{fp_docs}:{params}"
@@ -957,10 +982,8 @@ def run_cleaning_retraction(
     import json as _json
     import os as _os
 
-    params = (
-        f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
-        f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
-        f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
+    params = cleaning_params_str(
+        near_dup_tau, rep_dup_tri_max, rep_top_bi_max, benchmark_mod, n_hubs
     )
     _pin_mark = lineage.pin_mark()
     rem_hashes = removed_docs.select("doc_id", F.md5("text").alias("h"))
@@ -1242,7 +1265,7 @@ def run_cleaning_retraction(
     lineage.materialize(spark, band_new, out_dir, "band_keys", fp_docs)
     lineage.materialize(
         spark, pairs_new, out_dir, "near_pairs",
-        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
+        f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}",
     )
     # rescue_keys AFTER near_pairs: a crash between them leaves keys
     # unwritten and pairs stored — the replay regenerates need_keys
@@ -1255,7 +1278,7 @@ def run_cleaning_retraction(
     )
     lineage.materialize(
         spark, comp_new, out_dir, "components",
-        f"{fp_docs}:tau:{near_dup_tau}:hubs:{n_hubs}",
+        f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}",
     )
     flags = lineage.materialize(
         spark, flags, out_dir, "doc_flags", f"{fp_docs}:{params}"

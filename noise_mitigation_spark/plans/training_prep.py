@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..queries import context_pack_df, doc_entropy_df, mixture_weights_df
 from . import lineage
-from .cleaning import CleaningResult, run_cleaning
+from .cleaning import CleaningResult, cleaning_params_str, run_cleaning
 
 
 @dataclass
@@ -98,8 +98,12 @@ def run_training_prep(
     # fingerprint only on what each stage DEPENDS on: quality_flags
     # and mixture_weights do not read seq_cap, so a --seq-cap sweep
     # (the knob most likely to be swept) resumes them and recomputes
-    # only packed_contexts
-    q_params = f"ent:{min_entropy}:ttr:{min_ttr}"
+    # only packed_contexts. Every stage below DOES depend on the
+    # cleaning survivor set, so the cleaning thresholds are chained in
+    # — a changed near_dup_tau must recompute quality/mixture/packed,
+    # not resume them against a stale survivor set.
+    c_params = cleaning_params_str(**cleaning_params)
+    q_params = f"{c_params}:ent:{min_entropy}:ttr:{min_ttr}"
     fp = None
     if out_dir is not None:
         fp = lineage.fingerprint_df(

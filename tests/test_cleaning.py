@@ -116,6 +116,12 @@ def test_resume_and_param_invalidation(spark, docs, tmp_path):
     with open(os.path.join(out, "doc_flags", "_manifest.json")) as f:
         fp = json.load(f)["input_fingerprint"]
     assert "tri:0.001" in fp
+    # the rescue-layer shape is chained into the stages it changes —
+    # a state dir written by pre-rescue code must recompute near_pairs
+    # and components, not resume them silently (ADVICE r5 medium)
+    for s in ("near_pairs", "components"):
+        with open(os.path.join(out, s, "_manifest.json")) as f:
+            assert ":rsc:" in json.load(f)["input_fingerprint"], s
 
 
 def test_flags_invariant_under_partitioning(spark, docs, flags_pdf):

@@ -146,6 +146,32 @@ def test_threshold_change_recomputes_only_prep_stages(spark, prep):
     assert "ent:99.0" in mf["input_fingerprint"]
 
 
+def test_cleaning_threshold_change_recomputes_downstream(spark, tmp_path):
+    """A changed CLEANING threshold (near_dup_tau) changes the survivor
+    set every prep stage reads — quality_flags / mixture_weights /
+    packed_contexts must recompute, not resume stale parquet (their
+    fingerprints chain the cleaning params, ADVICE r5 high)."""
+    docs = spark.createDataFrame(_mk_docs())
+    out = str(tmp_path / "tausweep")
+    training_prep.run_training_prep(spark, docs, out, near_dup_tau=0.8)
+    stages = ["quality_flags", "mixture_weights", "packed_contexts"]
+    mt0 = {
+        s: os.path.getmtime(os.path.join(out, s, "_manifest.json"))
+        for s in stages
+    }
+    res = training_prep.run_training_prep(spark, docs, out, near_dup_tau=0.1)
+    for s in stages:
+        assert (
+            os.path.getmtime(os.path.join(out, s, "_manifest.json"))
+            > mt0[s]
+        ), s
+    mf = json.load(open(os.path.join(out, "quality_flags", "_manifest.json")))
+    assert "tau:0.1" in mf["input_fingerprint"]
+    # the recomputed stages reflect the NEW survivor set: at tau=0.1
+    # many more docs drop as near-dups than at 0.8
+    assert res.stats["quality"] < 40
+
+
 def test_seq_cap_change_resumes_quality_and_mixture(spark, tmp_path):
     """quality_flags and mixture_weights do not depend on seq_cap —
     sweeping --seq-cap must resume both and recompute only
