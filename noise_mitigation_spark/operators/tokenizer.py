@@ -274,6 +274,195 @@ def train_bpe_incremental(
     return merges, vocab
 
 
+def _apply_merges(symbols_col: str, pairs: list[tuple[str, str]]):
+    """Greedy left-to-right fold applying a BATCH of symbol-disjoint
+    merges in ONE pass — for pairwise-disjoint pairs the simultaneous
+    fold is exactly the sequential composition (no pair's application
+    can create or destroy another's adjacencies)."""
+
+    def _esc(x: str) -> str:
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
+    whens = []
+    for a, b in pairs:
+        a_l, b_l = _esc(a), _esc(b)
+        whens.append(
+            f" WHEN size(acc) > 0 AND element_at(acc, -1) = '{a_l}'"
+            f" AND x = '{b_l}'"
+            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a_l}{b_l}'))"
+        )
+    return F.expr(
+        f"aggregate({symbols_col}, cast(array() as array<string>),"
+        f" (acc, x) -> CASE{''.join(whens)}"
+        f" ELSE concat(acc, array(x)) END)"
+    )
+
+
+def _batchable_prefix(
+    rows: list,
+    prior_concats: set[str],
+    min_pair_freq: int,
+    max_batch: int,
+) -> list[tuple[str, str]]:
+    """The longest PREFIX of the ranked pair list that is provably
+    safe to merge in one round with a sequence identical to the
+    one-merge-at-a-time trainer. Driver-side, pure.
+
+    A prefix r1..rm is safe when (proof sketch — each condition kills
+    one divergence mode):
+
+    - pairwise symbol-disjoint: applying r_i cannot change r_j's
+      count, so each batch element is still the argmax at its turn;
+      a prefix (never a subsequence — skipping a conflicting pair
+      would reorder the sequential argmax);
+    - no self-pairs (a == b) past position 1: merging (a,a) creates
+      (aa,aa) whose count can approach half the merged pair's own —
+      above the batch's safety bound;
+    - no concat collision: a new symbol string equal to an existing
+      multi-char symbol (every one of which is a PRIOR merge's
+      concat, tracked in ``prior_concats``) could INCREASE an
+      existing pair's count mid-batch. Single-character symbols can
+      never collide (concats have length ≥ 2);
+    - strict score drop at the batch boundary: every count a batch
+      merge changes is bounded by the pre-batch score of a NON-batch
+      pair (the changed pair's "parent" shares a symbol with the
+      batch, so disjointness forces it outside), i.e. by the score of
+      the next ranked row — strictness at the boundary turns that
+      bound into "strictly below every batch element", so no changed
+      pair can overtake the batch order even by tiebreak. With no
+      next ranked row at or above ``min_pair_freq`` the bound is
+      ``min_pair_freq - 1`` and strictness is automatic.
+
+    Position 1 alone is always safe (it IS the sequential step)."""
+    rows = [r for r in rows if r["score"] >= min_pair_freq]
+    if not rows:
+        return []
+    batch = [(rows[0]["a"], rows[0]["b"])]
+    if (
+        rows[0]["a"] == rows[0]["b"]
+        or rows[0]["a"] + rows[0]["b"] in prior_concats
+    ):
+        # a LEADING self-pair or colliding concat can raise other
+        # pairs' counts above position 2 — safe only as the
+        # sequential singleton
+        return batch
+    used = {rows[0]["a"], rows[0]["b"]}
+    concats = {rows[0]["a"] + rows[0]["b"]}
+    m = 1
+    for r in rows[1:max_batch]:
+        a, b, c = r["a"], r["b"], r["a"] + r["b"]
+        if (
+            a == b
+            or a in used
+            or b in used
+            or c in prior_concats
+            or c in concats
+            or a in concats
+            or b in concats
+        ):
+            break
+        batch.append((a, b))
+        used.update((a, b))
+        concats.add(c)
+        m += 1
+    # strict boundary: trim while the next ranked row ties the last
+    # batch element's score (position 1 is exempt — it's sequential)
+    while m >= 2 and m < len(rows) and rows[m]["score"] == rows[m - 1]["score"]:
+        m -= 1
+    return batch[:m]
+
+
+def train_bpe_batched(
+    word_freqs: DataFrame,
+    n_merges: int = 50,
+    min_pair_freq: int = 2,
+    max_batch: int = 16,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """``train_bpe_incremental`` with BATCHED merge rounds (round-4
+    verdict item 3): per round, collect the top ``max_batch + 1``
+    ranked pairs in ONE driver round-trip, take the provably
+    non-interacting prefix (``_batchable_prefix`` — symbol-disjoint,
+    no self-pairs, no concat collisions, strict boundary score drop;
+    falls back to a single merge whenever any condition fails), apply
+    the whole batch in ONE greedy fold, and maintain the pair-stat
+    table with one delta join for the round.
+
+    Merge sequence is IDENTICAL to ``train_bpe`` /
+    ``train_bpe_incremental`` (tests pin all three against the python
+    reference); the driver-sequential cost drops from ~3 Spark jobs
+    per merge to ~3 per ROUND — the standard scale fix for the
+    tokenizer trainer's inherent argmax sequencing (a 50k-merge vocab
+    becomes ~5k rounds instead of 50k jobs at typical batch yields)."""
+    vocab = word_freqs.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("symbols"),
+    ).localCheckpoint(eager=True)
+    n_parts = vocab.rdd.getNumPartitions()
+    stats = _pair_scores(vocab).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    # every multi-char symbol in existence is a prior merge's concat —
+    # tracked driver-side, so collision checks need no extra job
+    prior_concats: set[str] = set()
+    while len(merges) < n_merges:
+        room = min(max_batch, n_merges - len(merges))
+        top = (
+            stats.filter(F.col("score") >= min_pair_freq)
+            .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .limit(room + 1)
+            .collect()
+        )
+        batch = _batchable_prefix(top, prior_concats, min_pair_freq, room)
+        if not batch:
+            break
+        merges.extend(batch)
+        prior_concats.update(a + b for a, b in batch)
+        pred = _contains_adjacent("symbols", *batch[0])
+        for a, b in batch[1:]:
+            pred = pred | _contains_adjacent("symbols", a, b)
+        affected = vocab.filter(pred)
+        unaffected = vocab.filter(~pred)
+        merged = affected.select(
+            "word", "freq", _apply_merges("symbols", batch).alias("symbols")
+        )
+        old_p = _pair_scores(affected).withColumnRenamed("score", "old_s")
+        new_p = _pair_scores(merged).withColumnRenamed("score", "new_s")
+        delta = (
+            old_p.join(new_p, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce("new_s", F.lit(0))
+                    - F.coalesce("old_s", F.lit(0))
+                ).alias("diff"),
+            )
+            .filter(F.col("diff") != 0)
+        )
+        stats = (
+            stats.join(delta, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce("score", F.lit(0))
+                    + F.coalesce("diff", F.lit(0))
+                ).alias("score"),
+            )
+            .filter(F.col("score") > 0)
+            .localCheckpoint(eager=True)
+        )
+        vocab = (
+            unaffected.unionByName(merged)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+    return merges, vocab
+
+
 def train_bpe(
     word_freqs: DataFrame, n_merges: int = 50, min_pair_freq: int = 2
 ) -> tuple[list[tuple[str, str]], DataFrame]:

@@ -147,15 +147,49 @@ def append_stage(
     re-absorption. Remaining crash window: files appended but
     manifest unwritten would duplicate on retry — the plain-parquet
     cost of not having Iceberg's atomic snapshot commit, which closes
-    it for free."""
+    it for free.
+
+    Bucketed stages (manifest ``partition_by == ["_bucket"]``): the
+    delta lands in the same doc-key bucket dirs (one delta-sized
+    shuffle co-locates buckets) and its per-BUCKET metrics merge
+    additively into the manifest's partition entries, so they stay
+    accurate without ever rescanning history — which is what lets a
+    later retraction account rows per affected bucket at delta cost."""
     stage_dir = os.path.join(out_dir, stage)
     data_dir = os.path.join(stage_dir, "data")
     manifest = _read_manifest(out_dir, stage)
     if delta_already_absorbed(out_dir, stage, delta_id):
         return spark.read.parquet(data_dir)
+    bucketed = manifest.get("partition_by") == [lineage.DOC_BUCKET_COL]
     t0 = time.time()
-    delta_df.write.mode("append").parquet(data_dir)
-    parts = lineage.partition_metrics(delta_df)
+    if bucketed:
+        if lineage.DOC_BUCKET_COL not in delta_df.columns:
+            delta_df = lineage.with_doc_bucket(
+                delta_df, manifest.get("n_buckets", lineage.N_DOC_BUCKETS)
+            )
+        parts = lineage.partition_metrics(
+            delta_df, by_col=lineage.DOC_BUCKET_COL
+        )
+        (
+            delta_df.repartition(F.col(lineage.DOC_BUCKET_COL))
+            .write.mode("append")
+            .partitionBy(lineage.DOC_BUCKET_COL)
+            .parquet(data_dir)
+        )
+        by_b = {p["partition_id"]: p for p in manifest.get("partitions", [])}
+        for p in parts:
+            e = by_b.get(p["partition_id"])
+            if e is None:
+                by_b[p["partition_id"]] = dict(p)
+            else:
+                e["rows"] = int(e["rows"]) + int(p["rows"])
+                e["content_hash"] = str(
+                    int(e["content_hash"]) + int(p["content_hash"])
+                )
+        manifest["partitions"] = [by_b[k] for k in sorted(by_b)]
+    else:
+        delta_df.write.mode("append").parquet(data_dir)
+        parts = lineage.partition_metrics(delta_df)
     delta_rows = int(sum(p["rows"] for p in parts))
     manifest["input_fingerprint"] = combined_fingerprint
     manifest["rows"] = int(manifest["rows"]) + delta_rows
@@ -396,6 +430,108 @@ def run_incremental(
     )
 
 
+def rewrite_stage_minus_keys(
+    spark: SparkSession,
+    out_dir: str,
+    stage: str,
+    keys: DataFrame,
+    new_fp: str,
+) -> DataFrame:
+    """Rewrite a materialized stage minus the rows matching ``keys``
+    (doc provenance: repo/path/commit) — DELTA-SIZED on the doc-key
+    bucketed layout: only the bucket dirs containing removed keys are
+    read (partition-pruned scan), anti-joined, and replaced via
+    dynamic-partition overwrite; buckets emptied entirely are removed
+    explicitly (a dynamic overwrite never touches partitions it writes
+    no rows for). Manifest bookkeeping is bucket-local too: affected
+    buckets' metric entries are recomputed from a pruned re-read and
+    the row total is the entry sum — no historical rescan.
+
+    Crash-replay convergence: idempotent (the anti-join of an
+    already-rewritten bucket is the identity, and affected buckets
+    derive from ``keys``, not from mutable stage state); a replay
+    recomputes the affected entries from actual post-write data, so
+    any crash between the data write and the manifest write converges.
+    The remaining window — a kill INSIDE the dynamic overwrite's
+    commit of one bucket dir — is the per-partition analog of the
+    documented plain-parquet append window (Iceberg/Delta's atomic
+    snapshot commit closes both), and is strictly narrower than the
+    whole-stage overwrite this replaces.
+
+    Legacy (unbucketed) state dirs fall back to the whole-stage
+    anti-join rewrite."""
+    import shutil
+
+    B = lineage.DOC_BUCKET_COL
+    key_cols = list(lineage.DOC_KEY_COLS)
+    data_dir = os.path.join(out_dir, stage, "data")
+    manifest = _read_manifest(out_dir, stage)
+    if manifest.get("input_fingerprint") == new_fp:
+        return spark.read.parquet(data_dir)  # replay resume
+    cur = spark.read.parquet(data_dir)
+    if manifest.get("partition_by") != [B]:
+        kept = _pin(cur.join(keys, key_cols, "anti"))
+        return lineage.materialize(
+            spark, kept, out_dir, stage, new_fp, carry_deltas=True
+        )
+    t0 = time.time()
+    nb = manifest.get("n_buckets", lineage.N_DOC_BUCKETS)
+    aff = sorted(
+        r[B]
+        for r in lineage.with_doc_bucket(keys, nb)
+        .select(B)
+        .distinct()
+        .collect()  # bounded by n_buckets
+    )
+    kept = _pin(cur.filter(F.col(B).isin(aff)).join(keys, key_cols, "anti"))
+    (
+        kept.repartition(F.col(B))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(B)
+        .parquet(data_dir)
+    )
+    surviving = {r[B] for r in kept.select(B).distinct().collect()}
+    for b in aff:
+        if b not in surviving:
+            shutil.rmtree(os.path.join(data_dir, f"{B}={b}"), ignore_errors=True)
+    remaining_dirs = [
+        d for d in os.listdir(data_dir) if d.startswith(f"{B}=")
+    ]
+    if not remaining_dirs:
+        # degenerate: the retraction emptied the whole stage — revert
+        # to the plain layout (an empty partitioned dir has no schema
+        # to read, and mixing layouts under one dir breaks later
+        # appends)
+        kept.drop(B).write.mode("overwrite").parquet(data_dir)
+        manifest.pop("partition_by", None)
+        manifest.pop("n_buckets", None)
+        manifest["partitions"] = []
+        manifest["rows"] = 0
+        manifest["input_fingerprint"] = new_fp
+        manifest["wall_sec"] = round(time.time() - t0, 3)
+        with open(_manifest_path(out_dir, stage), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return spark.read.parquet(data_dir)
+    new_parts = lineage.partition_metrics(
+        spark.read.parquet(data_dir).filter(F.col(B).isin(aff)), by_col=B
+    )
+    by_b = {
+        p["partition_id"]: p
+        for p in manifest.get("partitions", [])
+        if p["partition_id"] not in set(aff)
+    }
+    for p in new_parts:
+        by_b[p["partition_id"]] = p
+    manifest["partitions"] = [by_b[k] for k in sorted(by_b)]
+    manifest["rows"] = int(sum(p["rows"] for p in manifest["partitions"]))
+    manifest["input_fingerprint"] = new_fp
+    manifest["wall_sec"] = round(time.time() - t0, 3)
+    with open(_manifest_path(out_dir, stage), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return spark.read.parquet(data_dir)
+
+
 def _retraction_intent(
     out_dir: str, stage: str, removal_id: str, removed_fp: str, n_removed: int
 ) -> str:
@@ -471,11 +607,14 @@ def run_retraction(
     ``removed_documents`` must be the exact absorbed rows (provenance
     + content — the subtraction needs the true content hashes).
 
-    Plan: parsed/scored rewrite minus the removed provenance keys
-    (plain-parquet cost — on Iceberg/Delta these are row-level
-    deletes and become delta-sized); affected = entities that LOSE a
-    mention, whose bags are recomputed over the remaining mentions
-    (entities with zero mentions left drop out entirely — the
+    Plan: parsed/scored rewrite minus the removed provenance keys —
+    DELTA-SIZED via the doc-key bucket layout (rewrite_stage_minus_keys
+    prunes to the bucket dirs holding removed keys and replaces only
+    those via dynamic-partition overwrite; the plain-parquet emulation
+    of Iceberg/Delta row-level deletes, falling back to a whole-stage
+    rewrite on legacy unbucketed state dirs); affected = entities that
+    LOSE a mention, whose bags are recomputed over the remaining
+    mentions (entities with zero mentions left drop out entirely — the
     aggregation emits nothing for empty groups); pair bags touching
     an affected entity recompute from the remaining parse (a pair
     instance lost with a document always touches two affected
@@ -517,7 +656,6 @@ def run_retraction(
     # state (a data probe is blind to a crash between the data
     # rewrite and the manifest write, and to removed docs with no
     # stage rows).
-    parsed_cur = spark.read.parquet(os.path.join(out_dir, "parsed", "data"))
     fp_parsed = _retraction_intent(
         out_dir, "parsed", removal_id, removed_fp, n_removed
     )
@@ -544,15 +682,13 @@ def run_retraction(
     )
 
     # 1-2. rewrite parsed/scored minus the removed keys (idempotent:
-    # the anti-join of an already-filtered stage is the identity)
-    parsed_keep = _pin(parsed_cur.join(keys, ["repo", "path", "commit"], "anti"))
-    parsed_full = lineage.materialize(
-        spark, parsed_keep, out_dir, "parsed", fp_parsed, carry_deltas=True
+    # the anti-join of an already-rewritten bucket is the identity) —
+    # bucket-pruned to the dirs containing removed keys
+    parsed_full = rewrite_stage_minus_keys(
+        spark, out_dir, "parsed", keys, fp_parsed
     )
-    scored_cur = spark.read.parquet(os.path.join(out_dir, "scored", "data"))
-    scored_keep = _pin(scored_cur.join(keys, ["repo", "path", "commit"], "anti"))
-    scored_full = lineage.materialize(
-        spark, scored_keep, out_dir, "scored", fp_scored, carry_deltas=True
+    scored_full = rewrite_stage_minus_keys(
+        spark, out_dir, "scored", keys, fp_scored
     )
 
     # mirror the intent record into the scored ledger for audit

@@ -28,11 +28,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def partition_metrics(df: DataFrame) -> list[dict]:
-    """One row per physical partition: rows + order-insensitive content
-    hash (sum of per-row xxhash64 over all columns)."""
+# Doc-key hash bucketing for the big per-document stages (parsed /
+# scored): the plain-parquet emulation of Iceberg/Delta row-group
+# deletes, exactly as the catalog layer emulates snapshots. A
+# retraction then rewrites ONLY the bucket dirs containing removed
+# keys (partition-pruned read, dynamic-partition overwrite) instead of
+# the whole stage. 64 buckets keeps local test layouts small; on a
+# real cluster size it so one bucket ≈ a few GB (the unit of delete
+# amplification) — the constant is read from each stage's manifest, so
+# state dirs survive a re-tune.
+DOC_BUCKET_COL = "_bucket"
+N_DOC_BUCKETS = 64
+DOC_KEY_COLS = ("repo", "path", "commit")
+
+
+def with_doc_bucket(df: DataFrame, n_buckets: int = N_DOC_BUCKETS) -> DataFrame:
+    """Attach the doc-key layout bucket (deterministic, stateless —
+    any subset of rows buckets identically, the property retraction
+    pruning relies on). Cast to int so the column type matches what
+    partition-dir read-back infers."""
+    return df.withColumn(
+        DOC_BUCKET_COL,
+        F.pmod(F.xxhash64(*DOC_KEY_COLS), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def partition_metrics(df: DataFrame, by_col: str | None = None) -> list[dict]:
+    """One row per physical partition (default) or per ``by_col``
+    layout bucket: rows + order-insensitive content hash (sum of
+    per-row xxhash64 over all columns). Bucket-keyed metrics are
+    ADDITIVE per bucket, so appends merge and bucket rewrites replace
+    exactly the affected entries — no full rescan."""
+    key = F.col(by_col) if by_col else F.spark_partition_id()
     rows = (
-        df.withColumn("_pid", F.spark_partition_id())
+        df.withColumn("_pid", key)
         .withColumn("_h", F.xxhash64(*df.columns))
         .groupBy("_pid")
         .agg(
@@ -67,10 +96,20 @@ def materialize(
     unabsorbed, and a crash-replayed stream batch would then
     double-append. A full rerun over a DIFFERENT corpus keeps the
     default (wipe): its stale increment ids must not claim
-    absorption."""
+    absorption.
+
+    A ``_bucket`` column in ``df`` (with_doc_bucket) implies the
+    doc-key bucketed layout: the write is partitioned by bucket dir
+    (one shuffle co-locates buckets so the file count is ~n_buckets,
+    not tasks×buckets) and the manifest's partition metrics are keyed
+    by BUCKET — additive, so appends merge them and a retraction
+    rewrites only affected entries."""
     stage_dir = os.path.join(out_dir, stage)
     data_dir = os.path.join(stage_dir, "data")
     manifest_path = os.path.join(stage_dir, "_manifest.json")
+    if partition_by is None and DOC_BUCKET_COL in df.columns:
+        partition_by = [DOC_BUCKET_COL]
+    bucketed = partition_by == [DOC_BUCKET_COL]
     prior_deltas = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -80,12 +119,14 @@ def materialize(
         if carry_deltas:
             prior_deltas = manifest.get("deltas")
     t0 = time.time()
+    if bucketed:
+        df = df.repartition(F.col(DOC_BUCKET_COL))
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
     written = spark.read.parquet(data_dir)
-    parts = partition_metrics(written)
+    parts = partition_metrics(written, by_col=DOC_BUCKET_COL if bucketed else None)
     manifest = {
         "stage": stage,
         "input_fingerprint": input_fingerprint,
@@ -93,6 +134,11 @@ def materialize(
         "wall_sec": round(time.time() - t0, 3),
         "partitions": parts,
     }
+    if bucketed:
+        manifest["partition_by"] = partition_by
+        # recorded so later appends/retractions bucket their deltas
+        # with the SAME modulus even if the module constant is re-tuned
+        manifest["n_buckets"] = N_DOC_BUCKETS
     if prior_deltas:
         manifest["deltas"] = prior_deltas
     os.makedirs(stage_dir, exist_ok=True)
@@ -213,15 +259,28 @@ def compact_stage(
     if n_files <= min_files:
         return {"stage": stage, "files": n_files, "compacted": False}
     t0 = time.time()
+    mp0 = os.path.join(out_dir, stage, "_manifest.json")
+    with open(mp0) as f:
+        bucketed = json.load(f).get("partition_by") == [DOC_BUCKET_COL]
     df = spark.read.parquet(data_dir)
     tmp = data_dir + "__compact_tmp"  # same fs as data_dir: real rename
     shutil.rmtree(tmp, ignore_errors=True)
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    if bucketed:
+        # preserve the doc-key bucket layout (retraction pruning
+        # depends on it): one file per bucket dir after the rewrite
+        (
+            df.repartition(F.col(DOC_BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(DOC_BUCKET_COL)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     # verify the rewrite before swapping, and refresh the partition
     # metrics from the NEW layout (the old block described partitions
     # that no longer exist)
     written = spark.read.parquet(tmp)
-    parts = partition_metrics(written)
+    parts = partition_metrics(written, by_col=DOC_BUCKET_COL if bucketed else None)
     n_rows = int(sum(p["rows"] for p in parts))
     mp = os.path.join(out_dir, stage, "_manifest.json")
     with open(mp) as f:

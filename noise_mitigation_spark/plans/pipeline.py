@@ -116,7 +116,14 @@ def run(
         # fp_att — an n_salt change (different float merge order) must
         # invalidate them too, not just ent_att
         fp_triples = f"{fp_att}|relth:{rel_theta}|mode:{type_mode}|pad:{pad_mode}"
-        parsed = lineage.materialize(spark, parsed, out_dir, "parsed", fp_parsed)
+        # parsed/scored are the corpus-sized stages: lay them out in
+        # doc-key hash buckets so retraction rewrites only the bucket
+        # dirs holding removed keys (plans/incremental.
+        # rewrite_stage_minus_keys) — the plain-parquet emulation of
+        # Iceberg/Delta row-level deletes
+        parsed = lineage.materialize(
+            spark, lineage.with_doc_bucket(parsed), out_dir, "parsed", fp_parsed
+        )
     else:
         # both branches (typing + relations) read this; without a
         # lineage materialization, cache it so the pandas-UDF parse
@@ -127,7 +134,9 @@ def run(
 
     scored = scoring.score_mentions(ment, emb_b, encoder=encoder)
     if out_dir:
-        scored = lineage.materialize(spark, scored, out_dir, "scored", fp_scored)
+        scored = lineage.materialize(
+            spark, lineage.with_doc_bucket(scored), out_dir, "scored", fp_scored
+        )
     else:
         scored = scored.cache()
 

@@ -2181,6 +2181,83 @@ def embedding_near_dup_production(
     )
 
 
+def embedding_near_dup_capped(
+    e: DataFrame,
+    tau: float = 0.4,
+    target_bucket: int = 64,
+    max_bucket: int = 64,
+    n_hubs: int = 1,
+    rescue_planes: int = 8,
+) -> DataFrame:
+    """``embedding_near_dup_production`` with the giant-bucket cap +
+    sub-key rescue rule ported from the MinHash cleaning path
+    (plans/cleaning.py's _MAX_BUCKET pattern, round-4 verdict item 6).
+
+    The N-adaptive plane rule holds EXPECTED bucket occupancy at
+    ``target_bucket``, but an adversarial embedding cluster (e.g. an
+    all-identical template vector repeated 10⁵×) still lands in ONE
+    bucket and the within-bucket join goes quadratic. Here:
+
+    - primary layer: the same count(*)-adaptive sign-LSH buckets,
+      paired under the shared ``pairs_with_cap`` rule (all-pairs ≤
+      max_bucket, K-hub star edges above — candidates grow linearly);
+    - rescue layer: giant-bucket members are re-keyed by
+      ``rescue_planes`` ADDITIONAL hyperplane bits (PCG64 planes are
+      prefix-stable, so sub-keys are deterministic and any row subset
+      keys identically — the incremental-state property) and the same
+      cap rule runs inside (bucket, skey): moderately-tight clusters
+      split into sub-buckets where exact all-pairs recall resumes;
+    - a truly degenerate cluster (identical vectors — NO projection
+      separates them) stays one giant sub-bucket: its star edges
+      still connect every member through the hub and every hub pair
+      verifies at cos = 1, so the keep/drop closure is unchanged
+      while candidates stay ≤ (1 + n_hubs)·rows per layer.
+
+    Candidate bound: per layer, each row contributes ≤ max_bucket
+    all-pair partners or ≤ n_hubs star edges — never quadratic
+    (tests/test_skew.py pins this on a crafted degenerate cluster)."""
+    import math
+
+    n = e.count()
+    n_planes = max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
+    planes = _ann_planes(n_planes + rescue_planes)
+    keyed = e.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        _lsh_bucket("embedding", planes[:n_planes]).alias("bucket"),
+    )
+    prim = pairs_with_cap(
+        keyed.select("doc_id", "bucket"), ["bucket"],
+        max_bucket=max_bucket, n_hubs=n_hubs,
+    )
+    stats = keyed.groupBy("bucket").agg(F.count("*").alias("m"))
+    giants = keyed.join(
+        stats.filter(F.col("m") > max_bucket).select("bucket"), "bucket"
+    )
+    resc = giants.select(
+        "doc_id",
+        "bucket",
+        _lsh_bucket("embedding", planes[n_planes:]).alias("skey"),
+    )
+    resc_pairs = pairs_with_cap(
+        resc, ["bucket", "skey"], max_bucket=max_bucket, n_hubs=n_hubs
+    )
+    cands = prim.union(resc_pairs).distinct()
+    e1 = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    e2 = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    return (
+        cands.join(e1, "d1")
+        .join(e2, "d2")
+        .withColumn("cos", _cosine(F.col("e1"), F.col("e2")))
+        .filter(F.col("cos") >= tau)
+        .select(
+            F.col("d1").alias("v1"),
+            F.col("d2").alias("v2"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
 def _sql_embedding_near_dup() -> str:
     planes = _ann_planes()
     plane_rows = ",\n  ".join(

@@ -57,32 +57,62 @@ def main() -> None:
     from noise_mitigation_spark.operators import tokenizer as T
     from noise_mitigation_spark.session import get_spark
 
-    spark = get_spark("nm-bpe-bench", cores=32, shuffle_partitions=32)
+    spark = get_spark(
+        "nm-bpe-bench",
+        cores=32,
+        shuffle_partitions=32,
+        # keep every trainer job id visible to the per-run job counts
+        extra_conf={"spark.ui.retainedJobs": "20000"},
+    )
+    sc = spark.sparkContext
     wf = _synthetic_word_freqs(spark, N_VOCAB).repartition(32)
     wf = wf.localCheckpoint(eager=True)
     out: dict = {"sf_dir": SF_DIR, "n_words": wf.count()}
 
-    for name, fn in (("full", T.train_bpe), ("incremental", T.train_bpe_incremental)):
+    trainers = (
+        ("full", T.train_bpe),
+        ("incremental", T.train_bpe_incremental),
+        ("batched", T.train_bpe_batched),
+    )
+    for name, fn in trainers:
         walls = {}
+        jobs = {}
         merges_by_n = {}
         for n in (64, 256):
+            group = f"bpe-{name}-{n}"
+            sc.setJobGroup(group, group)
             t0 = time.time()
             merges, _ = fn(wf, n_merges=n, min_pair_freq=2)
             walls[n] = round(time.time() - t0, 1)
+            sc.setJobGroup("", "")
+            jobs[n] = len(sc.statusTracker().getJobIdsForGroup(group))
             merges_by_n[n] = merges
         out[name] = {
             "wall_64": walls[64],
             "wall_256": walls[256],
+            "jobs_64": jobs[64],
+            "jobs_256": jobs[256],
             "growth_256_over_64": round(walls[256] / max(walls[64], 0.01), 2),
             "n_merges_done": len(merges_by_n[256]),
         }
         out.setdefault("_merges", {})[name] = merges_by_n[256]
 
-    same = out["_merges"]["full"] == out["_merges"]["incremental"]
-    out["merges_identical"] = same
+    out["merges_identical"] = (
+        out["_merges"]["full"]
+        == out["_merges"]["incremental"]
+        == out["_merges"]["batched"]
+    )
     del out["_merges"]
     out["incremental_speedup_at_256"] = round(
         out["full"]["wall_256"] / max(out["incremental"]["wall_256"], 0.01), 2
+    )
+    out["batched_speedup_at_256"] = round(
+        out["incremental"]["wall_256"]
+        / max(out["batched"]["wall_256"], 0.01),
+        2,
+    )
+    out["batched_job_reduction_at_256"] = round(
+        out["incremental"]["jobs_256"] / max(out["batched"]["jobs_256"], 1), 2
     )
     spark.stop()
     print(json.dumps(out))

@@ -13,6 +13,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from noise_mitigation_spark.plans import incremental, pipeline
 
@@ -360,6 +361,77 @@ def test_retraction_equals_recompute_on_remaining(spark, corpus, tmp_path):
         out_dir=out,
     )
     assert _rows(again.triples_canon, cols) == _rows(want.triples_canon, cols)
+
+
+def test_retraction_rewrites_only_affected_buckets(spark, corpus, tmp_path):
+    """Delta-sizedness of the DELETE path (round-5 verdict item 1):
+    parsed/scored are laid out in doc-key hash buckets, so retracting
+    a few documents must leave every UNAFFECTED bucket dir untouched
+    (same files, same mtimes) — the plain-parquet emulation of
+    row-group deletes. Manifest row totals and per-bucket metrics must
+    stay consistent with the data."""
+    from noise_mitigation_spark.plans import lineage as _lin
+
+    docs = corpus.documents
+    drop = docs.iloc[195:]  # a handful of docs → few affected buckets
+    out = str(tmp_path / "bucketret")
+    ali = spark.createDataFrame(corpus.aliases)
+    pipeline.run(
+        spark, spark.createDataFrame(docs), ali, corpus.vocab, corpus.emb,
+        out_dir=out,
+    )
+    rem = spark.createDataFrame(drop)
+    aff = {
+        r["_bucket"]
+        for r in _lin.with_doc_bucket(
+            rem.select("repo", "path", "commit")
+        ).select("_bucket").distinct().collect()
+    }
+    assert len(aff) < _lin.N_DOC_BUCKETS  # the fixture premise
+
+    def _bucket_state(stage):
+        d = os.path.join(out, stage, "data")
+        return {
+            b: sorted(
+                (f, os.path.getmtime(os.path.join(d, b, f)))
+                for f in os.listdir(os.path.join(d, b))
+                if f.endswith(".parquet")
+            )
+            for b in os.listdir(d)
+            if b.startswith("_bucket=")
+        }
+
+    before = {s: _bucket_state(s) for s in ("parsed", "scored")}
+    incremental.run_retraction(
+        spark, rem, ali, corpus.vocab, corpus.emb, out_dir=out
+    )
+    for stage in ("parsed", "scored"):
+        after = _bucket_state(stage)
+        for b, files in before[stage].items():
+            bid = int(b.split("=")[1])
+            if bid not in aff:
+                assert after[b] == files, (stage, b)
+        # manifest bookkeeping stayed consistent with the data
+        man = json.load(open(os.path.join(out, stage, "_manifest.json")))
+        data = spark.read.parquet(os.path.join(out, stage, "data"))
+        assert man["rows"] == data.count()
+        got = {
+            r["_bucket"]: r["n"]
+            for r in data.groupBy("_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert {
+            p["partition_id"]: p["rows"] for p in man["partitions"]
+        } == got
+        # removed keys are gone from affected buckets
+        assert (
+            data.join(
+                rem.select("repo", "path", "commit").distinct(),
+                ["repo", "path", "commit"],
+            ).count()
+            == 0
+        )
 
 
 def test_mixed_append_retract_append_composes(spark, corpus, tmp_path):

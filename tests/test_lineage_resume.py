@@ -115,7 +115,11 @@ def test_compact_stage_preserves_content_and_resume(spark, corpus, tmp_path):
     rep = lineage.compact_stage(
         spark, out, "parsed", target_files=4, min_files=8
     )
-    assert rep["compacted"] and rep["files_after"] <= 4 < before
+    # parsed is doc-key bucketed (retraction pruning layout): compaction
+    # preserves the bucket dirs, so the floor is one file per occupied
+    # bucket rather than target_files
+    assert rep["compacted"]
+    assert rep["files_after"] <= lineage.N_DOC_BUCKETS < before
     rows_after = sorted(
         tuple(r)
         for r in spark.read.parquet(os.path.join(out, "parsed", "data"))

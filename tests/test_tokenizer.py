@@ -201,6 +201,87 @@ def test_incremental_trainer_matches_full_trainer(spark, word_freqs):
     assert got_vocab == want_vocab
 
 
+def test_batched_trainer_matches_full_trainer(spark, word_freqs):
+    """round-5 verdict item 3: the batched trainer (k provably
+    non-interacting merges per driver round-trip) must produce the
+    SAME merge sequence and vocab as the sequential trainers."""
+    wf_dict = {r["word"]: r["freq"] for r in word_freqs.collect()}
+    want_merges, want_vocab = _python_bpe(wf_dict, n_merges=12)
+    got_merges, got_vocab_df = tokenizer.train_bpe_batched(
+        word_freqs, n_merges=12
+    )
+    assert got_merges == want_merges
+    got_vocab = {
+        r["word"]: list(r["symbols"]) for r in got_vocab_df.collect()
+    }
+    assert got_vocab == want_vocab
+
+
+def test_batched_trainer_edge_cases(spark):
+    """Conflicting top pairs, self-pairs, ties at the batch boundary,
+    concat collisions — the batch must shrink to the provably safe
+    prefix (down to k=1) and stay merge-for-merge identical to the
+    python reference."""
+    cases = [
+        # overlapping runs + vanishing pairs (the incremental edge set)
+        [("aaaa", 3), ("aabb", 2), ("abab", 2), ("zz", 1)],
+        # chained symbols: top pairs share symbols → forced k=1 rounds
+        [("abc", 10), ("bcd", 9), ("cde", 8), ("ab", 7)],
+        # ties everywhere: strict-boundary rule must trim batches
+        [("ab", 5), ("cd", 5), ("ef", 5), ("gh", 5), ("ij", 4)],
+        # concat collision bait: merging (a,b) then (ab,c) vs (a,bc)
+        [("abc", 12), ("ab", 11), ("bc", 11), ("abcabc", 3)],
+        # disjoint easy batch: many independent pairs, one round
+        [("ab", 9), ("cd", 8), ("ef", 7), ("gh", 6), ("ijkl", 5)],
+    ]
+    for rows in cases:
+        wf = spark.createDataFrame(rows, "word string, freq long")
+        want_merges, want_vocab = _python_bpe(
+            dict(rows), n_merges=10, min_pair_freq=2
+        )
+        got_merges, got_vocab_df = tokenizer.train_bpe_batched(
+            wf, n_merges=10, min_pair_freq=2, max_batch=4
+        )
+        assert got_merges == want_merges, rows
+        got_vocab = {
+            r["word"]: list(r["symbols"]) for r in got_vocab_df.collect()
+        }
+        assert got_vocab == want_vocab, rows
+
+
+def test_batchable_prefix_rules():
+    """Driver-side unit: the safe-prefix rule set, no Spark needed."""
+    P = tokenizer._batchable_prefix
+
+    def rows(*trip):
+        return [{"a": a, "b": b, "score": s} for a, b, s in trip]
+
+    # disjoint strict-dropping prefix → full batch
+    assert P(rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7)), set(), 2, 2) \
+        == [("a", "b"), ("c", "d")]
+    # symbol conflict cuts the prefix
+    assert P(rows(("a", "b", 9), ("b", "c", 8), ("e", "f", 7)), set(), 2, 3) \
+        == [("a", "b")]
+    # self-pair past position 1 cuts; at position 1 it's a singleton
+    assert P(rows(("a", "b", 9), ("c", "c", 8), ("e", "f", 7)), set(), 2, 3) \
+        == [("a", "b")]
+    assert P(rows(("c", "c", 9), ("a", "b", 8)), set(), 2, 3) == [("c", "c")]
+    # tie at the boundary trims back to the strict drop
+    assert P(rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 8)), set(), 2, 2) \
+        == [("a", "b")]
+    # tie INSIDE the batch is fine when the boundary drop is strict
+    assert P(rows(("a", "b", 9), ("c", "d", 9), ("e", "f", 3)), set(), 2, 2) \
+        == [("a", "b"), ("c", "d")]
+    # concat collision with a prior merge's symbol cuts
+    assert P(rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7)), {"cd"}, 2, 3) \
+        == [("a", "b")]
+    # min_pair_freq filters the tail; below-floor top → empty
+    assert P(rows(("a", "b", 1)), set(), 2, 3) == []
+    # no boundary row at/above the floor → no trim needed
+    assert P(rows(("a", "b", 9), ("c", "d", 9)), set(), 2, 3) \
+        == [("a", "b"), ("c", "d")]
+
+
 def test_incremental_trainer_edge_cases(spark):
     """Overlapping runs (aaaa), pairs that vanish, early stop — the
     delta update must track the greedy fold exactly."""
