@@ -71,7 +71,7 @@ HEADLINE = [
     "bpe_merge", "pq_ann", "embedding_near_dup_production", "ivf_pq_ann",
     "lm_perplexity_bigram", "context_pack", "doc_chunks",
     "cluster_quality_keeper", "semantic_decontaminate",
-    "semantic_decontaminate_multiprobe",
+    "semantic_decontaminate_multiprobe", "embedding_near_dup_capped",
 ]  # fmt: skip
 
 

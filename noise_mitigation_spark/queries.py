@@ -3821,6 +3821,120 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 SQL_EMBEDDING_NEAR_DUP_PRODUCTION = _sql_embedding_near_dup_production()
 
 
+_CAPPED_MAX_BUCKET = 4  # gate-scale cap: sf0.01 has 500 vectors in 64
+# buckets (sizes 1..16), so max_bucket=4 makes the small-bucket all-pairs,
+# giant-bucket star, AND rescue sub-bucket layers all live in the
+# correctness run (production default 64 would leave the cap dead code).
+# The fourth layer — a rescue sub-bucket still over the cap — needs an
+# identical-vector cluster no random corpus produces; tests/test_skew.py
+# pins it on a crafted degenerate cluster.
+_CAPPED_TAU = 0.25  # cap drops the handful of cos>=0.4 survivors at this
+# corpus size; 0.25 keeps 23 verified pairs flowing through every layer.
+
+
+def q_embedding_near_dup_capped(spark, sf_dir):
+    """The CAPPED production near-dup (round-4 verdict item 4 closure):
+    ``embedding_near_dup_production``'s N-adaptive planes PLUS the
+    giant-bucket cap + sub-key rescue rule shared with the MinHash
+    cleaning path (``pairs_with_cap``), so an adversarial identical-
+    vector cluster can never go quadratic. Registered with
+    max_bucket=4 so all three layers — small-bucket all-pairs,
+    giant-bucket K-hub stars, rescue sub-bucket all-pairs — are live
+    at gate scale; the oracle replays the exact same rule in SQL
+    (deterministic min-id hubs, prefix-stable PCG64 rescue planes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_capped(
+        e, tau=_CAPPED_TAU, max_bucket=_CAPPED_MAX_BUCKET
+    )
+
+
+def _sql_embedding_near_dup_capped() -> str:
+    planes = _ann_planes(_NEARDUP_PLANES_MAX + 8)
+    plane_rows = ",\n  ".join(
+        f"({i}, {[float(x) for x in p]}::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    mb = _CAPPED_MAX_BUCKET
+    tau = _CAPPED_TAU
+    return f"""
+WITH np AS (
+  SELECT greatest(6, CAST(ceil(log2(greatest(count(*) / 64.0, 2.0)))
+                          AS INT)) AS n
+  FROM embeddings
+), planes(i, p) AS (VALUES
+  {plane_rows}
+), keyed AS (
+  SELECT e.vec_id AS doc_id, e.embedding,
+         CAST(sum(CASE WHEN pl.i < np.n
+                        AND list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket,
+         CAST(sum(CASE WHEN pl.i >= np.n AND pl.i < np.n + 8
+                        AND list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN CAST(power(2, pl.i - np.n) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS skey
+  FROM embeddings e CROSS JOIN planes pl CROSS JOIN np
+  WHERE pl.i < np.n + 8
+  GROUP BY e.vec_id, e.embedding
+), bstats AS (
+  SELECT bucket, count(*) AS m FROM keyed GROUP BY bucket
+  HAVING count(*) >= 2
+), small_pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM keyed a
+  JOIN bstats s ON s.bucket = a.bucket AND s.m <= {mb}
+  JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), giant AS (
+  SELECT k.doc_id, k.bucket, k.skey
+  FROM keyed k JOIN bstats s ON s.bucket = k.bucket AND s.m > {mb}
+), giant_star AS (
+  SELECT least(h.hub, g.doc_id) AS d1, greatest(h.hub, g.doc_id) AS d2
+  FROM giant g
+  JOIN (SELECT bucket, min(doc_id) AS hub FROM giant GROUP BY bucket) h
+    ON h.bucket = g.bucket
+  WHERE g.doc_id <> h.hub
+), rstats AS (
+  SELECT bucket, skey, count(*) AS m FROM giant GROUP BY bucket, skey
+  HAVING count(*) >= 2
+), resc_small AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM giant a
+  JOIN rstats s ON s.bucket = a.bucket AND s.skey = a.skey AND s.m <= {mb}
+  JOIN giant b ON a.bucket = b.bucket AND a.skey = b.skey
+              AND a.doc_id < b.doc_id
+), resc_star AS (
+  SELECT least(h.hub, g.doc_id) AS d1, greatest(h.hub, g.doc_id) AS d2
+  FROM giant g
+  JOIN (SELECT r.bucket, r.skey, min(r.doc_id) AS hub
+        FROM giant r JOIN rstats s
+          ON s.bucket = r.bucket AND s.skey = r.skey AND s.m > {mb}
+        GROUP BY r.bucket, r.skey) h
+    ON h.bucket = g.bucket AND h.skey = g.skey
+  WHERE g.doc_id <> h.hub
+), cands AS (
+  SELECT DISTINCT d1, d2 FROM (
+    SELECT d1, d2 FROM small_pairs
+    UNION ALL SELECT d1, d2 FROM giant_star
+    UNION ALL SELECT d1, d2 FROM resc_small
+    UNION ALL SELECT d1, d2 FROM resc_star)
+)
+SELECT c.d1 AS v1, c.d2 AS v2,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+         AS cos
+FROM cands c
+JOIN embeddings a ON a.vec_id = c.d1
+JOIN embeddings b ON b.vec_id = c.d2
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= {tau}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_CAPPED = _sql_embedding_near_dup_capped()
+
+
 def ivf_pq_ann_df(
     e: DataFrame, k: int = 8, nprobe: int = 2, topk: int = 3
 ) -> DataFrame:
@@ -5088,6 +5202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_quality_keeper": q_cluster_quality_keeper,
     "semantic_decontaminate": q_semantic_decontaminate,
     "semantic_decontaminate_multiprobe": q_semantic_decontaminate_multiprobe,
+    "embedding_near_dup_capped": q_embedding_near_dup_capped,
 }
 
 ORACLES: dict[str, str] = {
@@ -5174,4 +5289,5 @@ ORACLES: dict[str, str] = {
     "cluster_quality_keeper": SQL_CLUSTER_QUALITY_KEEPER,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     "semantic_decontaminate_multiprobe": SQL_SEMANTIC_DECONTAMINATE_MULTIPROBE,
+    "embedding_near_dup_capped": SQL_EMBEDDING_NEAR_DUP_CAPPED,
 }
