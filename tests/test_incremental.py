@@ -13,6 +13,8 @@ import json
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # scale/soak tier: excluded from the fast gate
 from pyspark.sql import functions as F
 
 from noise_mitigation_spark.plans import incremental, pipeline

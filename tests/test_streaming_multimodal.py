@@ -7,6 +7,8 @@ import hashlib
 import numpy as np
 
 import pytest
+
+pytestmark = pytest.mark.slow  # scale/soak tier: excluded from the fast gate
 from pyspark.sql import functions as F
 
 from noise_mitigation_spark.operators import multimodal

@@ -11,6 +11,8 @@ import os
 
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.slow  # scale/soak tier: excluded from the fast gate
 from pyspark.sql import functions as F
 
 from noise_mitigation_spark.plans import training_prep
