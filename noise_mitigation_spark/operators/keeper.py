@@ -1,0 +1,67 @@
+"""Quality-aware canonical-document selection (the FineWeb/CCNet
+keeper rule): a near-dup cluster keeps its most content-bearing
+member — longest token count, doc_id as the total tiebreak — instead
+of the min-id survivor. Shared kernel between the gate query
+(queries.q_cluster_quality_keeper) and the cleaning DAG's keeper
+stage (plans/cleaning.quality_keeper_flags), per the never-fork rule.
+
+Scale shape: the only wide op is one window partitioned by
+cluster_id over a narrow (doc_id, cluster_id, n_tokens) frame;
+singleton clusters never enter the window (they are their own keeper
+by definition), so the sort is bounded by near-dup cluster rows, not
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keeper_rank(m: DataFrame) -> DataFrame:
+    """Append rnk over (cluster_id | n_tokens DESC, doc_id ASC):
+    rnk == 1 is the cluster's quality keeper. `m` must carry
+    doc_id, cluster_id, n_tokens."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return m.withColumn("rnk", F.row_number().over(w))
+
+
+def doc_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) with the corpus tokenization rule (split on
+    single spaces, empties dropped) — the same count every quality
+    query uses."""
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def quality_keeper_flags(comp: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_id, quality_keeper) over the component table's nodes:
+    true iff the doc is its component's keeper under keeper_rank.
+    comp is the cleaning DAG's materialized (node, component) stage —
+    singletons included (component == node) — so the multi-member
+    windowed slice is near-dup-bounded and the singleton majority
+    bypasses the window entirely."""
+    m = comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).join(doc_token_counts(docs), "doc_id")
+    sizes = (
+        m.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") >= 2)
+        .select("cluster_id")
+    )
+    multi = m.join(sizes, "cluster_id", "left_semi")
+    single = m.join(sizes, "cluster_id", "left_anti").select(
+        "doc_id", F.lit(True).alias("quality_keeper")
+    )
+    ranked = keeper_rank(multi).select(
+        "doc_id", (F.col("rnk") == 1).alias("quality_keeper")
+    )
+    return ranked.unionByName(single)

@@ -16,7 +16,10 @@ documents(doc_id, text, ...) table:
     ├─ repetition flags (dup-trigram / top-bigram thresholds)
     └─ contamination flags (word-4-gram overlap vs the benchmark
        slice, broadcast gram set)
-  → doc_flags(doc_id, reasons array, keep) → clean_docs
+  → doc_flags(doc_id, reasons array, keep, quality_keeper) → clean_docs
+     (quality_keeper = the FineWeb-rule canonical member of each
+     near-dup cluster, derived from the materialized components —
+     operators/keeper.py, shared with q_cluster_quality_keeper)
 
 Every stage is a hash aggregation or an equi-join — no global sorts,
 no all-pairs work, no Python UDFs; the 100 TB story of each component
@@ -38,6 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.keeper import quality_keeper_flags
 from ..operators.linking import connected_components
 from ..queries import (
     _hybrid_pairs_from_keys,
@@ -94,6 +98,9 @@ def cleaning_params_str(
         f"tau:{near_dup_tau}:tri:{rep_dup_tri_max}"
         f":bi:{rep_top_bi_max}:mod:{benchmark_mod}:hubs:{n_hubs}"
         f":rsc:{_RESCUE_PERMS}.{_RESCUE_ROWS}"
+        # qk marker: doc_flags grew the quality_keeper column — a state
+        # dir written before it must recompute flags, not resume them
+        ":qk:1"
     )
 
 
@@ -249,7 +256,7 @@ def neardup_recall_report(
 
 @dataclass
 class CleaningResult:
-    flags: DataFrame  # doc_id, exact_dup, near_dup, repetitive, contaminated, reasons, keep
+    flags: DataFrame  # doc_id, exact_dup, near_dup, repetitive, contaminated, quality_keeper, reasons, keep
     clean_docs: DataFrame  # input columns, keep rows only
     stats: dict = field(default_factory=dict)  # reason -> dropped count
 
@@ -369,6 +376,11 @@ def run_cleaning(
     cont = contaminated_against(
         grams.filter(F.col("doc_id") % benchmark_mod != 0), bench_grams
     ).select("doc_id", F.lit(True).alias("contaminated"))
+    # keeper stage: the FineWeb-rule canonical member per near-dup
+    # cluster, computed FROM the (materialized) components — never by
+    # re-running LSH→Jaccard→CC. Exact-dup copies are not comp nodes
+    # (near-dup runs over exact survivors) → coalesce False below.
+    qk = quality_keeper_flags(comp, docs)
 
     flags = (
         docs.select("doc_id")
@@ -376,12 +388,16 @@ def run_cleaning(
         .join(near, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(cont, "doc_id", "left")
+        .join(qk, "doc_id", "left")
         .select(
             "doc_id",
             *[
                 F.coalesce(F.col(r), F.lit(False)).alias(r)
                 for r in REASONS
             ],
+            F.coalesce("quality_keeper", F.lit(False)).alias(
+                "quality_keeper"
+            ),
         )
     )
     flags = flags.select(
@@ -854,11 +870,16 @@ def run_cleaning_incremental(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
+    docs_all = historical_docs.unionByName(delta_docs)
     flags = (
         base.join(_near_flags_from_components(comp_new), "doc_id", "left")
+        .join(quality_keeper_flags(comp_new, docs_all), "doc_id", "left")
         .select(
             "doc_id",
             *[F.coalesce(F.col(r), F.lit(False)).alias(r) for r in REASONS],
+            F.coalesce("quality_keeper", F.lit(False)).alias(
+                "quality_keeper"
+            ),
         )
     )
     flags = flags.select(
@@ -899,7 +920,6 @@ def run_cleaning_incremental(
     flags = lineage.materialize(
         spark, flags, out_dir, "doc_flags", f"{fp_docs}:{params}"
     )
-    docs_all = historical_docs.unionByName(delta_docs)
     clean = docs_all.join(
         flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
@@ -1234,12 +1254,20 @@ def run_cleaning_retraction(
         .join(exact_new, "doc_id", "left")
         .join(_near_flags_from_components(comp_new), "doc_id", "left")
         .join(still, "doc_id", "left")
+        .join(
+            quality_keeper_flags(comp_new, remaining_docs),
+            "doc_id",
+            "left",
+        )
         .select(
             "doc_id",
             F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
             "repetitive",
             F.coalesce("still_cont", F.lit(False)).alias("contaminated"),
+            F.coalesce("quality_keeper", F.lit(False)).alias(
+                "quality_keeper"
+            ),
         )
     )
     flags = base.select(
@@ -1255,7 +1283,7 @@ def run_cleaning_retraction(
         ).alias("reasons"),
     ).withColumn("keep", F.size("reasons") == 0)
     flags = flags.select(
-        "doc_id", *REASONS, "reasons", "keep"
+        "doc_id", *REASONS, "quality_keeper", "reasons", "keep"
     )
 
     # --- advance the materialized state -------------------------------

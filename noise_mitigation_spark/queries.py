@@ -4888,9 +4888,12 @@ def q_cluster_quality_keeper(spark, sf_dir):
     family collapses to one survivor, keep the most content-bearing
     variant). Composition: verified pairs → iterative CC
     (operators/linking.py) → broadcast-sized cluster table joined to
-    per-doc token counts → one per-cluster window. The window
-    partitions by cluster_id, so no global sort; cluster count is
-    near-dup-bounded, not corpus-bounded."""
+    per-doc token counts → one per-cluster window (the shared
+    operators/keeper.keeper_rank kernel — the cleaning DAG's keeper
+    stage applies the SAME function to its materialized components).
+    The window partitions by cluster_id, so no global sort; cluster
+    count is near-dup-bounded, not corpus-bounded."""
+    from .operators.keeper import doc_token_counts, keeper_rank
     from .operators.linking import connected_components
 
     pairs = q_near_dup_pairs(spark, sf_dir).select("d1", "d2")
@@ -4903,18 +4906,11 @@ def q_cluster_quality_keeper(spark, sf_dir):
         nodes, pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     )
     d = _t(spark, sf_dir, "documents")
-    ntok = d.select(
-        "doc_id",
-        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-        .cast("long")
-        .alias("n_tokens"),
-    )
     m = comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    ).join(ntok, "doc_id")
-    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ).join(doc_token_counts(d), "doc_id")
     return (
-        m.withColumn("rnk", F.row_number().over(w))
+        keeper_rank(m)
         .select(
             "doc_id",
             "cluster_id",

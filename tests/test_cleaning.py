@@ -91,6 +91,44 @@ def test_near_dup_closure_matches_unionfind_oracle(spark, docs, flags_pdf):
     assert len(want) > 0  # the corpus genuinely contains near-dups
 
 
+def test_quality_keeper_flag_matches_unionfind_oracle(docs, flags_pdf):
+    """The DAG's quality_keeper column (the FineWeb keep-longest rule
+    over the materialized components, operators/keeper.py — the same
+    kernel the gate query q_cluster_quality_keeper runs) must equal a
+    driver-side re-derivation: union-find clusters over the same
+    verified pairs, keeper = longest token count with doc_id tiebreak,
+    singletons trivially keepers."""
+    pairs = cleaning.near_dup_pairs_for(docs, tau=0.5).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["d1"], pairs["d2"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ntok = {
+        int(r["doc_id"]): len([t for t in r["text"].split(" ") if t])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for x in parent:
+        clusters.setdefault(find(x), []).append(x)
+    want = {d: True for d in ntok}  # singletons: their own keeper
+    for members in clusters.values():
+        keeper = min(members, key=lambda d: (-ntok[d], d))
+        for d in members:
+            want[d] = d == keeper
+    got = flags_pdf["quality_keeper"].to_dict()
+    assert got == want
+    assert any(not v for v in want.values())  # rule genuinely fired
+
+
 def test_clean_docs_are_the_keep_set(docs, result, flags_pdf):
     kept_ids = set(
         r["doc_id"] for r in result.clean_docs.select("doc_id").collect()

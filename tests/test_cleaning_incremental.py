@@ -92,6 +92,7 @@ def _flag_rows(res):
         (
             r["doc_id"], r["exact_dup"], r["near_dup"], r["repetitive"],
             r["contaminated"], tuple(r["reasons"]), r["keep"],
+            r["quality_keeper"],
         )
         for r in res.flags.collect()
     )
