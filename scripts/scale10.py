@@ -52,6 +52,12 @@ HEADLINE_10X = [
     "winnow_fingerprint", "dedup_exact", "ann_lsh", "lsh_candidate_pairs",
     "near_dup_clusters", "embedding_near_dup", "hash_sample",
     "two_hop_reach", "degree_stats",
+    # round-4/5 additions (r5 measured: ivf_pq_ann 2.09x,
+    # embedding_near_dup_capped 3.19x at 10x rows)
+    "ivf_pq_ann", "embedding_near_dup_capped", "pq_ann",
+    "embedding_near_dup_production", "semantic_decontaminate",
+    "semantic_decontaminate_multiprobe", "context_pack", "doc_chunks",
+    "lm_perplexity_bigram",
 ]  # fmt: skip
 
 
