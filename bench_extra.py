@@ -1,0 +1,67 @@
+"""Per-query isolation harness for the optimization rounds (guide §1).
+
+NOT the driver bench (bench.py is frozen): this file times individual
+registry queries with the same methodology (.count() on the returned
+DataFrame, same session settings), optionally repeats, and dumps
+``.explain("formatted")`` plans to plans/r06/.
+
+Usage:
+  python bench_extra.py q1 q2 ...          # time queries at $SPARK_GRAFT_SF_DIR
+  python bench_extra.py --plans q1 q2 ...  # also write plans/r06/<q>_<tag>.txt
+  env: SPARK_GRAFT_SF_DIR (default sf1.0), SPARK_GRAFT_CPUS, NM_REPS (default 2),
+       NM_PLAN_TAG (default "before"), NM_NOOP=1 (noop sink instead of count)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from noise_mitigation_spark import queries as Q
+from noise_mitigation_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("NM_REPS", "2"))
+TAG = os.environ.get("NM_PLAN_TAG", "before")
+NOOP = bool(os.environ.get("NM_NOOP"))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    write_plans = "--plans" in sys.argv
+    names = args or list(Q.QUERIES)
+    spark = get_spark("nm-bench-extra", cores=CPUS, shuffle_partitions=CPUS)
+    Q.QUERIES["tpch_q1"](spark, SF_DIR).count()  # warm, as bench.py does
+    out = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(name)
+        walls = []
+        for _ in range(REPS):
+            t0 = time.time()
+            df = Q.QUERIES[name](spark, SF_DIR)
+            if NOOP:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+            walls.append(round(time.time() - t0, 3))
+        out[name] = walls
+        print(f"{name}: {walls}", file=sys.stderr)
+        if write_plans:
+            os.makedirs("plans/r06", exist_ok=True)
+            df = Q.QUERIES[name](spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(f"plans/r06/{name}_{TAG}.txt", "w") as f:
+                f.write(plan)
+    print(json.dumps({"sf_dir": SF_DIR, "reps": REPS, "mode": "noop" if NOOP else "count", "walls": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow-parallelism scan up to the
+    session's default parallelism (guide §2.5 "input skew: one huge
+    unsplittable file → repartition immediately after the read").
+
+    The driver's tables are single-row-group parquet files, and a row
+    group is the minimum split unit — `files.maxPartitionBytes` /
+    `minPartitionNum` cannot split it, so EVERY map-side stage reading
+    such a table runs in ONE task regardless of cluster size; any
+    Exchange-free plan downstream (broadcast joins, map-side encodes,
+    partial aggregates) inherits single-core execution. The shuffle
+    this inserts moves only the small table itself (MBs) and buys
+    cores× parallelism for the expensive per-row/per-pair work.
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's defaultParallelism and the repartition is SKIPPED when
+    the scan is already at least that parallel (real-scale inputs with
+    many row groups/files) — so at 100 TB this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _global_topk(df: DataFrame, k: int, *order) -> DataFrame:
     """Distributed global top-k with a rank column, WITHOUT a global
     sort of the input: orderBy().limit(k) compiles to
@@ -432,17 +456,32 @@ SELECT event_id, 'high' AS split FROM events WHERE value >= 150
 def q_pair_generation(spark, sf_dir):
     """J8 same-block entity pair generation (self-join, mentions ⋈
     mentions on doc; myutils.py:1126-1130): customers co-located in a
-    nation, c1 < c2."""
-    c1 = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    c2 = c1.select(
-        F.col("c_custkey").alias("c2_custkey"),
-        F.col("c_nationkey").alias("c2_nationkey"),
+    nation, c1 < c2.
+
+    r6 optimization (guide §1.1 first-principles): the query COUNTS
+    pairs, it never enumerates them, so the quadratic self-join is
+    unnecessary — over any multiset, |{(x, y): x < y}| =
+    (n² − Σ_v m_v²) / 2 where m_v is the multiplicity of key value v
+    (= C(n, 2) when keys are unique). Two-level aggregation computes
+    that exactly for ANY data: per-(nation, custkey) counts (one
+    partial-agg shuffle), then per-nation closed form. The old plan
+    materialized ~450M joined rows at sf1.0 (26 s measured); this one
+    is count-shaped (0.3 s) and linear at every scale. Nations whose
+    customers admit no pair (n² = Σ m²) are filtered to match the
+    inner-join semantics (a pairless nation emitted no row)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_key = c.groupBy("c_nationkey", "c_custkey").agg(
+        F.count("*").alias("m")
     )
     return (
-        c1.join(c2, c1.c_nationkey == c2.c2_nationkey)
-        .filter(F.col("c_custkey") < F.col("c2_custkey"))
-        .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.count("*").alias("n_pairs"))
+        per_key.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.expr(
+                "(CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT)"
+                " - CAST(sum(m * m) AS BIGINT)) div 2"
+            ).alias("n_pairs")
+        )
+        .filter(F.col("n_pairs") > 0)
     )
 
 
@@ -698,11 +737,23 @@ def minhash_signatures_df(
     d: DataFrame, params: list[tuple[int, int, int]] | None = None
 ) -> DataFrame:
     """DataFrame core of q_minhash_signatures — also composed by the
-    cleaning plan (plans/cleaning.py, with a wider permutation set)."""
+    cleaning plan (plans/cleaning.py, with a wider permutation set).
+
+    r6 (guide §2.4): the old plan ran `.distinct()` on the exploded
+    (doc_id, token) table — a full corpus-sized string shuffle — before
+    hashing. min() is duplicate-insensitive (min over a multiset ≡ min
+    over its set), so the distinct buys nothing the partial-agg min
+    doesn't already do map-side: dropping it removes the only
+    corpus-sized Exchange (the groupBy's partial min reduces each
+    partition to n_docs×k rows before its shuffle). Repeated tokens now
+    re-hash per occurrence — a per-row md5 against a full shuffle, the
+    right trade at any scale. _spread parallelizes the now-Exchange-
+    free map phase on single-row-group inputs (guide §2.5; no-op on
+    already-parallel inputs like the cleaning plan's)."""
     toks = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        _spread(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
-        .distinct()
     )
     params = d.sparkSession.createDataFrame(
         params or _MINHASH_PARAMS, "k int, a long, b long"
@@ -744,8 +795,10 @@ GROUP BY t.doc_id, p.k
 def q_simhash(spark, sf_dir):
     """SimHash document fingerprint, fully relational: 32-bit sign
     hash over a stateless token-id mix (md5-prefix hash — no vocab
-    table, no global sort); near-dups differ in few bits."""
-    d = _t(spark, sf_dir, "documents")
+    table, no global sort); near-dups differ in few bits.
+    r6: _spread parallelizes the tokenize/explode map phase (guide
+    §2.5 — the single-row-group input otherwise pins it to 1 task)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -829,7 +882,16 @@ WHERE token <> '' GROUP BY doc_id
 
 
 def _arr_dot(a, b):
-    """Σ aᵢ·bᵢ over two array columns — JVM higher-order fold, no UDF."""
+    """Σ aᵢ·bᵢ over two array columns — JVM higher-order fold, no UDF.
+
+    r6 measured note (guide §1.1 empirical loop): an unrolled
+    element_at Add-chain was tried and is 3-4× SLOWER than this fold
+    (2M pairs × 64 dims: fold 9.4 s, unrolled getItem 32 s, unrolled
+    element_at 40 s on this box) — the fold is one interpreted call
+    per element through a tight loop, while the giant unrolled tree
+    defeats codegen. Keep the fold; the per-PAIR savings live in
+    computing norms once per row (callers) and in Arrow kernels for
+    the probe-scan phases."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -878,15 +940,32 @@ def q_cosine_topk(spark, sf_dir):
     q_ann_multiprobe (Hamming-1 probes), q_ivf_ann /
     q_ivf_ann_trained (coarse cells), q_pq_ann (4-bit codes + ADC),
     and embedding_near_dup_production (size-adaptive planes)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    # r6 (guide §2.3): norms once per row instead of per pair (the
+    # full-scan pair count × 2 redundant 64-elem folds), the 10-row
+    # query side broadcast against the streaming corpus side, and only
+    # (qid, cid, cos) into the top-5 window
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        _arr_norm(F.col("embedding")).alias("nq"),
     )
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        _arr_norm(F.col("embedding")).alias("nc"),
+    )
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+        .select(
+            "qid",
+            "cid",
+            (
+                _arr_dot(F.col("qv"), F.col("cv"))
+                / (F.col("nq") * F.col("nc"))
+            ).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -1336,12 +1415,22 @@ def q_langid(spark, sf_dir):
     accuracy per actual lang. (Synthetic text is lang-independent, so
     the interesting part is the plan: profile build + score join +
     per-doc argmax.)"""
+    # r6 note: _spread was tried here and REVERTED — the probe join's
+    # 25M-row hash aggregation is allocation-bound, and parallel
+    # allocation hits this VM's page-fault serialization ceiling
+    # (bench.py hw_ceiling alloc_churn probe): measured 4.4 s
+    # single-scan vs 10 s spread at sf1.0.
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
+    # r6 (guide §1.2 per-task work): ln(1 + cnt) moves INTO the
+    # vocab-sized profile (one log per profile row) instead of being
+    # evaluated per probe-joined row (|toks| × n_langs times); the
+    # summed doubles are identical, so the floor-rounded score is
+    # bit-unchanged
     profile = toks.groupBy(F.col("lang").alias("plang"), "token").agg(
-        F.count("*").alias("cnt")
+        F.log(F.lit(1.0) + F.count("*")).alias("lcnt")
     )
     scored = (
         toks.join(profile, "token")
@@ -1350,12 +1439,7 @@ def q_langid(spark, sf_dir):
         # floats in different orders, and near-tied profile scores would
         # otherwise flip the plang tiebreak between engines
         .agg(
-            (
-                F.floor(
-                    F.sum(F.log(F.lit(1.0) + F.col("cnt"))) * 1e6 + 0.5
-                )
-                / 1e6
-            ).alias("score")
+            (F.floor(F.sum("lcnt") * 1e6 + 0.5) / 1e6).alias("score")
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
@@ -1498,22 +1582,41 @@ def q_ann_lsh(spark, sf_dir):
     hyperplanes → 64 buckets; each query (vec_id < 10) is compared
     only against its own bucket; top-3 by cosine. At 10^9 vectors the
     candidate set per query is |N|/64 instead of |N| and the bucket
-    join replaces the crossJoin."""
+    join replaces the crossJoin.
+
+    r6 (guide §2.3/§3.1): per-row norms are computed once per side
+    before the bucket join instead of once per scored pair (_cosine
+    re-derived both norms per pair — 2/3 of the per-pair folds), the
+    10-row query side broadcasts so the corpus side never shuffles,
+    and only (qid, cid, cos) reaches the top-3 window."""
     planes = _ann_planes()
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     bucketed = e.select(
         "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
     )
     q = bucketed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+        _arr_norm(F.col("embedding")).alias("nq"),
     )
     c = bucketed.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        "bucket",
+        _arr_norm(F.col("embedding")).alias("nc"),
     )
     scored = (
-        q.join(c, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+        .select(
+            "qid",
+            "cid",
+            (
+                _arr_dot(F.col("qv"), F.col("cv"))
+                / (F.col("nq") * F.col("nc"))
+            ).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -1619,11 +1722,17 @@ def q_near_dup_pairs(spark, sf_dir):
     candidate generation → n-gram Jaccard verification ≥ τ →
     (keep, drop) decision by min doc_id. τ=0.05 tuned to the synthetic
     corpus's similarity spectrum (random docs sit ~0.03); demo-bounded
-    to doc_id < 60 to keep the oracle's quadratic CTE cheap."""
+    to doc_id < 60 to keep the oracle's quadratic CTE cheap.
+
+    r6 (guide §1.2 — don't compute things you throw away): the
+    doc_id < 60 bound is pushed BELOW the signature computation. A
+    doc's minhash signature and band keys depend only on its own
+    text, and a surviving pair needs BOTH endpoints < 60, so band
+    keys of doc_id ≥ 60 can never contribute a row — the old plan
+    computed signatures for the whole corpus and then discarded
+    >99% of the candidate pairs."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    cands = q_lsh_candidate_pairs(spark, sf_dir).filter(
-        (F.col("d1") < 60) & (F.col("d2") < 60)
-    )
+    cands = lsh_candidate_pairs_df(minhash_signatures_df(docs))
     return near_dup_pairs_df(docs, cands, tau=0.05)
 
 
@@ -1951,29 +2060,51 @@ def q_ann_multiprobe(spark, sf_dir):
     per query instead of |N| — still the bucket-join shape, never the
     crossJoin."""
     planes = _ann_planes()
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     bucketed = e.select(
         "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
     )
-    flips = spark.createDataFrame(
-        [(0,)] + [(2**i,) for i in range(len(planes))], "flip long"
+    # r6: probe fan-out via a literal flip array (no 7-row join), the
+    # tiny query side broadcasts, per-side norms computed once per row
+    # (guide §2.3 — _cosine recomputed both norms per scored pair),
+    # and only (qid, cid, cos) flows into the dedupe groupBy + window
+    flips = F.array(
+        *[F.lit(0).cast("long")]
+        + [F.lit(2**i).cast("long") for i in range(len(planes))]
     )
     q = (
         bucketed.filter(F.col("vec_id") < 10)
         .select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            "bucket",
+            _arr_norm(F.col("embedding")).alias("nq"),
+            F.explode(flips).alias("flip"),
         )
-        .crossJoin(F.broadcast(flips))
-        .withColumn("probe", F.col("bucket").bitwiseXOR(F.col("flip")))
-        .select("qid", "qv", F.col("probe").alias("bucket"))
+        .select(
+            "qid",
+            "qv",
+            "nq",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+        )
     )
     c = bucketed.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        "bucket",
+        _arr_norm(F.col("embedding")).alias("nc"),
     )
     scored = (
-        q.join(c, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", _cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _arr_dot(F.col("qv"), F.col("cv"))
+                / (F.col("nq") * F.col("nc"))
+            ).alias("cos"),
+        )
         .groupBy("qid", "cid")
         .agg(F.max("cos").alias("cos"))  # dedupe multi-probe hits
     )
@@ -2073,10 +2204,13 @@ def q_winnow_fingerprint(spark, sf_dir):
     kernel is shared with the DuckDB UHUGEINT oracle twin below and
     the numpy golden test). The only Python in the query suite beside
     the scorer path, and for the same reason: the per-position
-    rolling recurrence is a scan Catalyst cannot vectorize."""
+    rolling recurrence is a scan Catalyst cannot vectorize.
+    r6: _spread fans the single-row-group input out BELOW the kernel
+    (guide §2.5) — one Arrow worker per core instead of one total;
+    the stage above the kernel stays Exchange-free (plan-gated)."""
     from .operators.fingerprint import winnow_fingerprints
 
-    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+    d = _spread(_t(spark, sf_dir, "documents").filter(F.length("text") >= 16))
     return winnow_fingerprints(d)
 
 
@@ -2121,20 +2255,28 @@ def q_embedding_near_dup(spark, sf_dir):
     keep/drop by min vec_id. τ=0.4 tuned to the synthetic embedding
     table's similarity spectrum (random pairs sit near 0)."""
     planes = _ann_planes()
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    # r6 (guide §2.3): norms once per row before the bucket join —
+    # _cosine recomputed both 64-elem norm folds per within-bucket pair
     b = e.select(
-        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        _lsh_bucket("embedding", planes).alias("bucket"),
+        _arr_norm(F.col("embedding")).alias("nrm"),
     )
     a1 = b.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "bucket"
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+        "bucket", F.col("nrm").alias("n1"),
     )
     a2 = b.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "bucket"
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+        "bucket", F.col("nrm").alias("n2"),
     )
+    cos = _arr_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         a1.join(a2, "bucket")
         .filter(F.col("v1") < F.col("v2"))
-        .withColumn("cos", _cosine(F.col("e1"), F.col("e2")))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= 0.4)
         .select(
             "v1",
@@ -2163,19 +2305,27 @@ def embedding_near_dup_production(
     n = e.count()
     n_planes = max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
     planes = _ann_planes(n_planes)
+    # r6 (guide §2.3): norms once per row before the bucket join —
+    # _cosine recomputed both 64-elem norm folds per within-bucket pair
     b = e.select(
-        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        _lsh_bucket("embedding", planes).alias("bucket"),
+        _arr_norm(F.col("embedding")).alias("nrm"),
     )
     a1 = b.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "bucket"
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+        "bucket", F.col("nrm").alias("n1"),
     )
     a2 = b.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "bucket"
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+        "bucket", F.col("nrm").alias("n2"),
     )
+    cos = _arr_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         a1.join(a2, "bucket")
         .filter(F.col("v1") < F.col("v2"))
-        .withColumn("cos", _cosine(F.col("e1"), F.col("e2")))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= tau)
         .select("v1", "v2", F.round("cos", 4).alias("cos"))
     )
@@ -2243,12 +2393,21 @@ def embedding_near_dup_capped(
         resc, ["bucket", "skey"], max_bucket=max_bucket, n_hubs=n_hubs
     )
     cands = prim.union(resc_pairs).distinct()
-    e1 = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
-    e2 = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    # r6 (guide §2.3): norms once per vector row at the verify join —
+    # _cosine recomputed both 64-elem norm folds per candidate pair
+    e1 = e.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"),
+        _arr_norm(F.col("embedding")).alias("n1"),
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"),
+        _arr_norm(F.col("embedding")).alias("n2"),
+    )
+    cos = _arr_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         cands.join(e1, "d1")
         .join(e2, "d2")
-        .withColumn("cos", _cosine(F.col("e1"), F.col("e2")))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= tau)
         .select(
             F.col("d1").alias("v1"),
@@ -2297,8 +2456,9 @@ def repetition_filter_df(
     docs: DataFrame, dup_tri_max: float = 0.02, top_bi_max: float = 0.08
 ) -> DataFrame:
     """DataFrame core of q_repetition_filter — also composed by the
-    cleaning plan."""
-    d = docs.select("doc_id", F.split("text", " ").alias("t"))
+    cleaning plan. r6: _spread (guide §2.5) parallelizes the n-gram
+    explode map phase on single-row-group inputs."""
+    d = _spread(docs).select("doc_id", F.split("text", " ").alias("t"))
     tri = d.filter(F.size("t") >= 3).select(
         "doc_id",
         F.explode(
@@ -2429,9 +2589,12 @@ FROM trid JOIN bid USING (doc_id)
 
 def doc_word4grams_df(docs: DataFrame) -> DataFrame:
     """(doc_id, g): distinct word 4-grams per doc — shared by the
-    decontamination query and the incremental cleaning plan."""
+    decontamination query and the incremental cleaning plan.
+    r6: _spread parallelizes the tokenize/explode map phase on
+    single-row-group inputs (guide §2.5; no-op when already
+    parallel)."""
     toks = (
-        docs.select("doc_id", F.split("text", " ").alias("t"))
+        _spread(docs).select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 4)
     )
     return toks.select(
@@ -2457,8 +2620,17 @@ def contaminated_against(train_grams: DataFrame, ev: DataFrame) -> DataFrame:
 
 def decontaminate_df(docs: DataFrame, benchmark_mod: int = 17) -> DataFrame:
     """DataFrame core of q_decontaminate — also composed by the
-    cleaning plan."""
-    grams = doc_word4grams_df(docs)
+    cleaning plan.
+
+    r6 (guide §5 caching / §2.4): both the benchmark side and the
+    training side derive from the same distinct-gram table; without a
+    materialization barrier the tokenize → explode → distinct subtree
+    (the expensive pass) ran TWICE, once under each branch. An eager
+    localCheckpoint computes it once (same pattern as pagerank/
+    pr_curve: checkpoint blocks are ContextCleaner-GC'd, unlike
+    cache()). The broadcast map-side probe shape — the part that
+    matters at 100 TB — is unchanged."""
+    grams = doc_word4grams_df(docs).localCheckpoint(eager=True)
     ev = (
         grams.filter(F.col("doc_id") % benchmark_mod == 0)
         .select("g")
@@ -2528,28 +2700,65 @@ def q_ivf_ann(spark, sf_dir):
     same way), then each query probes its nprobe=2 nearest cells and
     brute-forces only those candidates (~2/8 of the corpus instead of
     all of it). Centroid table broadcasts; the big side never
-    shuffles; per-cell search is an equi-join on cent_id."""
-    e = _t(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    shuffles; per-cell search is an equi-join on cent_id.
+
+    r6 (guide §2.4/§3.1): the 8 frozen centroids are collected
+    (8-row-bounded) into plan literals cast back to array<float>, so
+    cell ranking is a map-side struct-array sort — the old plan
+    shuffled 8×N rows carrying BOTH 64-d arrays through a vec_id
+    window just to take the per-vector top-2. The tiny probe side
+    broadcasts into the per-cell equi-join, per-side norms are
+    computed once per row (not once per scored pair), and only
+    (qid, vec_id, cos) reaches the top-3 window. Negated-cos struct
+    sort ≡ the old (acos DESC, cent_id ASC) row_number ordering."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    rows = _centroid_rows(
+        e.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
     )
-    a = e.crossJoin(F.broadcast(cent)).withColumn(
-        "acos", _cosine(F.col("embedding"), F.col("cv"))
+    # (−acos, cent_id) struct min/sort over float-typed literals keeps
+    # the original float×float fold arithmetic bit-identical
+    structs = [
+        F.struct(
+            (
+                -_cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in cv]).cast(
+                        "array<float>"
+                    ),
+                )
+            ).alias("na"),
+            F.lit(int(cid)).cast("long").alias("cent_id"),
+        )
+        for cid, cv in rows
+    ]
+    top2 = F.slice(F.array_sort(F.array(*structs)), 1, 2)
+    assign = e.select(
+        "vec_id",
+        F.element_at(top2, 1).getField("cent_id").alias("cent_id"),
+        "embedding",
+        _arr_norm(F.col("embedding")).alias("nv"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cent_id"))
-    ranked = a.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "cent_id", "embedding"
-    )
-    probes = ranked.filter(
-        (F.col("vec_id") % 50 == 0) & (F.col("rn") <= 2)  # scale-free query set
-    ).select(
-        F.col("vec_id").alias("qid"), "cent_id", F.col("embedding").alias("qv")
+    probes = (
+        e.filter(F.col("vec_id") % 50 == 0)  # scale-free query set
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(top2).alias("p"),
+            F.col("embedding").alias("qv"),
+            _arr_norm(F.col("embedding")).alias("nq"),
+        )
+        .select("qid", F.col("p.cent_id").alias("cent_id"), "qv", "nq")
     )
     scored = (
-        probes.join(assign, "cent_id")
+        assign.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cos", _cosine(F.col("qv"), F.col("embedding")))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                _arr_dot(F.col("qv"), F.col("embedding"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
+        )
     )
     wq = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -2799,7 +3008,8 @@ _KMEANS_ITERS = 2  # Lloyd updates (assign → update, twice, then final assign)
 
 
 def _sqdist(a, b):
-    """Σ (aᵢ−bᵢ)² over two double-array columns (JVM fold, no UDF)."""
+    """Σ (aᵢ−bᵢ)² over two double-array columns (JVM fold, no UDF —
+    see _arr_dot's r6 note: the fold beats an unrolled chain)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"),
@@ -2807,40 +3017,70 @@ def _sqdist(a, b):
     )
 
 
-def _kmeans_rank(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cent_id, ev, rn): every vector ranked against the
-    broadcast centroids by ROUNDED squared distance, cent_id
-    tiebreak."""
-    a = e.crossJoin(F.broadcast(cents)).withColumn(
-        "d", F.round(_sqdist(F.col("ev"), F.col("cv")), 6)
+def _centroid_rows(cent: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-side snapshot of a centroid table, sorted by cent_id —
+    bounded by k ≤ 16 rows (the same "broadcast the quantizer" move as
+    before, except the k·d floats become plan literals so assignment
+    is a pure map-side expression; the collect is k-row-bounded, never
+    corpus-sized)."""
+    return sorted((int(r[0]), list(r[1])) for r in cent.collect())
+
+
+def _kmeans_dist_structs(rows, vec: str = "ev"):
+    """One (d, cent_id) struct per literal centroid — the same
+    round(Σ(evᵢ−cvᵢ)², 6) distances `_kmeans_rank` computed against
+    the broadcast table, as per-row expressions (guide §2.4: the 8×N
+    crossJoin + vec_id window shuffled both 64-d arrays 8× per vector
+    just to take an argmin; struct ordering (d asc, cent_id asc) is
+    exactly the old window's orderBy + row_number tiebreak)."""
+    return [
+        F.struct(
+            F.round(
+                _sqdist(F.col(vec), F.array(*[F.lit(float(v)) for v in cv])), 6
+            ).alias("d"),
+            F.lit(int(cid)).cast("long").alias("cent_id"),
+        )
+        for cid, cv in rows
+    ]
+
+
+def _kmeans_argmin(rows, vec: str = "ev"):
+    """Nearest literal centroid id (min struct ≡ rn = 1 of the old
+    (d asc, cent_id asc) window) — map-side, zero Exchange."""
+    return F.array_min(F.array(*_kmeans_dist_structs(rows, vec))).getField(
+        "cent_id"
     )
-    w = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cent_id"))
-    return a.withColumn("rn", F.row_number().over(w))
 
 
-def kmeans_centroids_df(
+def _kmeans_top(rows, n: int, vec: str = "ev"):
+    """The n nearest literal centroids as a sorted (d, cent_id) struct
+    array (≡ rn ≤ n of the old window), map-side."""
+    return F.slice(
+        F.array_sort(F.array(*_kmeans_dist_structs(rows, vec))), 1, n
+    )
+
+
+def kmeans_centroid_rows(
     e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd's k-means trainer: deterministic init (lowest
     k vec_ids), then per iteration (a) assign every vector to its
-    nearest centroid via a BROADCAST of the k centroids (map-side —
-    the big table never shuffles for assignment) and (b) recompute
-    centroids as elementwise means via posexplode → groupBy(cluster,
-    pos) (shuffle volume k·d-bounded after the partial agg, NOT
-    corpus-bounded). Distances and means are rounded (6 dp) before
-    every comparison so the iteration trajectory is bit-identical
-    across engines — which is what lets a DuckDB oracle verify an
-    ITERATIVE algorithm exactly. `e` carries (vec_id, ev:array<double>);
-    returns (cent_id, cv)."""
-    cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv")
+    nearest centroid MAP-SIDE against the k literal centroids (the big
+    table never shuffles — r6: previously a k×N crossJoin + vec_id
+    window, i.e. one corpus-sized array shuffle per iteration) and
+    (b) recompute centroids as elementwise means via posexplode →
+    groupBy(cluster, pos) (shuffle volume k·d-bounded after the
+    partial agg, NOT corpus-bounded), collected back to the driver
+    (k rows) for the next iteration's literals. Distances and means
+    are rounded (6 dp) before every comparison so the iteration
+    trajectory is bit-identical across engines — which is what lets a
+    DuckDB oracle verify an ITERATIVE algorithm exactly. `e` carries
+    (vec_id, ev:array<double>); returns [(cent_id, cv)] sorted."""
+    rows = _centroid_rows(
+        e.filter(F.col("vec_id") < k).select("vec_id", "ev")
     )
     for _ in range(n_iter):
-        assigned = (
-            _kmeans_rank(e, cent)
-            .filter(F.col("rn") == 1)
-            .select(F.col("cent_id").alias("cluster"), "ev")
-        )
+        assigned = e.select(_kmeans_argmin(rows).alias("cluster"), "ev")
         cent = (
             assigned.select(
                 "cluster", F.posexplode("ev").alias("pos", "v")
@@ -2858,7 +3098,19 @@ def kmeans_centroids_df(
                 F.expr("transform(s, x -> x.m)").alias("cv"),
             )
         )
-    return cent
+        rows = _centroid_rows(cent)
+    return rows
+
+
+def kmeans_centroids_df(
+    e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
+) -> DataFrame:
+    """(cent_id, cv) DataFrame view of kmeans_centroid_rows (kept for
+    compatibility with external callers)."""
+    return e.sparkSession.createDataFrame(
+        [(c, v) for c, v in kmeans_centroid_rows(e, k, n_iter)],
+        "cent_id long, cv array<double>",
+    )
 
 
 def _emb_as_double(e: DataFrame) -> DataFrame:
@@ -2871,18 +3123,16 @@ def kmeans_assign_df(
     e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
 ) -> DataFrame:
     """Final k-means assignment (vec_id, cluster): integer-only
-    output, hash-stable. See kmeans_centroids_df."""
+    output, hash-stable. See kmeans_centroid_rows. r6: the final
+    assignment is the same map-side literal-centroid argmin as the
+    trainer — zero Exchange in the whole final pass."""
     e = _emb_as_double(e)
-    cent = kmeans_centroids_df(e, k, n_iter)
-    return (
-        _kmeans_rank(e, cent)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster"))
-    )
+    rows = kmeans_centroid_rows(e, k, n_iter)
+    return e.select("vec_id", _kmeans_argmin(rows).alias("cluster"))
 
 
 def q_kmeans_assign(spark, sf_dir):
-    return kmeans_assign_df(_t(spark, sf_dir, "embeddings"))
+    return kmeans_assign_df(_spread(_t(spark, sf_dir, "embeddings")))
 
 
 def _sql_kmeans(k: int = 8, n_iter: int = _KMEANS_ITERS) -> str:
@@ -2943,24 +3193,44 @@ def q_ivf_ann_trained(spark, sf_dir):
     the TRAINED cells, probe each query's 2 nearest cells, cosine
     top-3 within the probed cells. Same scale shape as q_ivf_ann:
     centroids broadcast, per-cell search is an equi-join on the
-    cluster id; the corpus-side table never shuffles for assignment."""
-    e = _emb_as_double(_t(spark, sf_dir, "embeddings"))
-    cent = kmeans_centroids_df(e)
-    ranked = _kmeans_rank(e, cent)
-    assign = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", F.col("cent_id").alias("cluster"), "ev"
+    cluster id; the corpus-side table never shuffles for assignment.
+
+    r6 (guide §2.4/§3.1): cell assignment is the map-side
+    literal-centroid argmin (no k×N crossJoin + window shuffle), the
+    tiny probe side (|N|/50 × nprobe rows) is broadcast so the corpus
+    side STILL never shuffles, per-row norms are computed once per
+    side instead of once per pair (the 3-fold _cosine recomputed both
+    norms 2M times at sf1.0), and only (qid, vec_id, cos) reaches the
+    top-3 window instead of two 64-d arrays per scored pair."""
+    e = _emb_as_double(_spread(_t(spark, sf_dir, "embeddings")))
+    rows = kmeans_centroid_rows(e)
+    assign = e.select(
+        "vec_id",
+        _kmeans_argmin(rows).alias("cluster"),
+        "ev",
+        _arr_norm(F.col("ev")).alias("nv"),
     )
-    probes = ranked.filter(
-        (F.col("vec_id") % 50 == 0) & (F.col("rn") <= 2)
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("cent_id").alias("cluster"),
-        F.col("ev").alias("qv"),
+    probes = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(_kmeans_top(rows, 2)).alias("p"),
+            F.col("ev").alias("qv"),
+            _arr_norm(F.col("ev")).alias("nq"),
+        )
+        .select("qid", F.col("p.cent_id").alias("cluster"), "qv", "nq")
     )
     scored = (
-        probes.join(assign, "cluster")
+        assign.join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cos", _cosine(F.col("qv"), F.col("ev")))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                _arr_dot(F.col("qv"), F.col("ev"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
+        )
     )
     wq = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -3071,7 +3341,7 @@ def _miml_nll_emb(spark, sf_dir) -> DataFrame:
     floats (exact cross-engine); transcendentals only in the final
     aggregate. Windows are partitioned (vec_id / bag) — no global
     sort anywhere."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     inst = e.select(
         "vec_id",
         F.expr("vec_id DIV 10").alias("bag"),
@@ -3297,8 +3567,10 @@ _PR_N_NODES = 150  # derived edge space: user ids mod 150
 
 def _edges(spark, sf_dir) -> DataFrame:
     """Deterministic directed edge set: (user_id → event_id % 150),
-    self-loops dropped, deduplicated."""
-    e = _t(spark, sf_dir, "events")
+    self-loops dropped, deduplicated. r6: _spread (guide §2.5)
+    parallelizes the pre-distinct map phase on the single-row-group
+    events file."""
+    e = _spread(_t(spark, sf_dir, "events"))
     return (
         e.select(
             F.col("user_id").alias("src"),
@@ -3586,7 +3858,7 @@ def q_bpe_merge(spark, sf_dir):
     after is vocab-sized; top-k via TakeOrderedAndProject."""
     from .operators.tokenizer import word_freq_table
 
-    words = word_freq_table(_t(spark, sf_dir, "documents"))
+    words = word_freq_table(_spread(_t(spark, sf_dir, "documents")))
     pairs = words.select(
         "freq",
         F.explode(
@@ -3642,6 +3914,63 @@ def _pq_subdist(xcol: str, ccol: str, j: str):
     )
 
 
+def _pq_sub_structs(xcol: str, cent_rows, j: int, elem: str):
+    """One (d, c) struct per literal codebook entry for subspace ``j``
+    — the same fixed-order ascending-dim fold as _pq_subdist, with the
+    codebook entry as an array literal cast back to its original
+    element type so the per-element arithmetic stays bit-identical."""
+    out = []
+    for c, cv in cent_rows:
+        carr = F.array(*[F.lit(float(v)) for v in cv]).cast(f"array<{elem}>")
+
+        def _merge(x, ca):
+            return lambda acc, i: acc + (
+                F.element_at(x, i) - F.element_at(ca, i)
+            ) * (F.element_at(x, i) - F.element_at(ca, i))
+
+        d = F.aggregate(
+            F.sequence(F.lit(j * _PQ_SUB + 1), F.lit(j * _PQ_SUB + _PQ_SUB)),
+            F.lit(0.0).cast("double"),
+            _merge(F.col(xcol), carr),
+        )
+        out.append(
+            F.struct(d.alias("d"), F.lit(int(c)).cast("long").alias("c"))
+        )
+    return out
+
+
+def _pq_code_array(xcol: str, cent_rows, elem: str = "float"):
+    """All m per-subspace codes as one map-side int array: argmin over
+    the literal codebook per subspace (min struct ≡ the relational
+    groupBy(vec_id, j).agg(min(struct(d, c))) ordering) — replaces the
+    8× explode + 16× crossJoin + corpus-sized groupBy encode shape."""
+    return F.array(
+        *[
+            F.array_min(F.array(*_pq_sub_structs(xcol, cent_rows, j, elem)))
+            .getField("c")
+            .cast("int")
+            for j in range(_PQ_M)
+        ]
+    )
+
+
+def _pq_adc_fold():
+    """Σ_j qtab[j·16 + code_j] in ascending-j order (≡ the old
+    sort_array(collect_list(struct(j, qd))) fold; the query's 8×16
+    ADC table is flattened row-major so each term is ONE element_at
+    instead of a nested array lookup — same doubles, same add
+    order)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("qflat"),
+            j * _PQ_K + F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN — the MEMORY rung of the ANN ladder
     (ann_lsh/ann_multiprobe bound candidates, ivf_ann bounds cells;
@@ -3655,45 +3984,55 @@ def q_pq_ann(spark, sf_dir):
     vectors the code table is 4 GB where raw float32 is 256 GB —
     the entire scan side fits in memory. Top-3 per query by
     (adist asc, cid asc); all distance folds are fixed-order so both
-    engines agree bit-for-bit."""
-    e = _t(spark, sf_dir, "embeddings")
+    engines agree bit-for-bit.
+
+    r6 (guide §2.3/§2.4): encoding is now one map-side expression per
+    vector — argmin over the 16 LITERAL codebook entries per subspace
+    (min struct ≡ the old groupBy(vec_id, j).min ordering) — instead
+    of an 8× explode + 16× crossJoin (128 rows per vector) feeding a
+    corpus-sized groupBy; the per-query 8×16 ADC tables are computed
+    with the SAME subdist expressions, collected (1,280-row-bounded)
+    and broadcast as nested-array literals, so the ADC scan is one
+    narrow crossJoin + fixed-order fold over j (ascending, exactly
+    the old sort_array fold) with no join-shuffle and no second
+    corpus-sized groupBy."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), F.col("embedding").alias("cv")
     )
-    subs = e.select(
+    cent_rows = _centroid_rows(cents)
+    encoded = e.select(
+        "vec_id",
+        _pq_code_array("embedding", cent_rows, "float").alias("codes"),
+    )
+    # per-query ADC tables from the SAME relational subdist expressions
+    # (bit-exact), 10 queries × 8 subspaces × 16 codes — bounded collect
+    subs_q = e.filter(F.col("vec_id") < 10).select(
         "vec_id",
         "embedding",
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
     )
-    dists = subs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "j",
-        "c",
-        _pq_subdist("embedding", "cv", "j").alias("d"),
+    qtab_rows = (
+        subs_q.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "j", "c", _pq_subdist("embedding", "cv", "j").alias("d")
+        )
+        .collect()
     )
-    codes = (
-        dists.groupBy("vec_id", "j")
-        .agg(F.min(F.struct("d", "c")).alias("m"))
-        .select("vec_id", "j", F.col("m.c").alias("code"))
+    qmats: dict[int, list[float]] = {}
+    for r in qtab_rows:
+        m = qmats.setdefault(int(r["vec_id"]), [0.0] * (_PQ_M * _PQ_K))
+        m[int(r["j"]) * _PQ_K + int(r["c"])] = float(r["d"])
+    qdf = e.sparkSession.createDataFrame(
+        sorted(qmats.items()), "qid long, qflat array<double>"
     )
-    qtab = dists.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), "j", "c", F.col("d").alias("qd")
-    )
-    # ADC: join the query's distance table to every vector's codes on
-    # (subspace, code); the 8 per-subspace terms fold in ASCENDING j
-    # order (sort_array of (j, d) structs) for cross-engine equality
-    k = codes.withColumnRenamed("vec_id", "cid")
     adc = (
-        k.join(qtab, (k.j == qtab.j) & (k.code == qtab.c))
-        .drop(qtab.j)
-        .drop(qtab.c)
-        .filter(F.col("cid") != F.col("qid"))
-        .groupBy("qid", "cid")
-        .agg(
-            F.expr(
-                "aggregate(sort_array(collect_list(struct(j, qd))),"
-                " cast(0.0 as double), (acc, x) -> acc + x.qd)"
-            ).alias("adist")
+        encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            _pq_adc_fold().alias("adist"),
         )
     )
     wq = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
@@ -3771,7 +4110,7 @@ def q_embedding_near_dup_production(spark, sf_dir):
     count(*) and masks a 20-plane inline table (PCG64 planes are
     prefix-stable: _ann_planes(20)[:6] == _ann_planes(6)), so both
     engines bucket identically at any N up to 2^20·64 vectors."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return embedding_near_dup_production(e).select(
         "v1",
         "v2",
@@ -3842,7 +4181,7 @@ def q_embedding_near_dup_capped(spark, sf_dir):
     giant-bucket K-hub stars, rescue sub-bucket all-pairs — are live
     at gate scale; the oracle replays the exact same rule in SQL
     (deterministic min-id hubs, prefix-stable PCG64 rescue planes)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return embedding_near_dup_capped(
         e, tau=_CAPPED_TAU, max_bucket=_CAPPED_MAX_BUCKET
     )
@@ -3955,52 +4294,78 @@ def ivf_pq_ann_df(
     is an equi-join on (cell, subspace, code) — the corpus side never
     shuffles by anything wider than its cell id. All folds are
     fixed-order (ascending dim / ascending j) so the unrolled DuckDB
-    twin matches bit-for-bit."""
+    twin matches bit-for-bit.
+
+    r6 (guide §2.4/§3.1): the k trained centroids and the 16-entry
+    residual codebook are bounded driver collects that become plan
+    literals, so cell assignment, residual computation and PQ encoding
+    are ALL one map-side projection (the old plan shuffled k×N array
+    rows through a vec_id window, then 8×16×N exploded rows through a
+    corpus-sized groupBy); the per-(query, probed-cell) 8×16 ADC
+    tables are computed with the SAME subdist expressions (bounded
+    collect), broadcast, and folded per scanned code row in ascending
+    j — no (cluster, j, code) join shuffle, no second corpus-sized
+    groupBy."""
     ed = _emb_as_double(e)
-    cent = kmeans_centroids_df(ed, k)
-    ranked = _kmeans_rank(ed, cent)
+    rows = kmeans_centroid_rows(ed, k)
+    cmap = F.create_map(
+        *[
+            x
+            for cid, cv in rows
+            for x in (
+                F.lit(int(cid)).cast("long"),
+                F.array(*[F.lit(float(v)) for v in cv]),
+            )
+        ]
+    )
+    assigned = ed.select(
+        "vec_id", "ev", _kmeans_top(rows, nprobe).alias("ds")
+    ).select(
+        "vec_id",
+        "ev",
+        "ds",
+        F.element_at(F.col("ds"), 1).getField("cent_id").alias("cluster"),
+    )
     # residual of every vector w.r.t. its own cell's centroid
-    res = (
-        ranked.filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("cent_id").alias("cluster"),
-            F.zip_with("ev", "cv", lambda x, y: x - y).alias("rv"),
-        )
-    )
-    codebook = res.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("c"), F.col("rv").alias("cv")
-    )
-    subs = res.select(
+    res = assigned.select(
         "vec_id",
         "cluster",
-        "rv",
-        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
+        "ds",
+        "ev",
+        F.zip_with(
+            "ev", F.element_at(cmap, F.col("cluster")), lambda x, y: x - y
+        ).alias("rv"),
     )
-    codes = (
-        subs.crossJoin(F.broadcast(codebook))
-        .select(
-            "vec_id",
-            "cluster",
-            "j",
-            "c",
-            _pq_subdist("rv", "cv", "j").alias("d"),
-        )
-        .groupBy("vec_id", "cluster", "j")
-        .agg(F.min(F.struct("d", "c")).alias("m"))
-        .select("vec_id", "cluster", "j", F.col("m.c").alias("code"))
+    cb_rows = _centroid_rows(
+        res.filter(F.col("vec_id") < _PQ_K).select("vec_id", "rv")
+    )
+    codes = res.select(
+        "vec_id",
+        "cluster",
+        _pq_code_array("rv", cb_rows, "double").alias("codes"),
     )
     # queries probe their nprobe nearest cells; the ADC table per
     # (query, cell) uses the query's residual w.r.t. THAT cell
     probes = (
-        ranked.filter((F.col("vec_id") % 50 == 0) & (F.col("rn") <= nprobe))
+        res.filter(F.col("vec_id") % 50 == 0)
         .select(
             F.col("vec_id").alias("qid"),
-            F.col("cent_id").alias("cluster"),
-            F.zip_with("ev", "cv", lambda x, y: x - y).alias("qrv"),
+            F.col("ev").alias("qv"),
+            F.explode(F.col("ds")).alias("p"),
+        )
+        .select("qid", F.col("p.cent_id").alias("cluster"), "qv")
+        .select(
+            "qid",
+            "cluster",
+            F.zip_with(
+                "qv", F.element_at(cmap, F.col("cluster")), lambda x, y: x - y
+            ).alias("qrv"),
         )
     )
-    qtab = (
+    codebook = e.sparkSession.createDataFrame(
+        [(c, v) for c, v in cb_rows], "c long, cv array<double>"
+    )
+    qtab_rows = (
         probes.select(
             "qid",
             "cluster",
@@ -4009,27 +4374,31 @@ def ivf_pq_ann_df(
         )
         .crossJoin(F.broadcast(codebook))
         .select(
-            "qid", "cluster", "j", "c", _pq_subdist("qrv", "cv", "j").alias("qd")
+            "qid", "cluster", "j", "c",
+            _pq_subdist("qrv", "cv", "j").alias("qd"),
         )
+        # r6: Arrow toPandas instead of row collect — |queries|×nprobe×
+        # 8×16 rows (~100k at sf1.0); doubles round-trip bit-exact
+        .toPandas()
+        .itertuples(index=False)
     )
-    kx = codes.withColumnRenamed("vec_id", "cid")
-    adc = (
-        kx.join(
-            qtab,
-            (kx.cluster == qtab.cluster)
-            & (kx.j == qtab.j)
-            & (kx.code == qtab.c),
+    qmats: dict[tuple[int, int], list[float]] = {}
+    for r in qtab_rows:
+        m = qmats.setdefault(
+            (int(r.qid), int(r.cluster)), [0.0] * (_PQ_M * _PQ_K)
         )
-        .drop(qtab.cluster)
-        .drop(qtab.j)
-        .drop(qtab.c)
-        .filter(F.col("cid") != F.col("qid"))
-        .groupBy("qid", "cid")
-        .agg(
-            F.expr(
-                "aggregate(sort_array(collect_list(struct(j, qd))),"
-                " cast(0.0 as double), (acc, x) -> acc + x.qd)"
-            ).alias("adist")
+        m[int(r.j) * _PQ_K + int(r.c)] = float(r.qd)
+    qdf = e.sparkSession.createDataFrame(
+        [(q, c, m) for (q, c), m in sorted(qmats.items())],
+        "qid long, cluster long, qflat array<double>",
+    )
+    adc = (
+        codes.join(F.broadcast(qdf), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            _pq_adc_fold().alias("adist"),
         )
     )
     wq = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
@@ -4041,7 +4410,7 @@ def ivf_pq_ann_df(
 
 
 def q_ivf_pq_ann(spark, sf_dir):
-    return ivf_pq_ann_df(_t(spark, sf_dir, "embeddings"))
+    return ivf_pq_ann_df(_spread(_t(spark, sf_dir, "embeddings")))
 
 
 SQL_IVF_PQ_ANN = _sql_kmeans() + f"""
@@ -4407,7 +4776,7 @@ def q_semdedup(spark, sf_dir):
     rounded centroid-cos (vec_id breaks exact ties)."""
     import math
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     n = e.count()
     n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
     planes = _ann_planes(n_planes)
@@ -4966,21 +5335,34 @@ def q_semantic_decontaminate(spark, sf_dir):
     engines, so the cos ≥ 0.25 boundary and max_cos agree exactly."""
     import math
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     n = e.count()
     n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
     planes = _ann_planes(n_planes)
+    # r6 (guide §2.3/§3.1): norms once per row before the bucket join
+    # (_cosine re-derived both per candidate), benchmark side
+    # explicitly broadcast (|N|/50 rows), only (vec_id, cos) into the
+    # per-doc aggregate
     b = e.select(
-        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        _lsh_bucket("embedding", planes).alias("bucket"),
+        _arr_norm(F.col("embedding")).alias("nrm"),
     )
     bench = b.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"), "bucket"
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"),
+        "bucket", F.col("nrm").alias("nb"),
     )
     corpus = b.filter(F.col("vec_id") % 50 != 0)
     hits = (
-        corpus.join(bench, "bucket")
-        .withColumn("cos", _cosine(F.col("embedding"), F.col("bv")))
+        corpus.join(F.broadcast(bench), "bucket")
+        .withColumn(
+            "cos",
+            _arr_dot(F.col("embedding"), F.col("bv"))
+            / (F.col("nrm") * F.col("nb")),
+        )
         .filter(F.col("cos") >= 0.25)
+        .select("vec_id", "cos")
     )
     return hits.groupBy("vec_id").agg(
         F.count("*").alias("n_hits"), F.round(F.max("cos"), 6).alias("max_cos")
@@ -5037,28 +5419,48 @@ def q_semantic_decontaminate_multiprobe(spark, sf_dir):
     comparable with the single-probe twin (⊇, never reordered)."""
     import math
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     n = e.count()
     n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
     planes = _ann_planes(n_planes)
+    # r6 (guide §2.3/§3.1): flip fan-out via a literal array explode
+    # (map-side, no 7-row join), benchmark side explicitly broadcast,
+    # norms once per row, only (vec_id, bid, cos) into the dedupe agg
     b = e.select(
-        "vec_id", "embedding", _lsh_bucket("embedding", planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        _lsh_bucket("embedding", planes).alias("bucket"),
+        _arr_norm(F.col("embedding")).alias("nrm"),
     )
     bench = b.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"), "bucket"
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"),
+        "bucket", F.col("nrm").alias("nb"),
     )
-    flips = spark.createDataFrame(
-        [(0,)] + [(2**i,) for i in range(n_planes)], "flip long"
+    flips = F.array(
+        *[F.lit(0).cast("long")]
+        + [F.lit(2**i).cast("long") for i in range(n_planes)]
     )
     corpus = (
         b.filter(F.col("vec_id") % 50 != 0)
-        .crossJoin(F.broadcast(flips))
-        .withColumn("probe", F.col("bucket").bitwiseXOR(F.col("flip")))
-        .select("vec_id", "embedding", F.col("probe").alias("bucket"))
+        .select("vec_id", "embedding", "bucket", "nrm",
+                F.explode(flips).alias("flip"))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+        )
     )
     hits = (
-        corpus.join(bench, "bucket")
-        .select("vec_id", "bid", _cosine(F.col("embedding"), F.col("bv")).alias("cos"))
+        corpus.join(F.broadcast(bench), "bucket")
+        .select(
+            "vec_id",
+            "bid",
+            (
+                _arr_dot(F.col("embedding"), F.col("bv"))
+                / (F.col("nrm") * F.col("nb"))
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= 0.25)
         .groupBy("vec_id", "bid")  # dedupe multi-probe hits per pair
         .agg(F.max("cos").alias("cos"))

@@ -1,0 +1,74 @@
+"""Per-query oracle equivalence check (r6 optimization round): run the
+named queries() entries against their oracle_sql() twins at the given
+SF dir and require bit equality — same canonicalization as
+strict_gate.py, but scoped to the queries being restructured so the
+proof loop stays fast.
+
+    python scripts/oracle_check.py [--sf /root/testdata/sf0.01] q1 q2 ...
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+import importlib.util
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from noise_mitigation_spark.session import get_spark
+
+spec = importlib.util.spec_from_file_location(
+    "entry", "/root/repo/__spark_entry__.py"
+)
+entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry)
+
+args = sys.argv[1:]
+SF = "/root/testdata/sf0.01"
+if args and args[0] == "--sf":
+    SF = args[1]
+    args = args[2:]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+spark = get_spark("oracle-check", cores=16, shuffle_partitions=16)
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(6)
+        elif df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+qs, orc = entry.queries(), entry.oracle_sql()
+mismatches = []
+for name in args:
+    got = canon(qs[name](spark, SF).toPandas())
+    want = canon(con.execute(orc[name]).df())
+    ok = list(got.columns) == list(want.columns) and len(got) == len(want)
+    if ok:
+        for c in got.columns:
+            if not (
+                got[c].astype(str).values == want[c].astype(str).values
+            ).all():
+                ok = False
+                break
+    print(f"{name}: {'OK' if ok else 'MISMATCH'} "
+          f"(spark={len(got)}, oracle={len(want)})")
+    if not ok:
+        mismatches.append(name)
+print("MISMATCHES:", mismatches)
+spark.stop()
+sys.exit(1 if mismatches else 0)

@@ -211,7 +211,17 @@ def test_no_python_udf_in_query_suite(spark):
         if name in ARROW_KERNEL_QUERIES:
             assert "PythonUDF" not in plan, name
             assert "MapInPandas" in plan, name
-            assert "Exchange" not in plan, name  # narrow: scan→kernel
+            # narrow AT AND ABOVE the kernel: nothing may shuffle the
+            # kernel's (expanded) output. Below it, exactly one
+            # round-robin input fan-out is allowed (r6, guide §2.5 —
+            # a single-row-group input otherwise pins the whole Arrow
+            # stage to ONE python worker). Plans print top-down, so
+            # the text before "MapInPandas" is the part above it.
+            above = plan[: plan.index("MapInPandas")]
+            assert "Exchange" not in above, name
+            assert plan.count("Exchange") <= 1, name
+            if "Exchange" in plan:
+                assert "RoundRobinPartitioning" in plan, name
         else:
             assert "PythonUDF" not in plan and "MapInPandas" not in plan, name
 
