@@ -46,20 +46,44 @@ def quality_keeper_flags(comp: DataFrame, docs: DataFrame) -> DataFrame:
     comp is the cleaning DAG's materialized (node, component) stage —
     singletons included (component == node) — so the multi-member
     windowed slice is near-dup-bounded and the singleton majority
-    bypasses the window entirely."""
-    m = comp.select(
+    bypasses the window entirely.
+
+    Invariant this relies on (ADVICE r5): exact-dup COPIES are absent
+    from comp (exact dedup runs upstream), so a copy coalesces to
+    quality_keeper = False downstream. Agreement with the union-find
+    test oracle (which clusters over ALL docs) holds because a copy —
+    identical text, hence EQUAL n_tokens, and a doc_id strictly
+    greater than its min-id survivor — can never outrank that
+    survivor under the (n_tokens DESC, doc_id ASC) keeper ordering.
+    Changing the keeper ordering key invalidates this reasoning; keep
+    the tiebreak doc_id-ascending.
+
+    r6 + ADVICE r5 (cost): cluster sizes come from comp alone, and
+    docs are tokenized ONLY for multi-member-cluster members (the old
+    path tokenized the full corpus and then discarded the counts for
+    the singleton majority — in the incremental cleaning plan that
+    meant re-tokenizing the whole history every delta)."""
+    nodes = comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
-    ).join(doc_token_counts(docs), "doc_id")
+    )
     sizes = (
-        m.groupBy("cluster_id")
+        nodes.groupBy("cluster_id")
         .agg(F.count("*").alias("sz"))
         .filter(F.col("sz") >= 2)
         .select("cluster_id")
     )
-    multi = m.join(sizes, "cluster_id", "left_semi")
-    single = m.join(sizes, "cluster_id", "left_anti").select(
-        "doc_id", F.lit(True).alias("quality_keeper")
+    multi_nodes = nodes.join(sizes, "cluster_id", "left_semi")
+    counts = doc_token_counts(
+        docs.join(multi_nodes.select("doc_id"), "doc_id", "left_semi")
+    )
+    multi = multi_nodes.join(counts, "doc_id")
+    # the doc-presence semi-join keeps the old inner-join semantics:
+    # a comp node with no docs row must not surface as a keeper
+    single = (
+        nodes.join(sizes, "cluster_id", "left_anti")
+        .join(docs.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", F.lit(True).alias("quality_keeper"))
     )
     ranked = keeper_rank(multi).select(
         "doc_id", (F.col("rnk") == 1).alias("quality_keeper")

@@ -330,7 +330,6 @@ def run_cleaning(
         "doc_id",
         "left_semi",
     )
-    band, rkeys, pairs, comp = _near_dup_state(survivors, near_dup_tau, n_hubs)
     grams = doc_word4grams_df(docs)
     bench_grams = (
         grams.filter(F.col("doc_id") % benchmark_mod == 0)
@@ -347,27 +346,58 @@ def run_cleaning(
         # dedup + decontamination state (hashes, band keys, verified
         # pairs, components, benchmark grams): what an incremental
         # absorption buckets/joins new docs against instead of
-        # rescanning the historical corpus
+        # rescanning the historical corpus.
+        # r6 (guide §5): each stage is materialized FIRST and the next
+        # stage's plan is built on the materialized copy — previously
+        # the pairs/components writes re-ran the whole banding +
+        # rescue + Jaccard subtrees from scratch (band keys alone were
+        # recomputed three times per run). Stage contents and
+        # fingerprints are unchanged.
         lineage.materialize(
             spark,
             docs.select("doc_id", F.md5("text").alias("h")),
             out_dir, "doc_hashes", fp_docs,
         )
-        band = lineage.materialize(spark, band, out_dir, "band_keys", fp_docs)
+        band = lineage.materialize(
+            spark, band_keys_for(survivors), out_dir, "band_keys", fp_docs
+        )
         rkeys = lineage.materialize(
-            spark, rkeys, out_dir, "rescue_keys", fp_docs
+            spark,
+            rescue_keys_for(
+                survivors.join(giant_members_of(band), "doc_id", "left_semi")
+            ),
+            out_dir, "rescue_keys", fp_docs,
+        )
+        cands = (
+            _hybrid_pairs_from_keys(
+                band, max_bucket=_MAX_BUCKET, n_hubs=n_hubs
+            )
+            .union(rescue_pairs_from_keys(rkeys, n_hubs))
+            .distinct()
         )
         pairs = lineage.materialize(
-            spark, pairs, out_dir, "near_pairs",
+            spark, near_dup_pairs_df(survivors, cands, near_dup_tau),
+            out_dir, "near_pairs",
             f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}",
         )
         comp = lineage.materialize(
-            spark, comp, out_dir, "components",
+            spark,
+            connected_components(
+                survivors.select(F.col("doc_id").alias("node")),
+                pairs.select(
+                    F.col("d1").alias("src"), F.col("d2").alias("dst")
+                ),
+            ),
+            out_dir, "components",
             f"{fp_docs}:{_pairs_params(near_dup_tau, n_hubs)}",
         )
         bench_grams = lineage.materialize(
             spark, bench_grams, out_dir, "bench_grams",
             f"{fp_docs}:mod:{benchmark_mod}",
+        )
+    else:
+        band, rkeys, pairs, comp = _near_dup_state(
+            survivors, near_dup_tau, n_hubs
         )
     near = _near_flags_from_components(comp)
     rep = repetition_filter_df(
@@ -380,6 +410,14 @@ def run_cleaning(
     # cluster, computed FROM the (materialized) components — never by
     # re-running LSH→Jaccard→CC. Exact-dup copies are not comp nodes
     # (near-dup runs over exact survivors) → coalesce False below.
+    # NOTE (ADVICE r5): quality_keeper is INFORMATIONAL — keep /
+    # clean_docs still retain the component-MIN survivor (near_dup =
+    # node != component), so a cluster's quality keeper (longest
+    # member) can itself be absent from clean_docs while a shorter
+    # min-id doc is kept. Downstream consumers wanting keeper-rule
+    # survivorship must select on quality_keeper, not on keep
+    # (pinned by tests/test_cleaning.py::
+    # test_clean_docs_keeps_min_id_not_quality_keeper).
     qk = quality_keeper_flags(comp, docs)
 
     flags = (

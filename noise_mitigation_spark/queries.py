@@ -50,6 +50,8 @@ def _spread(df: DataFrame) -> DataFrame:
     session's defaultParallelism and the repartition is SKIPPED when
     the scan is already at least that parallel (real-scale inputs with
     many row groups/files) — so at 100 TB this is a no-op."""
+    if df.isStreaming:  # .rdd is illegal on a stream; row-local twins
+        return df       # handle the streaming paths anyway
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
@@ -1758,7 +1760,14 @@ def q_near_dup_clusters(spark, sf_dir):
     corpus (candidates were LSH-bounded upstream)."""
     from .operators.linking import connected_components
 
-    pairs = q_near_dup_pairs(spark, sf_dir).select("d1", "d2")
+    # r6 (guide §5): checkpoint the verified pairs — the CC operator's
+    # size probe + union-find collects are separate actions that each
+    # re-ran the whole minhash→LSH→Jaccard DAG otherwise
+    pairs = (
+        q_near_dup_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         pairs.select(F.col("d1").alias("node"))
         .union(pairs.select(F.col("d2").alias("node")))
@@ -2371,11 +2380,21 @@ def embedding_near_dup_capped(
     n = e.count()
     n_planes = max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
     planes = _ann_planes(n_planes + rescue_planes)
+    # r6 (guide §5 caching / §2.3): the keyed table is referenced by
+    # ~6 plan branches (cap stats, small/giant splits, rescue layer,
+    # both verify sides); without a barrier each branch re-ran the
+    # scan plus all plane-projection folds. One eager localCheckpoint
+    # computes the 17 plane dots + the norm ONCE per row (skey is now
+    # keyed up front for every row — prefix-stable planes make the
+    # value identical to the old giants-only computation), and every
+    # branch reads the columnar copy.
     keyed = e.select(
         F.col("vec_id").alias("doc_id"),
         "embedding",
         _lsh_bucket("embedding", planes[:n_planes]).alias("bucket"),
-    )
+        _lsh_bucket("embedding", planes[n_planes:]).alias("skey"),
+        _arr_norm(F.col("embedding")).alias("nrm"),
+    ).localCheckpoint(eager=True)
     prim = pairs_with_cap(
         keyed.select("doc_id", "bucket"), ["bucket"],
         max_bucket=max_bucket, n_hubs=n_hubs,
@@ -2384,24 +2403,18 @@ def embedding_near_dup_capped(
     giants = keyed.join(
         stats.filter(F.col("m") > max_bucket).select("bucket"), "bucket"
     )
-    resc = giants.select(
-        "doc_id",
-        "bucket",
-        _lsh_bucket("embedding", planes[n_planes:]).alias("skey"),
-    )
+    resc = giants.select("doc_id", "bucket", "skey")
     resc_pairs = pairs_with_cap(
         resc, ["bucket", "skey"], max_bucket=max_bucket, n_hubs=n_hubs
     )
     cands = prim.union(resc_pairs).distinct()
-    # r6 (guide §2.3): norms once per vector row at the verify join —
-    # _cosine recomputed both 64-elem norm folds per candidate pair
-    e1 = e.select(
-        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"),
-        _arr_norm(F.col("embedding")).alias("n1"),
+    e1 = keyed.select(
+        F.col("doc_id").alias("d1"), F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
     )
-    e2 = e.select(
-        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"),
-        _arr_norm(F.col("embedding")).alias("n2"),
+    e2 = keyed.select(
+        F.col("doc_id").alias("d2"), F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
     )
     cos = _arr_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
@@ -3125,8 +3138,10 @@ def kmeans_assign_df(
     """Final k-means assignment (vec_id, cluster): integer-only
     output, hash-stable. See kmeans_centroid_rows. r6: the final
     assignment is the same map-side literal-centroid argmin as the
-    trainer — zero Exchange in the whole final pass."""
-    e = _emb_as_double(e)
+    trainer — zero Exchange in the whole final pass. r6: the input is
+    eagerly localCheckpoint-ed — the trainer's per-iteration collect
+    jobs each re-executed the scan (+ _spread shuffle) otherwise."""
+    e = _emb_as_double(e).localCheckpoint(eager=True)
     rows = kmeans_centroid_rows(e, k, n_iter)
     return e.select("vec_id", _kmeans_argmin(rows).alias("cluster"))
 
@@ -3203,6 +3218,9 @@ def q_ivf_ann_trained(spark, sf_dir):
     norms 2M times at sf1.0), and only (qid, vec_id, cos) reaches the
     top-3 window instead of two 64-d arrays per scored pair."""
     e = _emb_as_double(_spread(_t(spark, sf_dir, "embeddings")))
+    # r6: checkpoint — the trainer's collect jobs and the final
+    # assign/probe branches all re-read this frame (guide §5)
+    e = e.localCheckpoint(eager=True)
     rows = kmeans_centroid_rows(e)
     assign = e.select(
         "vec_id",
@@ -3914,46 +3932,6 @@ def _pq_subdist(xcol: str, ccol: str, j: str):
     )
 
 
-def _pq_sub_structs(xcol: str, cent_rows, j: int, elem: str):
-    """One (d, c) struct per literal codebook entry for subspace ``j``
-    — the same fixed-order ascending-dim fold as _pq_subdist, with the
-    codebook entry as an array literal cast back to its original
-    element type so the per-element arithmetic stays bit-identical."""
-    out = []
-    for c, cv in cent_rows:
-        carr = F.array(*[F.lit(float(v)) for v in cv]).cast(f"array<{elem}>")
-
-        def _merge(x, ca):
-            return lambda acc, i: acc + (
-                F.element_at(x, i) - F.element_at(ca, i)
-            ) * (F.element_at(x, i) - F.element_at(ca, i))
-
-        d = F.aggregate(
-            F.sequence(F.lit(j * _PQ_SUB + 1), F.lit(j * _PQ_SUB + _PQ_SUB)),
-            F.lit(0.0).cast("double"),
-            _merge(F.col(xcol), carr),
-        )
-        out.append(
-            F.struct(d.alias("d"), F.lit(int(c)).cast("long").alias("c"))
-        )
-    return out
-
-
-def _pq_code_array(xcol: str, cent_rows, elem: str = "float"):
-    """All m per-subspace codes as one map-side int array: argmin over
-    the literal codebook per subspace (min struct ≡ the relational
-    groupBy(vec_id, j).agg(min(struct(d, c))) ordering) — replaces the
-    8× explode + 16× crossJoin + corpus-sized groupBy encode shape."""
-    return F.array(
-        *[
-            F.array_min(F.array(*_pq_sub_structs(xcol, cent_rows, j, elem)))
-            .getField("c")
-            .cast("int")
-            for j in range(_PQ_M)
-        ]
-    )
-
-
 def _pq_adc_fold():
     """Σ_j qtab[j·16 + code_j] in ascending-j order (≡ the old
     sort_array(collect_list(struct(j, qd))) fold; the query's 8×16
@@ -3986,39 +3964,46 @@ def q_pq_ann(spark, sf_dir):
     (adist asc, cid asc); all distance folds are fixed-order so both
     engines agree bit-for-bit.
 
-    r6 (guide §2.3/§2.4): encoding is now one map-side expression per
-    vector — argmin over the 16 LITERAL codebook entries per subspace
-    (min struct ≡ the old groupBy(vec_id, j).min ordering) — instead
-    of an 8× explode + 16× crossJoin (128 rows per vector) feeding a
-    corpus-sized groupBy; the per-query 8×16 ADC tables are computed
-    with the SAME subdist expressions, collected (1,280-row-bounded)
-    and broadcast as nested-array literals, so the ADC scan is one
-    narrow crossJoin + fixed-order fold over j (ascending, exactly
-    the old sort_array fold) with no join-shuffle and no second
-    corpus-sized groupBy."""
+    r6 (guide §2.3/§2.4, revised after measurement): the encode stays
+    RELATIONAL (8× explode × broadcast-16 crossJoin + partial-agg min
+    — a giant map-side literal-codebook expression was tried and
+    REVERTED: its 128 per-row fold expressions cost tens of seconds
+    of per-execution planning/codegen before any row moved), but the
+    codes are assembled into one int array per vector and the ADC is
+    a narrow crossJoin against the 10 queries' FLATTENED 8×16
+    distance tables (computed with the same subdist expressions,
+    1,280-row-bounded collect, broadcast) with a fixed-order fold
+    over j — replacing the old (j, code) join-shuffle + corpus-sized
+    collect_list groupBy."""
     e = _spread(_t(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), F.col("embedding").alias("cv")
     )
-    cent_rows = _centroid_rows(cents)
-    encoded = e.select(
-        "vec_id",
-        _pq_code_array("embedding", cent_rows, "float").alias("codes"),
-    )
-    # per-query ADC tables from the SAME relational subdist expressions
-    # (bit-exact), 10 queries × 8 subspaces × 16 codes — bounded collect
-    subs_q = e.filter(F.col("vec_id") < 10).select(
+    subs = e.select(
         "vec_id",
         "embedding",
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
     )
-    qtab_rows = (
-        subs_q.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "j", "c", _pq_subdist("embedding", "cv", "j").alias("d")
-        )
-        .collect()
+    dists = subs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "j", "c", _pq_subdist("embedding", "cv", "j").alias("d")
     )
+    encoded = (
+        dists.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("d", "c")).alias("m"))
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("j", F.col("m.c").alias("code")))
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.expr("transform(s, x -> cast(x.code as int))").alias("codes"),
+        )
+    )
+    # per-query ADC tables from the SAME relational subdist expressions
+    # (bit-exact), 10 queries × 8 subspaces × 16 codes — bounded collect
+    qtab_rows = dists.filter(F.col("vec_id") < 10).collect()
     qmats: dict[int, list[float]] = {}
     for r in qtab_rows:
         m = qmats.setdefault(int(r["vec_id"]), [0.0] * (_PQ_M * _PQ_K))
@@ -4296,17 +4281,21 @@ def ivf_pq_ann_df(
     fixed-order (ascending dim / ascending j) so the unrolled DuckDB
     twin matches bit-for-bit.
 
-    r6 (guide §2.4/§3.1): the k trained centroids and the 16-entry
-    residual codebook are bounded driver collects that become plan
-    literals, so cell assignment, residual computation and PQ encoding
-    are ALL one map-side projection (the old plan shuffled k×N array
-    rows through a vec_id window, then 8×16×N exploded rows through a
-    corpus-sized groupBy); the per-(query, probed-cell) 8×16 ADC
+    r6 (guide §2.4/§3.1): the k trained centroids become plan
+    literals (bounded collects), so cell assignment and residual
+    computation are map-side (the old plan shuffled k×N array rows
+    through a vec_id window); the PQ encode stays RELATIONAL
+    (explode × broadcast-codebook + partial-agg min — a literal-
+    codebook map-side encode was tried and reverted, see q_pq_ann:
+    its 128 per-row fold expressions cost tens of seconds of
+    per-execution planning); the per-(query, probed-cell) 8×16 ADC
     tables are computed with the SAME subdist expressions (bounded
-    collect), broadcast, and folded per scanned code row in ascending
-    j — no (cluster, j, code) join shuffle, no second corpus-sized
-    groupBy."""
-    ed = _emb_as_double(e)
+    collect), flattened, broadcast, and folded per scanned code row
+    in ascending j — no (cluster, j, code) join shuffle, no second
+    corpus-sized groupBy."""
+    # r6: checkpoint — trainer collects, the codebook collect, the
+    # qtab collect and the final encode all re-read this frame
+    ed = _emb_as_double(e).localCheckpoint(eager=True)
     rows = kmeans_centroid_rows(ed, k)
     cmap = F.create_map(
         *[
@@ -4326,7 +4315,9 @@ def ivf_pq_ann_df(
         "ds",
         F.element_at(F.col("ds"), 1).getField("cent_id").alias("cluster"),
     )
-    # residual of every vector w.r.t. its own cell's centroid
+    # residual of every vector w.r.t. its own cell's centroid.
+    # r6: eagerly checkpointed — the codebook collect, the encode, and
+    # the qtab branches each re-ran the assignment + residual exprs
     res = assigned.select(
         "vec_id",
         "cluster",
@@ -4335,14 +4326,38 @@ def ivf_pq_ann_df(
         F.zip_with(
             "ev", F.element_at(cmap, F.col("cluster")), lambda x, y: x - y
         ).alias("rv"),
-    )
+    ).localCheckpoint(eager=True)
     cb_rows = _centroid_rows(
         res.filter(F.col("vec_id") < _PQ_K).select("vec_id", "rv")
     )
-    codes = res.select(
+    codebook = e.sparkSession.createDataFrame(
+        [(c, v) for c, v in cb_rows], "c long, cv array<double>"
+    )
+    rsubs = res.select(
         "vec_id",
         "cluster",
-        _pq_code_array("rv", cb_rows, "double").alias("codes"),
+        "rv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
+    )
+    codes = (
+        rsubs.crossJoin(F.broadcast(codebook))
+        .select(
+            "vec_id", "cluster", "j", "c",
+            _pq_subdist("rv", "cv", "j").alias("d"),
+        )
+        .groupBy("vec_id", "cluster", "j")
+        .agg(F.min(F.struct("d", "c")).alias("m"))
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("j", F.col("m.c").alias("code")))
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.expr("transform(s, x -> cast(x.code as int))").alias("codes"),
+        )
     )
     # queries probe their nprobe nearest cells; the ADC table per
     # (query, cell) uses the query's residual w.r.t. THAT cell
@@ -4361,9 +4376,6 @@ def ivf_pq_ann_df(
                 "qv", F.element_at(cmap, F.col("cluster")), lambda x, y: x - y
             ).alias("qrv"),
         )
-    )
-    codebook = e.sparkSession.createDataFrame(
-        [(c, v) for c, v in cb_rows], "c long, cv array<double>"
     )
     qtab_rows = (
         probes.select(
@@ -5265,7 +5277,13 @@ def q_cluster_quality_keeper(spark, sf_dir):
     from .operators.keeper import doc_token_counts, keeper_rank
     from .operators.linking import connected_components
 
-    pairs = q_near_dup_pairs(spark, sf_dir).select("d1", "d2")
+    # r6 (guide §5): checkpoint — see q_near_dup_clusters; the CC size
+    # probe + union-find collects re-ran the near-dup DAG per action
+    pairs = (
+        q_near_dup_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         pairs.select(F.col("d1").alias("node"))
         .union(pairs.select(F.col("d2").alias("node")))
@@ -5275,9 +5293,18 @@ def q_cluster_quality_keeper(spark, sf_dir):
         nodes, pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     )
     d = _t(spark, sf_dir, "documents")
-    m = comp.select(
+    # r6 (guide §1.2 — don't compute what you throw away): tokenize
+    # only the cluster members (comp is near-dup-bounded), not the
+    # whole corpus; the join result is identical
+    nodes = comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    ).join(doc_token_counts(d), "doc_id")
+    )
+    m = nodes.join(
+        doc_token_counts(
+            d.join(nodes.select("doc_id"), "doc_id", "left_semi")
+        ),
+        "doc_id",
+    )
     return (
         keeper_rank(m)
         .select(

@@ -137,6 +137,26 @@ def test_clean_docs_are_the_keep_set(docs, result, flags_pdf):
     assert result.clean_docs.columns == docs.columns
 
 
+def test_clean_docs_keeps_min_id_not_quality_keeper(result, flags_pdf):
+    """ADVICE r5: quality_keeper is informational — clean_docs retains
+    each near-dup cluster's component-MIN survivor (near_dup = node !=
+    component), NOT its quality keeper. Pin the distinction so the two
+    selection rules can't be silently conflated: every near-dup row is
+    dropped from clean_docs even when it is its cluster's keeper, and
+    at least one such keeper-but-dropped doc exists in the fixture."""
+    kept_ids = set(
+        r["doc_id"] for r in result.clean_docs.select("doc_id").collect()
+    )
+    keeper_dropped = {
+        i
+        for i, qk in flags_pdf["quality_keeper"].items()
+        if qk and flags_pdf["near_dup"][i]
+    }
+    # such docs are keepers under the FineWeb rule yet NOT in clean_docs
+    assert keeper_dropped, "fixture lost its keeper≠min-id cluster"
+    assert keeper_dropped.isdisjoint(kept_ids)
+
+
 def test_resume_and_param_invalidation(spark, docs, tmp_path):
     out = str(tmp_path / "clean")
     cleaning.run_cleaning(spark, docs, out_dir=out)
