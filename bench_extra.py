@@ -33,7 +33,8 @@ NOOP = bool(os.environ.get("NM_NOOP"))
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    write_plans = "--plans" in sys.argv
+    write_plans = "--plans" in sys.argv or "--plans-only" in sys.argv
+    plans_only = "--plans-only" in sys.argv
     names = args or list(Q.QUERIES)
     spark = get_spark("nm-bench-extra", cores=CPUS, shuffle_partitions=CPUS)
     Q.QUERIES["tpch_q1"](spark, SF_DIR).count()  # warm, as bench.py does
@@ -41,7 +42,7 @@ def main() -> None:
     for name in names:
         spark.sparkContext.setJobDescription(name)
         walls = []
-        for _ in range(REPS):
+        for _ in range(0 if plans_only else REPS):
             t0 = time.time()
             df = Q.QUERIES[name](spark, SF_DIR)
             if NOOP:

@@ -1,0 +1,45 @@
+"""Render a BASELINE.md measured section from BENCH_DETAIL.json —
+eliminates hand-copy drift between the committed artifact and the
+prose (r5 verdict item 5: 58.11 s was quoted while the artifact said
+54.39 s).
+
+    python scripts/baseline_sync.py [BENCH_DETAIL.json]
+
+Prints markdown to stdout; paste (or redirect) into BASELINE.md's
+round section. Every number is byte-derived from the artifact.
+"""
+
+import json
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
+with open(path) as f:
+    d = json.load(f)
+
+q = d["queries"]
+kg = d.get("kg", {})
+sc = d.get("scaling", {}) or {}
+nd = d.get("neardup_recall", {}) or {}
+
+print(f"Full `bench.py` at sf={d.get('sf')}: headline total "
+      f"**{d['value']:.2f} s over {len(q)} queries**.")
+if kg:
+    print(f"KG pipeline **{q.get('kg_pipeline', 0):.1f} s → "
+          f"{kg.get('files_per_sec', 0):,.1f} files/s** "
+          f"({kg.get('n_docs')} docs, {kg.get('n_triples')} triples).")
+if nd:
+    print(f"Near-dup pair recall **{nd.get('pair_recall')}** "
+          f"(tracked metric, floor 0.95).")
+if sc:
+    print(f"Scaling efficiency {sc.get('cores_small')}→"
+          f"{sc.get('cores_big')} cores: **{sc.get('efficiency')}** "
+          f"(median pair of {sc.get('n_attempt_pairs')}; best "
+          f"{sc.get('efficiency_best_pair')}; hw ceilings "
+          f"kernel {sc.get('hw_ceiling', {}).get('kernel', {}).get('ceiling_efficiency')}"
+          f" / alloc_churn "
+          f"{sc.get('hw_ceiling', {}).get('alloc_churn', {}).get('ceiling_efficiency')}).")
+print()
+print("| query | wall (s) |")
+print("|---|---|")
+for name, wall in sorted(q.items(), key=lambda kv: -kv[1]):
+    print(f"| {name} | {wall} |")
