@@ -298,8 +298,14 @@ def q_pr_curve(spark, sf_dir):
     single-task window anywhere in the plan."""
     from .operators.ranking import global_rank_prefix
 
-    e = _t(spark, sf_dir, "events").withColumn(
-        "rel", (F.col("event_type") == "error").cast("int")
+    # r6 (guide §2.3 — project before the exchange): only the sort
+    # keys + the prefix-summed flag enter the range partitioner; the
+    # old plan shuffled AND checkpointed the full events row (incl.
+    # the JSON props column) just to rank by (value, event_id)
+    e = _t(spark, sf_dir, "events").select(
+        "value",
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("rel"),
     )
     total_rel = e.agg(F.sum("rel")).collect()[0][0]
     ranked = global_rank_prefix(
@@ -4530,6 +4536,11 @@ def q_lm_perplexity_bigram(spark, sf_dir):
         F.posexplode("t").alias("pos", "token"),
         F.get("t", F.col("pos") - 1).alias("prev"),
     ).drop("t")
+    # r6 note: checkpointing this slice was tried (it feeds three
+    # aggregates) and reverted — measured no win at sf1.0 (the
+    # materialization offsets the saved recomputes), and at corpus
+    # scale storing 1/13 of the token stream is worse than streaming
+    # it three times
     ref = toks.filter(F.col("doc_id") % 13 == 0)
     c1 = ref.groupBy("token").agg(F.count("*").alias("c"))
     c2 = (
