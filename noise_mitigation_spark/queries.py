@@ -1437,17 +1437,63 @@ def q_langid(spark, sf_dir):
     # evaluated per probe-joined row (|toks| × n_langs times); the
     # summed doubles are identical, so the floor-rounded score is
     # bit-unchanged
-    profile = toks.groupBy(F.col("lang").alias("plang"), "token").agg(
-        F.log(F.lit(1.0) + F.count("*")).alias("lcnt")
+    # r6b (guide §2.3 shuffle/aggregate fewer rows): the profile is
+    # PIVOTED to one row per token with an lcnt column per lang
+    # (n_langs-bounded collect, like the n_buckets collects audited in
+    # round 5), so the probe join emits |toks| rows instead of
+    # |toks| × n_langs and the big hash aggregation shrinks the same
+    # factor. Each per-(doc, plang) sum still adds exactly the same
+    # multiset of lcnt doubles (F.sum skips the NULLs of langs whose
+    # profile lacks the token), and a (doc, plang) pair with NO
+    # overlapping token keeps its all-NULL sum and is dropped —
+    # reproducing the inner join's absent groups bit-for-bit.
+    langs = sorted(
+        r[0] for r in d.select("lang").distinct().collect()
+    )  # bounded by the language inventory, never corpus-sized
+    # one groupBy(token) with a conditional count per lang replaces
+    # groupBy(lang, token) + pivot — same lcnt doubles (count(*) over
+    # the (token, lang) group ≡ sum of its indicator; absent group ≡
+    # cnt = 0 → NULL), one shuffle instead of two
+    wide = toks.groupBy("token").agg(
+        *[
+            F.when(
+                F.sum((F.col("lang") == lg).cast("long")) > 0,
+                F.log(
+                    F.lit(1.0)
+                    + F.sum((F.col("lang") == lg).cast("long"))
+                ),
+            ).alias(lg)
+            for lg in langs
+        ]
+    )
+    scored_wide = toks.join(wide, "token").groupBy("doc_id", "lang").agg(
+        *[F.sum(F.col(lg)).alias(f"_s{i}") for i, lg in enumerate(langs)]
     )
     scored = (
-        toks.join(profile, "token")
-        .groupBy("doc_id", "lang", "plang")
+        scored_wide.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lg).alias("plang"),
+                            F.col(f"_s{i}").alias("raw"),
+                        )
+                        for i, lg in enumerate(langs)
+                    ]
+                )
+            ).alias("kv"),
+        )
+        .filter(F.col("kv.raw").isNotNull())
         # floor-rounding BEFORE the argmax window: Spark and DuckDB sum
         # floats in different orders, and near-tied profile scores would
         # otherwise flip the plang tiebreak between engines
-        .agg(
-            (F.floor(F.sum("lcnt") * 1e6 + 0.5) / 1e6).alias("score")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("kv.plang").alias("plang"),
+            (F.floor(F.col("kv.raw") * 1e6 + 0.5) / 1e6).alias("score"),
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
@@ -2721,49 +2767,70 @@ def q_ivf_ann(spark, sf_dir):
     all of it). Centroid table broadcasts; the big side never
     shuffles; per-cell search is an equi-join on cent_id.
 
-    r6 (guide §2.4/§3.1): the 8 frozen centroids are collected
-    (8-row-bounded) into plan literals cast back to array<float>, so
-    cell ranking is a map-side struct-array sort — the old plan
-    shuffled 8×N rows carrying BOTH 64-d arrays through a vec_id
-    window just to take the per-vector top-2. The tiny probe side
-    broadcasts into the per-cell equi-join, per-side norms are
-    computed once per row (not once per scored pair), and only
-    (qid, vec_id, cos) reaches the top-3 window. Negated-cos struct
-    sort ≡ the old (acos DESC, cent_id ASC) row_number ordering."""
+    r6 (guide §2.4/§3.1): cell ranking is a map-side struct-array
+    sort against the 8 frozen centroids — the old plan shuffled 8×N
+    rows carrying BOTH 64-d arrays through a vec_id window just to
+    take the per-vector top-2. The tiny probe side broadcasts into
+    the per-cell equi-join, per-side norms are computed once per row
+    (not once per scored pair), and only (qid, vec_id, cos) reaches
+    the top-3 window. Negated-cos struct sort ≡ the old
+    (acos DESC, cent_id ASC) row_number ordering.
+
+    r6b (guide §5, §1.2): the centroids stay a LAZY one-row broadcast
+    array instead of a collected literal table — the whole query is
+    one Spark job with zero driver round-trips — with the centroid
+    NORM precomputed per centroid in that array, so cell ranking per
+    row is 8 dot folds + 1 row-norm fold instead of 8 × 3 folds
+    (the row norm was re-folded under every _cosine literal)."""
     e = _spread(_t(spark, sf_dir, "embeddings"))
-    rows = _centroid_rows(
-        e.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    # one-row array<struct<cent_id, cv, ncv>>, sorted by cent_id; the
+    # float cv arrays keep the original float×float fold arithmetic
+    # and ncv is the identical _arr_norm fold, folded once per
+    # centroid instead of once per (row, centroid)
+    cb = (
+        e.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cv"),
+            _arr_norm(F.col("embedding")).alias("ncv"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cv", "ncv"))
+            ).alias("cb")
+        )
     )
-    # (−acos, cent_id) struct min/sort over float-typed literals keeps
-    # the original float×float fold arithmetic bit-identical
-    structs = [
-        F.struct(
+    # (−acos, cent_id) structs: acos = dot/(norm(row)·norm(cent)),
+    # the exact _cosine arithmetic with both norms hoisted
+    structs = F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
             (
-                -_cosine(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(v)) for v in cv]).cast(
-                        "array<float>"
-                    ),
+                -(
+                    _arr_dot(F.col("embedding"), c.getField("cv"))
+                    / (F.col("nv") * c.getField("ncv"))
                 )
             ).alias("na"),
-            F.lit(int(cid)).cast("long").alias("cent_id"),
-        )
-        for cid, cv in rows
-    ]
-    top2 = F.slice(F.array_sort(F.array(*structs)), 1, 2)
-    assign = e.select(
+            c.getField("cent_id").alias("cent_id"),
+        ),
+    )
+    top2 = F.slice(F.array_sort(structs), 1, 2)
+    en = e.select(
+        "vec_id", "embedding", _arr_norm(F.col("embedding")).alias("nv")
+    ).crossJoin(F.broadcast(cb))
+    assign = en.select(
         "vec_id",
         F.element_at(top2, 1).getField("cent_id").alias("cent_id"),
         "embedding",
-        _arr_norm(F.col("embedding")).alias("nv"),
+        "nv",
     )
     probes = (
-        e.filter(F.col("vec_id") % 50 == 0)  # scale-free query set
+        en.filter(F.col("vec_id") % 50 == 0)  # scale-free query set
         .select(
             F.col("vec_id").alias("qid"),
             F.explode(top2).alias("p"),
             F.col("embedding").alias("qv"),
-            _arr_norm(F.col("embedding")).alias("nq"),
+            F.col("nv").alias("nq"),
         )
         .select("qid", F.col("p.cent_id").alias("cent_id"), "qv", "nq")
     )
@@ -3079,28 +3146,54 @@ def _kmeans_top(rows, n: int, vec: str = "ev"):
     )
 
 
-def kmeans_centroid_rows(
+def _kmeans_dist_structs_arr(cb_col, vec: str = "ev"):
+    """The literal-centroid (d, cent_id) structs of _kmeans_dist_structs
+    built instead against a one-row BROADCAST centroid array column
+    (array<struct<cent_id, cv>>, sorted by cent_id) — same rounded
+    _sqdist fold, same struct ordering, but the centroids stay a lazy
+    plan input, which is what lets the whole multi-iteration trainer
+    run as ONE Spark job (see kmeans_cb_df)."""
+    return F.transform(
+        cb_col,
+        lambda c: F.struct(
+            F.round(_sqdist(F.col(vec), c.getField("cv")), 6).alias("d"),
+            c.getField("cent_id").alias("cent_id"),
+        ),
+    )
+
+
+def kmeans_cb_df(
     e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
-) -> list[tuple[int, list[float]]]:
-    """Distributed Lloyd's k-means trainer: deterministic init (lowest
-    k vec_ids), then per iteration (a) assign every vector to its
-    nearest centroid MAP-SIDE against the k literal centroids (the big
-    table never shuffles — r6: previously a k×N crossJoin + vec_id
-    window, i.e. one corpus-sized array shuffle per iteration) and
-    (b) recompute centroids as elementwise means via posexplode →
-    groupBy(cluster, pos) (shuffle volume k·d-bounded after the
-    partial agg, NOT corpus-bounded), collected back to the driver
-    (k rows) for the next iteration's literals. Distances and means
-    are rounded (6 dp) before every comparison so the iteration
-    trajectory is bit-identical across engines — which is what lets a
-    DuckDB oracle verify an ITERATIVE algorithm exactly. `e` carries
-    (vec_id, ev:array<double>); returns [(cent_id, cv)] sorted."""
-    rows = _centroid_rows(
-        e.filter(F.col("vec_id") < k).select("vec_id", "ev")
+) -> DataFrame:
+    """Lazy Lloyd's k-means trainer — the full n_iter trajectory as ONE
+    unexecuted plan (r6, guide §5 "the driver should do almost no
+    work"): the eager version collected k rows per iteration, paying a
+    driver round-trip + plan compilation per Lloyd step (3 jobs at
+    n_iter=2); here each iteration's centroids live in a ONE-ROW
+    DataFrame (cb: array<struct<cent_id, cv>>, sorted by cent_id) that
+    the next iteration crossJoin-broadcasts, so the entire trajectory
+    executes inside whatever single action finally consumes it.
+
+    Bit-identity with the eager trainer: assignment is
+    array_min(transform(cb, …)) over the SAME round(Σ(evᵢ−cvᵢ)², 6)
+    fold with the same (d, cent_id) struct tiebreak; the update step is
+    the unchanged posexplode → groupBy(cluster, pos) → round(avg, 6);
+    collect_list order is irrelevant because every array is
+    array_sort-ed on its unique leading key. Per iteration the plan
+    adds one k·d-bounded broadcast — nothing corpus-sized crosses."""
+    cb = (
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv"))
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cb"))
     )
     for _ in range(n_iter):
-        assigned = e.select(_kmeans_argmin(rows).alias("cluster"), "ev")
-        cent = (
+        assigned = e.crossJoin(F.broadcast(cb)).select(
+            F.array_min(_kmeans_dist_structs_arr(F.col("cb")))
+            .getField("cent_id")
+            .alias("cluster"),
+            "ev",
+        )
+        cb = (
             assigned.select(
                 "cluster", F.posexplode("ev").alias("pos", "v")
             )
@@ -3116,9 +3209,32 @@ def kmeans_centroid_rows(
                 F.col("cluster").alias("cent_id"),
                 F.expr("transform(s, x -> x.m)").alias("cv"),
             )
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cent_id", "cv"))
+                ).alias("cb")
+            )
         )
-        rows = _centroid_rows(cent)
-    return rows
+    return cb
+
+
+def kmeans_centroid_rows(
+    e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means trainer: deterministic init (lowest
+    k vec_ids), then per iteration (a) assign every vector to its
+    nearest centroid MAP-SIDE against the broadcast centroids (the big
+    table never shuffles) and (b) recompute centroids as elementwise
+    means via posexplode → groupBy(cluster, pos) (shuffle volume
+    k·d-bounded after the partial agg, NOT corpus-bounded). Distances
+    and means are rounded (6 dp) before every comparison so the
+    iteration trajectory is bit-identical across engines — which is
+    what lets a DuckDB oracle verify an ITERATIVE algorithm exactly.
+    r6: the whole trajectory is kmeans_cb_df's lazy chain; the single
+    k-row-bounded collect here is the trainer's ONLY job. `e` carries
+    (vec_id, ev:array<double>); returns [(cent_id, cv)] sorted."""
+    arr = kmeans_cb_df(e, k, n_iter).collect()[0][0]
+    return sorted((int(r["cent_id"]), list(r["cv"])) for r in arr)
 
 
 def kmeans_centroids_df(
@@ -3143,13 +3259,20 @@ def kmeans_assign_df(
 ) -> DataFrame:
     """Final k-means assignment (vec_id, cluster): integer-only
     output, hash-stable. See kmeans_centroid_rows. r6: the final
-    assignment is the same map-side literal-centroid argmin as the
-    trainer — zero Exchange in the whole final pass. r6: the input is
-    eagerly localCheckpoint-ed — the trainer's per-iteration collect
-    jobs each re-executed the scan (+ _spread shuffle) otherwise."""
+    assignment is the same map-side argmin as the trainer — zero
+    Exchange in the whole final pass; the input is eagerly
+    localCheckpoint-ed because the lazy trajectory's broadcast
+    subtrees each re-read it. r6b: the trained centroids stay the
+    LAZY one-row cb (kmeans_cb_df), so the whole query — trajectory
+    included — is ONE Spark job with zero driver round-trips."""
     e = _emb_as_double(e).localCheckpoint(eager=True)
-    rows = kmeans_centroid_rows(e, k, n_iter)
-    return e.select("vec_id", _kmeans_argmin(rows).alias("cluster"))
+    cb = kmeans_cb_df(e, k, n_iter)
+    return e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        F.array_min(_kmeans_dist_structs_arr(F.col("cb")))
+        .getField("cent_id")
+        .alias("cluster"),
+    )
 
 
 def q_kmeans_assign(spark, sf_dir):
@@ -3216,31 +3339,46 @@ def q_ivf_ann_trained(spark, sf_dir):
     centroids broadcast, per-cell search is an equi-join on the
     cluster id; the corpus-side table never shuffles for assignment.
 
-    r6 (guide §2.4/§3.1): cell assignment is the map-side
-    literal-centroid argmin (no k×N crossJoin + window shuffle), the
-    tiny probe side (|N|/50 × nprobe rows) is broadcast so the corpus
-    side STILL never shuffles, per-row norms are computed once per
-    side instead of once per pair (the 3-fold _cosine recomputed both
-    norms 2M times at sf1.0), and only (qid, vec_id, cos) reaches the
-    top-3 window instead of two 64-d arrays per scored pair."""
+    r6 (guide §2.4/§3.1): cell assignment is the map-side argmin
+    against the broadcast centroids (no k×N crossJoin + window
+    shuffle), the tiny probe side (|N|/50 × nprobe rows) is broadcast
+    so the corpus side STILL never shuffles, per-row norms are
+    computed once per side instead of once per pair (the 3-fold
+    _cosine recomputed both norms 2M times at sf1.0), and only
+    (qid, vec_id, cos) reaches the top-3 window instead of two 64-d
+    arrays per scored pair.
+
+    r6b (guide §5): the trainer is kmeans_cb_df's LAZY one-row
+    trajectory and assignment/probing rank against that broadcast
+    array — the whole query (training included) is checkpoint + ONE
+    job, no per-iteration or trainer collect at all. The trajectory
+    is fully deterministic (rounded folds, no sampling), so even a
+    re-executed broadcast subtree cannot diverge."""
     e = _emb_as_double(_spread(_t(spark, sf_dir, "embeddings")))
-    # r6: checkpoint — the trainer's collect jobs and the final
-    # assign/probe branches all re-read this frame (guide §5)
+    # r6: checkpoint — the trajectory's per-iteration broadcast
+    # subtrees and the final assign/probe branches all re-read this
+    # frame (guide §5)
     e = e.localCheckpoint(eager=True)
-    rows = kmeans_centroid_rows(e)
-    assign = e.select(
+    cb = kmeans_cb_df(e)
+    dist_structs = _kmeans_dist_structs_arr(F.col("cb"))
+    en = e.select(
+        "vec_id", "ev", _arr_norm(F.col("ev")).alias("nv")
+    ).crossJoin(F.broadcast(cb))
+    assign = en.select(
         "vec_id",
-        _kmeans_argmin(rows).alias("cluster"),
+        F.array_min(dist_structs).getField("cent_id").alias("cluster"),
         "ev",
-        _arr_norm(F.col("ev")).alias("nv"),
+        "nv",
     )
     probes = (
-        e.filter(F.col("vec_id") % 50 == 0)
+        en.filter(F.col("vec_id") % 50 == 0)
         .select(
             F.col("vec_id").alias("qid"),
-            F.explode(_kmeans_top(rows, 2)).alias("p"),
+            F.explode(
+                F.slice(F.array_sort(dist_structs), 1, 2)
+            ).alias("p"),
             F.col("ev").alias("qv"),
-            _arr_norm(F.col("ev")).alias("nq"),
+            F.col("nv").alias("nq"),
         )
         .select("qid", F.col("p.cent_id").alias("cluster"), "qv", "nq")
     )
@@ -3699,9 +3837,23 @@ SQL_PAGERANK = _sql_pagerank()
 def q_triangle_count(spark, sf_dir):
     """Distributed triangle counting via the ordered-wedge algorithm:
     orient every undirected edge low→high, build wedges by joining
-    edges on the middle vertex (a<b<c), close them against the edge
-    set. Work is Σ deg(v)² over wedge middles — the standard
-    skew-aware shape (no all-pairs, no global sort)."""
+    two edges that share a vertex, close them against the edge set.
+
+    r6 (guide §2.5 skew / §1.1 first-principles): the wedge is now
+    anchored at the LARGEST vertex z of the triangle (pairs x<y of
+    z's smaller neighbours; closure = the (x,y) edge), not the middle
+    vertex. Work drops from Σ_v indeg(v)·outdeg(v) to Σ_v C(indeg(v),2)
+    where indeg counts SMALLER neighbours only. On this derived graph
+    (dst = event_id % _PR_N_NODES, so every edge's low endpoint is a
+    hub < 150 while user nodes own ≤150 smaller neighbours) the old
+    middle-anchor made the 150 hubs wedge centers with
+    outdeg ≈ |users| each (~150M wedges at sf1.0); the max-anchor
+    bounds every anchor's smaller-neighbour set by min(deg, 150)
+    (~30M wedges, measured 5×). Both joins stay broadcast; the
+    closure probe set shrinks to edges with b < _PR_N_NODES, which is
+    exhaustive for closure edges because every closure's high end y is
+    the low endpoint a of some edge and a = least(src, dst) <=
+    dst < _PR_N_NODES by construction."""
     und = (
         _edges(spark, sf_dir)
         .select(
@@ -3711,11 +3863,16 @@ def q_triangle_count(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)  # GC-cleaned, unlike cache()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "y", "z")
+    wedges = (
+        e1.join(e2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+    )
+    hub = und.filter(F.col("b") < _PR_N_NODES)
     closed = wedges.join(
-        und, (wedges.x == und.a) & (wedges.z == und.b), "inner"
+        hub, (wedges.x == hub.a) & (wedges.y == hub.b), "inner"
     )
     return closed.agg(F.count("*").alias("n_triangles"))
 
@@ -3955,6 +4112,49 @@ def _pq_adc_fold():
     )
 
 
+def _pq_subdist_col(xcol, ccol, j):
+    """_pq_subdist with the subspace index as a COLUMN (lambda
+    variable) instead of a python literal — the identical ascending-dim
+    fold, usable inside higher-order transforms."""
+    return F.aggregate(
+        F.sequence(j * _PQ_SUB + 1, j * _PQ_SUB + _PQ_SUB),
+        F.lit(0.0).cast("double"),
+        lambda acc, i: acc
+        + (F.element_at(xcol, i) - F.element_at(ccol, i))
+        * (F.element_at(xcol, i) - F.element_at(ccol, i)),
+    )
+
+
+def _pq_codes_expr(xcol, cb_col):
+    """The full m-subspace PQ encode of one vector as a single
+    map-side expression against a one-row broadcast codebook array
+    (array<struct<c, cv>>, sorted by c) — r6b (guide §2.3/§2.4):
+    replaces the explode(j) × crossJoin(codebook) + min-struct groupBy
+    + collect_list groupBy relational encode, which pushed m·k rows
+    per vector (2.56M at sf1.0) through two corpus-sized hash
+    aggregations just to argmin 16 bounded candidates. Arithmetic is
+    the identical _pq_subdist fold; array_min over (d, c) structs ≡
+    F.min(F.struct(d, c)); ascending-j transform ≡ the old
+    array_sort(collect_list(struct(j, code))). Unlike the REVERTED
+    literal-codebook encode (q_pq_ann r6 note), the expression tree
+    here is one nested transform — codebook values arrive as DATA via
+    the broadcast row, so planning cost stays constant."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                cb_col,
+                lambda x: F.struct(
+                    _pq_subdist_col(xcol, x.getField("cv"), j).alias("d"),
+                    x.getField("c").alias("c"),
+                ),
+            )
+        )
+        .getField("c")
+        .cast("int"),
+    )
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN — the MEMORY rung of the ANN ladder
     (ann_lsh/ann_multiprobe bound candidates, ivf_ann bounds cells;
@@ -3970,52 +4170,44 @@ def q_pq_ann(spark, sf_dir):
     (adist asc, cid asc); all distance folds are fixed-order so both
     engines agree bit-for-bit.
 
-    r6 (guide §2.3/§2.4, revised after measurement): the encode stays
-    RELATIONAL (8× explode × broadcast-16 crossJoin + partial-agg min
-    — a giant map-side literal-codebook expression was tried and
-    REVERTED: its 128 per-row fold expressions cost tens of seconds
-    of per-execution planning/codegen before any row moved), but the
-    codes are assembled into one int array per vector and the ADC is
-    a narrow crossJoin against the 10 queries' FLATTENED 8×16
-    distance tables (computed with the same subdist expressions,
-    1,280-row-bounded collect, broadcast) with a fixed-order fold
-    over j — replacing the old (j, code) join-shuffle + corpus-sized
-    collect_list groupBy."""
+    r6b (guide §2.3/§2.4/§5): the encode is ONE map-side expression
+    per vector against the one-row BROADCAST codebook array
+    (_pq_codes_expr) — the earlier relational encode pushed m·k rows
+    per vector (2.56M at sf1.0) through a crossJoin and two
+    corpus-sized hash aggregations just to argmin 16 bounded
+    candidates, and the even earlier literal-codebook encode was
+    reverted for its per-execution planning cost (the broadcast row
+    keeps the plan constant-sized, see _pq_codes_expr). The 10
+    queries' flattened 8×16 ADC tables are now computed IN-PLAN with
+    the same subdist fold (flatten over ascending (j, c) ≡ the old
+    driver-side qmats[j·16+c] assembly) and broadcast — zero driver
+    collects anywhere; the whole query is one Spark job."""
     e = _spread(_t(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("c"), F.col("embedding").alias("cv")
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("c"), F.col("embedding").alias("cv"))
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cv"))).alias("cb"))
     )
-    subs = e.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
+    encoded = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", _pq_codes_expr(F.col("embedding"), F.col("cb")).alias("codes")
     )
-    dists = subs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "j", "c", _pq_subdist("embedding", "cv", "j").alias("d")
-    )
-    encoded = (
-        dists.groupBy("vec_id", "j")
-        .agg(F.min(F.struct("d", "c")).alias("m"))
-        .groupBy("vec_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("j", F.col("m.c").alias("code")))
-            ).alias("s")
-        )
+    qdf = (
+        e.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cb))
         .select(
-            "vec_id",
-            F.expr("transform(s, x -> cast(x.code as int))").alias("codes"),
+            F.col("vec_id").alias("qid"),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    lambda j: F.transform(
+                        F.col("cb"),
+                        lambda x: _pq_subdist_col(
+                            F.col("embedding"), x.getField("cv"), j
+                        ),
+                    ),
+                )
+            ).alias("qflat"),
         )
-    )
-    # per-query ADC tables from the SAME relational subdist expressions
-    # (bit-exact), 10 queries × 8 subspaces × 16 codes — bounded collect
-    qtab_rows = dists.filter(F.col("vec_id") < 10).collect()
-    qmats: dict[int, list[float]] = {}
-    for r in qtab_rows:
-        m = qmats.setdefault(int(r["vec_id"]), [0.0] * (_PQ_M * _PQ_K))
-        m[int(r["j"]) * _PQ_K + int(r["c"])] = float(r["d"])
-    qdf = e.sparkSession.createDataFrame(
-        sorted(qmats.items()), "qid long, qflat array<double>"
     )
     adc = (
         encoded.crossJoin(F.broadcast(qdf))
@@ -4287,128 +4479,93 @@ def ivf_pq_ann_df(
     fixed-order (ascending dim / ascending j) so the unrolled DuckDB
     twin matches bit-for-bit.
 
-    r6 (guide §2.4/§3.1): the k trained centroids become plan
-    literals (bounded collects), so cell assignment and residual
-    computation are map-side (the old plan shuffled k×N array rows
-    through a vec_id window); the PQ encode stays RELATIONAL
-    (explode × broadcast-codebook + partial-agg min — a literal-
-    codebook map-side encode was tried and reverted, see q_pq_ann:
-    its 128 per-row fold expressions cost tens of seconds of
-    per-execution planning); the per-(query, probed-cell) 8×16 ADC
-    tables are computed with the SAME subdist expressions (bounded
-    collect), flattened, broadcast, and folded per scanned code row
-    in ascending j — no (cluster, j, code) join shuffle, no second
-    corpus-sized groupBy."""
-    # r6: checkpoint — trainer collects, the codebook collect, the
-    # qtab collect and the final encode all re-read this frame
+    r6b (guide §2.4/§3.1/§5): the coarse trainer is kmeans_cb_df's
+    LAZY one-row trajectory — cell assignment, probing, and the
+    residual lookup all rank against that broadcast array, so there
+    is no trainer collect; the PQ encode is one map-side expression
+    per vector against the one-row broadcast residual codebook
+    (_pq_codes_expr — replaces the relational explode × crossJoin +
+    two corpus-sized hash aggregations; the broadcast row keeps the
+    plan constant-sized, unlike the reverted literal encode); the
+    per-(query, probed-cell) 8×16 ADC tables are computed IN-PLAN
+    with the same subdist fold, flattened over ascending (j, c)
+    (≡ the old driver-side qmats[j·16+c] assembly) and broadcast —
+    no toPandas round-trip. Driver work: two localCheckpoints; every
+    other step executes inside the final action."""
+    # r6: checkpoint — the lazy trajectory's broadcast subtrees
+    # re-read this frame per iteration
     ed = _emb_as_double(e).localCheckpoint(eager=True)
-    rows = kmeans_centroid_rows(ed, k)
-    cmap = F.create_map(
-        *[
-            x
-            for cid, cv in rows
-            for x in (
-                F.lit(int(cid)).cast("long"),
-                F.array(*[F.lit(float(v)) for v in cv]),
-            )
-        ]
-    )
-    assigned = ed.select(
-        "vec_id", "ev", _kmeans_top(rows, nprobe).alias("ds")
-    ).select(
+    cbk = kmeans_cb_df(ed, k)
+    cl = F.element_at(F.col("ds"), 1).getField("cent_id")
+    cent_of = lambda cc: F.element_at(  # noqa: E731 — cb-array lookup
+        F.filter(F.col("cb"), lambda c: c.getField("cent_id") == cc), 1
+    ).getField("cv")
+    assigned = ed.crossJoin(F.broadcast(cbk)).select(
         "vec_id",
         "ev",
-        "ds",
-        F.element_at(F.col("ds"), 1).getField("cent_id").alias("cluster"),
+        F.slice(
+            F.array_sort(_kmeans_dist_structs_arr(F.col("cb"))), 1, nprobe
+        ).alias("ds"),
+        F.col("cb"),
     )
-    # residual of every vector w.r.t. its own cell's centroid.
-    # r6: eagerly checkpointed — the codebook collect, the encode, and
-    # the qtab branches each re-ran the assignment + residual exprs
+    # residual of every vector w.r.t. its own cell's centroid; query
+    # rows (vec_id % 50 == 0) additionally carry their residual
+    # w.r.t. EACH probed cell so the probe branch needs no second
+    # trainer broadcast. The big cb column is dropped before the
+    # checkpoint — only nprobe·d extra doubles on the 1/50 query rows
+    # materialize.
     res = assigned.select(
         "vec_id",
-        "cluster",
+        cl.alias("cluster"),
         "ds",
         "ev",
-        F.zip_with(
-            "ev", F.element_at(cmap, F.col("cluster")), lambda x, y: x - y
-        ).alias("rv"),
+        F.zip_with("ev", cent_of(cl), lambda x, y: x - y).alias("rv"),
+        F.when(
+            F.col("vec_id") % 50 == 0,
+            F.transform(
+                F.col("ds"),
+                lambda p: F.struct(
+                    p.getField("cent_id").alias("cluster"),
+                    F.zip_with(
+                        "ev",
+                        cent_of(p.getField("cent_id")),
+                        lambda x, y: x - y,
+                    ).alias("qrv"),
+                ),
+            ),
+        ).alias("qrvs"),
     ).localCheckpoint(eager=True)
-    cb_rows = _centroid_rows(
-        res.filter(F.col("vec_id") < _PQ_K).select("vec_id", "rv")
+    cbr = (
+        res.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("c"), F.col("rv").alias("cv"))
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cv"))).alias("cb"))
     )
-    codebook = e.sparkSession.createDataFrame(
-        [(c, v) for c, v in cb_rows], "c long, cv array<double>"
-    )
-    rsubs = res.select(
+    codes = res.crossJoin(F.broadcast(cbr)).select(
         "vec_id",
         "cluster",
-        "rv",
-        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
-    )
-    codes = (
-        rsubs.crossJoin(F.broadcast(codebook))
-        .select(
-            "vec_id", "cluster", "j", "c",
-            _pq_subdist("rv", "cv", "j").alias("d"),
-        )
-        .groupBy("vec_id", "cluster", "j")
-        .agg(F.min(F.struct("d", "c")).alias("m"))
-        .groupBy("vec_id", "cluster")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("j", F.col("m.c").alias("code")))
-            ).alias("s")
-        )
-        .select(
-            "vec_id",
-            "cluster",
-            F.expr("transform(s, x -> cast(x.code as int))").alias("codes"),
-        )
+        _pq_codes_expr(F.col("rv"), F.col("cb")).alias("codes"),
     )
     # queries probe their nprobe nearest cells; the ADC table per
     # (query, cell) uses the query's residual w.r.t. THAT cell
-    probes = (
+    qdf = (
         res.filter(F.col("vec_id") % 50 == 0)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("ev").alias("qv"),
-            F.explode(F.col("ds")).alias("p"),
-        )
-        .select("qid", F.col("p.cent_id").alias("cluster"), "qv")
+        .select(F.col("vec_id").alias("qid"), F.explode("qrvs").alias("p"))
+        .crossJoin(F.broadcast(cbr))
         .select(
             "qid",
-            "cluster",
-            F.zip_with(
-                "qv", F.element_at(cmap, F.col("cluster")), lambda x, y: x - y
-            ).alias("qrv"),
+            F.col("p.cluster").alias("cluster"),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    lambda j: F.transform(
+                        F.col("cb"),
+                        lambda x: _pq_subdist_col(
+                            F.col("p.qrv"), x.getField("cv"), j
+                        ),
+                    ),
+                )
+            ).alias("qflat"),
         )
-    )
-    qtab_rows = (
-        probes.select(
-            "qid",
-            "cluster",
-            "qrv",
-            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
-        )
-        .crossJoin(F.broadcast(codebook))
-        .select(
-            "qid", "cluster", "j", "c",
-            _pq_subdist("qrv", "cv", "j").alias("qd"),
-        )
-        # r6: Arrow toPandas instead of row collect — |queries|×nprobe×
-        # 8×16 rows (~100k at sf1.0); doubles round-trip bit-exact
-        .toPandas()
-        .itertuples(index=False)
-    )
-    qmats: dict[tuple[int, int], list[float]] = {}
-    for r in qtab_rows:
-        m = qmats.setdefault(
-            (int(r.qid), int(r.cluster)), [0.0] * (_PQ_M * _PQ_K)
-        )
-        m[int(r.j) * _PQ_K + int(r.c)] = float(r.qd)
-    qdf = e.sparkSession.createDataFrame(
-        [(q, c, m) for (q, c), m in sorted(qmats.items())],
-        "qid long, cluster long, qflat array<double>",
     )
     adc = (
         codes.join(F.broadcast(qdf), "cluster")
