@@ -307,7 +307,6 @@ def q_pr_curve(spark, sf_dir):
         "event_id",
         (F.col("event_type") == "error").cast("int").alias("rel"),
     )
-    total_rel = e.agg(F.sum("rel")).collect()[0][0]
     ranked = global_rank_prefix(
         e,
         [F.desc("value"), F.asc("event_id")],
@@ -315,12 +314,17 @@ def q_pr_curve(spark, sf_dir):
         rank_name="rn",
         cum_name="cum_rel",
     )
+    # r6b (guide §5): total relevant stays IN-PLAN as a broadcast
+    # 1-row agg (column-pruned to the event_type flag) instead of a
+    # separate driver collect job. Same long, same double division.
+    total = F.broadcast(e.agg(F.sum("rel").alias("_tot")))
     return (
         ranked.filter(F.col("rn") % 500 == 0)
+        .crossJoin(total)
         .select(
             "rn",
             F.round(F.col("cum_rel") / F.col("rn"), 4).alias("precision"),
-            F.round(F.col("cum_rel") / F.lit(total_rel), 4).alias("recall"),
+            F.round(F.col("cum_rel") / F.col("_tot"), 4).alias("recall"),
         )
     )
 
@@ -2687,21 +2691,24 @@ def decontaminate_df(docs: DataFrame, benchmark_mod: int = 17) -> DataFrame:
     """DataFrame core of q_decontaminate — also composed by the
     cleaning plan.
 
-    r6 (guide §5 caching / §2.4): both the benchmark side and the
-    training side derive from the same distinct-gram table; without a
-    materialization barrier the tokenize → explode → distinct subtree
-    (the expensive pass) ran TWICE, once under each branch. An eager
-    localCheckpoint computes it once (same pattern as pagerank/
-    pr_curve: checkpoint blocks are ContextCleaner-GC'd, unlike
-    cache()). The broadcast map-side probe shape — the part that
-    matters at 100 TB — is unchanged."""
-    grams = doc_word4grams_df(docs).localCheckpoint(eager=True)
+    r6 (guide §5 / §1.2): both sides derive from the per-doc gram
+    table; naively each branch re-ran the full tokenize → explode →
+    distinct subtree. r6 first fixed that with an eager
+    localCheckpoint of the WHOLE gram table; r6b pushes the
+    benchmark-slice predicate BELOW the gram build instead — each
+    branch tokenizes only its own doc slice (1/17 + 16/17 = exactly
+    one full pass), which beats the checkpoint by skipping the
+    corpus-sized gram materialization and its read-back entirely.
+    Per-doc gram sets are computed per doc, so filtering docs first
+    is value-identical to filtering the gram table. The broadcast
+    map-side probe shape — the part that matters at 100 TB — is
+    unchanged."""
     ev = (
-        grams.filter(F.col("doc_id") % benchmark_mod == 0)
+        doc_word4grams_df(docs.filter(F.col("doc_id") % benchmark_mod == 0))
         .select("g")
         .distinct()
     )
-    tr = grams.filter(F.col("doc_id") % benchmark_mod != 0)
+    tr = doc_word4grams_df(docs.filter(F.col("doc_id") % benchmark_mod != 0))
     return contaminated_against(tr, ev)
 
 
@@ -3771,6 +3778,10 @@ def q_pagerank(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r6b note: folding |nodes| into the plan as a broadcast 1-row
+    # agg (replacing this count job) was tried and REVERTED — the
+    # per-iteration BroadcastNestedLoopJoin it introduces measures
+    # equal-to-slower in a same-session A/B at proxy sf1.0.
     n = nodes.count()
     base = (1.0 - _PR_DAMP) / n
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
