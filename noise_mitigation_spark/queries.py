@@ -1441,63 +1441,25 @@ def q_langid(spark, sf_dir):
     # evaluated per probe-joined row (|toks| × n_langs times); the
     # summed doubles are identical, so the floor-rounded score is
     # bit-unchanged
-    # r6b (guide §2.3 shuffle/aggregate fewer rows): the profile is
-    # PIVOTED to one row per token with an lcnt column per lang
-    # (n_langs-bounded collect, like the n_buckets collects audited in
-    # round 5), so the probe join emits |toks| rows instead of
-    # |toks| × n_langs and the big hash aggregation shrinks the same
-    # factor. Each per-(doc, plang) sum still adds exactly the same
-    # multiset of lcnt doubles (F.sum skips the NULLs of langs whose
-    # profile lacks the token), and a (doc, plang) pair with NO
-    # overlapping token keeps its all-NULL sum and is dropped —
-    # reproducing the inner join's absent groups bit-for-bit.
-    langs = sorted(
-        r[0] for r in d.select("lang").distinct().collect()
-    )  # bounded by the language inventory, never corpus-sized
-    # one groupBy(token) with a conditional count per lang replaces
-    # groupBy(lang, token) + pivot — same lcnt doubles (count(*) over
-    # the (token, lang) group ≡ sum of its indicator; absent group ≡
-    # cnt = 0 → NULL), one shuffle instead of two
-    wide = toks.groupBy("token").agg(
-        *[
-            F.when(
-                F.sum((F.col("lang") == lg).cast("long")) > 0,
-                F.log(
-                    F.lit(1.0)
-                    + F.sum((F.col("lang") == lg).cast("long"))
-                ),
-            ).alias(lg)
-            for lg in langs
-        ]
-    )
-    scored_wide = toks.join(wide, "token").groupBy("doc_id", "lang").agg(
-        *[F.sum(F.col(lg)).alias(f"_s{i}") for i, lg in enumerate(langs)]
+    # r6b note: a pivoted profile (one row per token, an lcnt column
+    # per lang — cuts the probe-join output and the big hash agg by
+    # n_langs) was tried and REVERTED: bit-exact at all three SFs,
+    # but the extra distinct-langs collect job plus the stack/explode
+    # machinery measured 3.5 s → 4.3 s in a 3-rep same-session A/B at
+    # proxy sf1.0 — the n_langs-times-smaller aggregation doesn't pay
+    # on this box's allocation-bound agg path (same ceiling the
+    # _spread revert above hit).
+    profile = toks.groupBy(F.col("lang").alias("plang"), "token").agg(
+        F.log(F.lit(1.0) + F.count("*")).alias("lcnt")
     )
     scored = (
-        scored_wide.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(lg).alias("plang"),
-                            F.col(f"_s{i}").alias("raw"),
-                        )
-                        for i, lg in enumerate(langs)
-                    ]
-                )
-            ).alias("kv"),
-        )
-        .filter(F.col("kv.raw").isNotNull())
+        toks.join(profile, "token")
+        .groupBy("doc_id", "lang", "plang")
         # floor-rounding BEFORE the argmax window: Spark and DuckDB sum
         # floats in different orders, and near-tied profile scores would
         # otherwise flip the plang tiebreak between engines
-        .select(
-            "doc_id",
-            "lang",
-            F.col("kv.plang").alias("plang"),
-            (F.floor(F.col("kv.raw") * 1e6 + 0.5) / 1e6).alias("score"),
+        .agg(
+            (F.floor(F.sum("lcnt") * 1e6 + 0.5) / 1e6).alias("score")
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
