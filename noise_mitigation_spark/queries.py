@@ -761,24 +761,49 @@ def minhash_signatures_df(
     re-hash per occurrence — a per-row md5 against a full shuffle, the
     right trade at any scale. _spread parallelizes the now-Exchange-
     free map phase on single-row-group inputs (guide §2.5; no-op on
-    already-parallel inputs like the cleaning plan's)."""
+    already-parallel inputs like the cleaning plan's).
+
+    r6b (guide §2.3 aggregate before you shuffle): the k permutation
+    constants are ALWAYS a driver-side literal list, so the k-way
+    broadcast crossJoin (which multiplied the exploded token table k×
+    before the hash agg — 21.6M rows at proxy sf1.0, 86M for the
+    cleaning plan's 32 permutations) becomes k min-aggregates over the
+    un-expanded token rows, unstacked to the same (doc_id, k, minhash)
+    shape afterwards. Same (a·tid + b) mod p longs, same
+    duplicate-insensitive min, k× fewer rows through the partial agg
+    and no join."""
     toks = (
         _spread(d)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    params = d.sparkSession.createDataFrame(
-        params or _MINHASH_PARAMS, "k int, a long, b long"
-    )
-    return (
+    plist = [tuple(p) for p in (params or _MINHASH_PARAMS)]
+    sig_wide = (
         toks.withColumn("tid", _tokhash_spark())
-        .crossJoin(F.broadcast(params))
-        .withColumn(
-            "h", (F.col("a") * F.col("tid") + F.col("b")) % F.lit(_MH_PRIME)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(_MH_PRIME)
+                ).alias(f"_m{k}")
+                for k, a, b in plist
+            ]
         )
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("minhash"))
     )
+    return sig_wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.col(f"_m{k}").alias("minhash"),
+                    )
+                    for k, _, _ in plist
+                ]
+            )
+        ).alias("kv"),
+    ).select("doc_id", "kv.k", "kv.minhash")
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -809,7 +834,16 @@ def q_simhash(spark, sf_dir):
     hash over a stateless token-id mix (md5-prefix hash — no vocab
     table, no global sort); near-dups differ in few bits.
     r6: _spread parallelizes the tokenize/explode map phase (guide
-    §2.5 — the single-row-group input otherwise pins it to 1 task)."""
+    §2.5 — the single-row-group input otherwise pins it to 1 task).
+
+    r6b note: folding the 32 bit positions into one per-doc aggregate
+    of 32 conditional sums (no crossJoin, one Exchange) was tried and
+    REVERTED — bit-exact, but the 32 when/floor/pow branches per
+    input row measured 1.40 s vs 1.02 s for this crossJoin shape in a
+    4-rep same-session A/B at proxy sf1.0: the codegen'd join + plain
+    sum beats a heavy interpreted per-row expression tree (the
+    opposite trade from minhash_signatures_df, whose k min-aggs are
+    one multiply-add-mod each)."""
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
