@@ -2350,7 +2350,10 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def embedding_near_dup_production(
-    e: DataFrame, tau: float = 0.4, target_bucket: int = 64
+    e: DataFrame,
+    tau: float = 0.4,
+    target_bucket: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Size-ADAPTIVE sign-LSH near-dup pairs — the production twin of
     q_embedding_near_dup, whose oracle bakes 6 planes (64 buckets):
@@ -2363,7 +2366,10 @@ def embedding_near_dup_production(
     with Hamming-1 multi-probe (q_ann_multiprobe's shape) if needed."""
     import math
 
-    n = e.count()
+    # r6b (guide §5): callers that have already _spread the input pass
+    # n_rows from a metadata-only count of the raw scan — counting the
+    # spread frame executed the fan-out shuffle just to read a number
+    n = n_rows if n_rows is not None else e.count()
     n_planes = max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
     planes = _ann_planes(n_planes)
     # r6 (guide §2.3): norms once per row before the bucket join —
@@ -2399,6 +2405,7 @@ def embedding_near_dup_capped(
     max_bucket: int = 64,
     n_hubs: int = 1,
     rescue_planes: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """``embedding_near_dup_production`` with the giant-bucket cap +
     sub-key rescue rule ported from the MinHash cleaning path
@@ -2429,7 +2436,8 @@ def embedding_near_dup_capped(
     (tests/test_skew.py pins this on a crafted degenerate cluster)."""
     import math
 
-    n = e.count()
+    # r6b: see embedding_near_dup_production — metadata-count via n_rows
+    n = n_rows if n_rows is not None else e.count()
     n_planes = max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
     planes = _ann_planes(n_planes + rescue_planes)
     # r6 (guide §5 caching / §2.3): the keyed table is referenced by
@@ -4300,8 +4308,11 @@ def q_embedding_near_dup_production(spark, sf_dir):
     count(*) and masks a 20-plane inline table (PCG64 planes are
     prefix-stable: _ann_planes(20)[:6] == _ann_planes(6)), so both
     engines bucket identically at any N up to 2^20·64 vectors."""
-    e = _spread(_t(spark, sf_dir, "embeddings"))
-    return embedding_near_dup_production(e).select(
+    raw = _t(spark, sf_dir, "embeddings")
+    # metadata-only count on the raw scan (r6b) — the spread copy would
+    # run its fan-out shuffle just to produce the same number
+    e = _spread(raw)
+    return embedding_near_dup_production(e, n_rows=raw.count()).select(
         "v1",
         "v2",
         "cos",
@@ -4371,9 +4382,11 @@ def q_embedding_near_dup_capped(spark, sf_dir):
     giant-bucket K-hub stars, rescue sub-bucket all-pairs — are live
     at gate scale; the oracle replays the exact same rule in SQL
     (deterministic min-id hubs, prefix-stable PCG64 rescue planes)."""
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    raw = _t(spark, sf_dir, "embeddings")
+    e = _spread(raw)
     return embedding_near_dup_capped(
-        e, tau=_CAPPED_TAU, max_bucket=_CAPPED_MAX_BUCKET
+        e, tau=_CAPPED_TAU, max_bucket=_CAPPED_MAX_BUCKET,
+        n_rows=raw.count(),  # metadata-only (r6b)
     )
 
 
@@ -4963,8 +4976,9 @@ def q_semdedup(spark, sf_dir):
     rounded centroid-cos (vec_id breaks exact ties)."""
     import math
 
-    e = _spread(_t(spark, sf_dir, "embeddings"))
-    n = e.count()
+    raw = _t(spark, sf_dir, "embeddings")
+    e = _spread(raw)
+    n = raw.count()  # metadata-only on the raw scan (r6b, guide §5)
     n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
     planes = _ann_planes(n_planes)
     b = e.select(
@@ -5537,8 +5551,9 @@ def q_semantic_decontaminate(spark, sf_dir):
     engines, so the cos ≥ 0.25 boundary and max_cos agree exactly."""
     import math
 
-    e = _spread(_t(spark, sf_dir, "embeddings"))
-    n = e.count()
+    raw = _t(spark, sf_dir, "embeddings")
+    e = _spread(raw)
+    n = raw.count()  # metadata-only on the raw scan (r6b, guide §5)
     n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
     planes = _ann_planes(n_planes)
     # r6 (guide §2.3/§3.1): norms once per row before the bucket join
@@ -5621,8 +5636,9 @@ def q_semantic_decontaminate_multiprobe(spark, sf_dir):
     comparable with the single-probe twin (⊇, never reordered)."""
     import math
 
-    e = _spread(_t(spark, sf_dir, "embeddings"))
-    n = e.count()
+    raw = _t(spark, sf_dir, "embeddings")
+    e = _spread(raw)
+    n = raw.count()  # metadata-only on the raw scan (r6b, guide §5)
     n_planes = max(6, math.ceil(math.log2(max(n / 64, 2.0))))
     planes = _ann_planes(n_planes)
     # r6 (guide §2.3/§3.1): flip fan-out via a literal array explode
