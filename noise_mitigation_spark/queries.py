@@ -764,20 +764,40 @@ def minhash_signatures_df(
     already-parallel inputs like the cleaning plan's).
 
     r6b (guide §2.3 aggregate before you shuffle): the k permutation
-    constants are ALWAYS a driver-side literal list, so the k-way
-    broadcast crossJoin (which multiplied the exploded token table k×
-    before the hash agg — 21.6M rows at proxy sf1.0, 86M for the
-    cleaning plan's 32 permutations) becomes k min-aggregates over the
-    un-expanded token rows, unstacked to the same (doc_id, k, minhash)
-    shape afterwards. Same (a·tid + b) mod p longs, same
-    duplicate-insensitive min, k× fewer rows through the partial agg
-    and no join."""
+    constants are ALWAYS a driver-side literal list, so for SMALL k
+    the k-way broadcast crossJoin (which multiplied the exploded
+    token table k× before the hash agg — 21.6M rows at proxy sf1.0)
+    becomes k min-aggregates over the un-expanded token rows,
+    unstacked to the same (doc_id, k, minhash) shape afterwards.
+    Same (a·tid + b) mod p longs, same duplicate-insensitive min, k×
+    fewer rows through the partial agg and no join — measured 1.09 →
+    0.91 s steady / 3.6 → 1.3 s first-shot at the gate k=8.
+    The fold is k-CAPPED at 16: at the cleaning plan's k=32 an
+    order-alternated same-session A/B reads equivalent (keeper
+    2.6–3.8 s either way once the ~8 s composed-plan cold start is
+    attributed correctly), so larger permutation sets conservatively
+    keep the round-start crossJoin shape rather than trade a proven
+    shape for a wash."""
     toks = (
         _spread(d)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
     plist = [tuple(p) for p in (params or _MINHASH_PARAMS)]
+    if len(plist) > 16:
+        pdf = d.sparkSession.createDataFrame(
+            plist, "k int, a long, b long"
+        )
+        return (
+            toks.withColumn("tid", _tokhash_spark())
+            .crossJoin(F.broadcast(pdf))
+            .withColumn(
+                "h",
+                (F.col("a") * F.col("tid") + F.col("b")) % F.lit(_MH_PRIME),
+            )
+            .groupBy("doc_id", "k")
+            .agg(F.min("h").alias("minhash"))
+        )
     sig_wide = (
         toks.withColumn("tid", _tokhash_spark())
         .groupBy("doc_id")
