@@ -67,10 +67,17 @@ def get_spark(
         # the backlog was measured to inflate the first Python-worker
         # stage of an aged 30-query session 3× (winnow_fingerprint
         # 7.9 s aged vs 2.4 s after a GC; an explicit System.gc()
-        # reproduces the fix). 60s keeps long-lived drivers clean at
-        # ~0.5 s/min amortized cost — the same reason streaming drivers
-        # routinely lower this interval.
+        # reproduces the fix). 60s keeps long-lived drivers clean —
+        # the same reason streaming drivers routinely lower this
+        # interval — and ExplicitGCInvokesConcurrent turns the
+        # cleaner's System.gc() into a CONCURRENT G1 cycle instead of
+        # a stop-the-world full collection, so the periodic sweep
+        # cannot stall whatever query it lands on.
         .config("spark.cleaner.periodicGC.interval", "60s")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
