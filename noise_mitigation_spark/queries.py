@@ -3143,43 +3143,9 @@ def _centroid_rows(cent: DataFrame) -> list[tuple[int, list[float]]]:
     return sorted((int(r[0]), list(r[1])) for r in cent.collect())
 
 
-def _kmeans_dist_structs(rows, vec: str = "ev"):
-    """One (d, cent_id) struct per literal centroid — the same
-    round(Σ(evᵢ−cvᵢ)², 6) distances `_kmeans_rank` computed against
-    the broadcast table, as per-row expressions (guide §2.4: the 8×N
-    crossJoin + vec_id window shuffled both 64-d arrays 8× per vector
-    just to take an argmin; struct ordering (d asc, cent_id asc) is
-    exactly the old window's orderBy + row_number tiebreak)."""
-    return [
-        F.struct(
-            F.round(
-                _sqdist(F.col(vec), F.array(*[F.lit(float(v)) for v in cv])), 6
-            ).alias("d"),
-            F.lit(int(cid)).cast("long").alias("cent_id"),
-        )
-        for cid, cv in rows
-    ]
-
-
-def _kmeans_argmin(rows, vec: str = "ev"):
-    """Nearest literal centroid id (min struct ≡ rn = 1 of the old
-    (d asc, cent_id asc) window) — map-side, zero Exchange."""
-    return F.array_min(F.array(*_kmeans_dist_structs(rows, vec))).getField(
-        "cent_id"
-    )
-
-
-def _kmeans_top(rows, n: int, vec: str = "ev"):
-    """The n nearest literal centroids as a sorted (d, cent_id) struct
-    array (≡ rn ≤ n of the old window), map-side."""
-    return F.slice(
-        F.array_sort(F.array(*_kmeans_dist_structs(rows, vec))), 1, n
-    )
-
-
 def _kmeans_dist_structs_arr(cb_col, vec: str = "ev"):
-    """The literal-centroid (d, cent_id) structs of _kmeans_dist_structs
-    built instead against a one-row BROADCAST centroid array column
+    """(d, cent_id) ranking structs against a one-row BROADCAST
+    centroid array column
     (array<struct<cent_id, cv>>, sorted by cent_id) — same rounded
     _sqdist fold, same struct ordering, but the centroids stay a lazy
     plan input, which is what lets the whole multi-iteration trainer
@@ -3266,17 +3232,6 @@ def kmeans_centroid_rows(
     (vec_id, ev:array<double>); returns [(cent_id, cv)] sorted."""
     arr = kmeans_cb_df(e, k, n_iter).collect()[0][0]
     return sorted((int(r["cent_id"]), list(r["cv"])) for r in arr)
-
-
-def kmeans_centroids_df(
-    e: DataFrame, k: int = 8, n_iter: int = _KMEANS_ITERS
-) -> DataFrame:
-    """(cent_id, cv) DataFrame view of kmeans_centroid_rows (kept for
-    compatibility with external callers)."""
-    return e.sparkSession.createDataFrame(
-        [(c, v) for c, v in kmeans_centroid_rows(e, k, n_iter)],
-        "cent_id long, cv array<double>",
-    )
 
 
 def _emb_as_double(e: DataFrame) -> DataFrame:
@@ -4115,19 +4070,6 @@ SELECT pair, score, rnk FROM (
 _PQ_M = 8       # subspaces
 _PQ_SUB = 8     # dims per subspace (8×8 = the 64-d embedding)
 _PQ_K = 16      # centroids per subspace (4-bit codes)
-
-
-def _pq_subdist(xcol: str, ccol: str, j: str):
-    """Squared L2 between subvectors of two 64-d arrays over subspace
-    ``j`` (0-based), as a FIXED-ORDER fold (ascending dim) — the same
-    left-to-right accumulation the DuckDB twin uses, so distances are
-    bit-identical across engines."""
-    return F.expr(
-        f"aggregate(sequence({j} * {_PQ_SUB} + 1, {j} * {_PQ_SUB} + {_PQ_SUB}),"
-        f" cast(0.0 as double),"
-        f" (acc, i) -> acc + (element_at({xcol}, i) - element_at({ccol}, i))"
-        f"             * (element_at({xcol}, i) - element_at({ccol}, i)))"
-    )
 
 
 def _pq_adc_fold():
